@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (the reference's core product-build
+  semantics — union → intersect → broadcast joins → annotate) at sf0.001.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2
+  plus the scale extensions (dedup / similarity / text / multimodal /
+  streaming), each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()``: DuckDB-runnable SQL twin per key; keys without an
+  oracle get the driver's rows-only check (noted per entry).
 """
 
 from __future__ import annotations
@@ -16,23 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from atac_data_products_spark.registry import product_obs_plan
+
+    return product_obs_plan(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from atac_data_products_spark import registry, registry_ext  # noqa: F401
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from atac_data_products_spark import registry, registry_ext  # noqa: F401
+
+    return dict(registry.ORACLES)

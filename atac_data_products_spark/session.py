@@ -1,0 +1,50 @@
+"""SparkSession builder tuned for this engine.
+
+Design notes (100 TB target, tested on local[N]):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast decisions replace hand-tuning per scale factor.
+- Shuffle partitions default to max(2*cores, 64) locally; on a real
+  cluster this is overridden to ~2-3x total executor cores, and AQE
+  coalesces small post-shuffle partitions anyway.
+- Arrow enabled for every pandas interchange (mapInPandas /
+  applyInPandas at the ingestion boundary are Arrow-vectorized).
+- UTC session timezone pins timestamp semantics so results are stable
+  across environments (the reference stringifies ``datetime.now()`` with
+  no timezone at all — bin/concatenate.py:140).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "atac-data-products-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cpus, 64)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,62 @@
+"""REST/search-source boundary (SURVEY.md §2.1 scan_rest_search).
+
+The reference POSTs an Elasticsearch bool query to the HuBMAP search API
+(make_uuids_tsv.py:23-64) — its only "pushdown".  The engine keeps that a
+thin, mockable boundary: the *query semantics* (must/match equality,
+must_not/exists, from/size paging) compile to DataFrame filters + limit,
+so they run identically against a live fetch materialized with
+``spark.createDataFrame`` or against any local table in tests.  No test
+or query path touches the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compile_bool_query(dsl: dict) -> Column | None:
+    """Compile the ES bool-query subset the reference uses into a Column.
+
+    Supported (make_uuids_tsv.py:15-36): ``bool.must`` of ``match``
+    equality clauses and ``bool.must_not`` of ``exists`` clauses.  Dotted
+    field paths address struct fields, exactly as in Spark column syntax.
+    """
+    bool_q = dsl.get("query", dsl).get("bool", {})
+    conds: list[Column] = []
+    for clause in bool_q.get("must", []):
+        if "match" in clause:
+            for field, value in clause["match"].items():
+                conds.append(F.col(field) == F.lit(value))
+        else:
+            raise NotImplementedError(f"unsupported must clause: {clause}")
+    for clause in bool_q.get("must_not", []):
+        if "exists" in clause:
+            conds.append(F.col(clause["exists"]["field"]).isNull())
+        else:
+            raise NotImplementedError(f"unsupported must_not clause: {clause}")
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def apply_search(df: DataFrame, dsl: dict) -> DataFrame:
+    """Apply a compiled bool query + paging window to a DataFrame.
+
+    ES ``from``/``size`` paging (make_uuids_tsv.py:24-25) needs a total
+    order to be deterministic; ES itself uses score/doc order.  The engine
+    only reproduces the reference's actual usage: from=0, size=N — a LIMIT.
+    """
+    cond = compile_bool_query(dsl)
+    if cond is not None:
+        df = df.filter(cond)
+    frm = dsl.get("from", 0)
+    if frm not in (0, None):
+        raise NotImplementedError("non-zero 'from' paging not used by the reference")
+    size = dsl.get("size")
+    if size is not None:
+        df = df.limit(size)
+    return df

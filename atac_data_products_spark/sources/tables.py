@@ -1,0 +1,48 @@
+"""Parquet table scans over the driver's synthetic star schema.
+
+Canonical storage for this engine is Parquet (SURVEY.md §1.4, §4.3):
+scans are declarative `spark.read.parquet`, so Catalyst gets predicate
+pushdown + column pruning + partition pruning for free — the optimizer
+the reference (an eager pandas pipeline) never had.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Single narrow entry point so partition layout /
+    bucketing decisions can later change in one place."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read nanos as long (runtime-settable)
+        # and derive the usable timestamp via events_with_ts().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` converted nanos→timestamp (µs truncation, matching
+    DuckDB's TIMESTAMP_NS → TIMESTAMP cast)."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )

@@ -1,0 +1,166 @@
+"""Unit tests per operator on tiny in-line frames (SURVEY.md §5.2.3).
+
+Edge cases follow the reference quirk list (§2.11) and FIXTURES.md:
+missing modality cells, dataset absent from manifest, barcode prefixes,
+laterality suffixes, outer-union feature alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from atac_data_products_spark.functions.strings import (
+    concat_cell_id,
+    replace_literal,
+    strip_laterality,
+)
+from atac_data_products_spark.operators.aggregates import (
+    collect_sorted_csv,
+    first_match_pivot,
+)
+from atac_data_products_spark.operators.joins import (
+    broadcast_dim_join,
+    intersect_obs,
+    zip_columns,
+)
+from atac_data_products_spark.operators.unions import union_outer
+from atac_data_products_spark.operators.windows import first_per_group
+from atac_data_products_spark.sources.rest import apply_search
+
+
+def test_replace_literal_strips_bam_prefix(spark):
+    df = spark.createDataFrame(
+        [("BAM_data#AAAC",), ("GGGT",)], "barcode string"
+    ).select(replace_literal("barcode", "BAM_data#").alias("b"))
+    assert {r.b for r in df.collect()} == {"AAAC", "GGGT"}
+
+
+def test_replace_literal_is_not_regex(spark):
+    # a regex-special pattern must be treated literally
+    df = spark.createDataFrame([("a.c",), ("abc",)], "s string").select(
+        replace_literal("s", "a.c", "X").alias("s")
+    )
+    assert {r.s for r in df.collect()} == {"X", "abc"}
+
+
+def test_strip_laterality(spark):
+    df = spark.createDataFrame(
+        [("Kidney (Left)",), ("Kidney (Right)",), ("Heart",), ("Left Lung (Left)",)],
+        "d string",
+    ).select(strip_laterality("d").alias("d"))
+    assert {r.d for r in df.collect()} == {"Kidney", "Heart", "Left Lung"}
+
+
+def test_concat_cell_id(spark):
+    df = spark.createDataFrame([("ds1", "AAAC")], "dataset string, barcode string")
+    row = df.select(concat_cell_id("dataset", "barcode").alias("c")).first()
+    assert row.c == "ds1-AAAC"
+
+
+def test_intersect_obs_drops_unshared_cells(spark):
+    # FIXTURES edge case 2: cell in one modality only → dropped both ways
+    cbb = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "cell_id string")
+    cbg = spark.createDataFrame([("c2",), ("c3",), ("c4",)], "cell_id string")
+    a, b = intersect_obs(cbb, cbg)
+    assert {r.cell_id for r in a.collect()} == {"c2", "c3"}
+    assert {r.cell_id for r in b.collect()} == {"c2", "c3"}
+
+
+def test_broadcast_join_drops_unmanifested_dataset(spark):
+    # FIXTURES edge case 1: dataset absent from manifest → cells dropped (J2)
+    obs = spark.createDataFrame(
+        [("c1", "ds1"), ("c2", "ds2")], "cell_id string, dataset string"
+    )
+    manifest = spark.createDataFrame([("ds1", "donorA")], "uuid string, donor string")
+    out = broadcast_dim_join(obs, manifest, obs.dataset == manifest.uuid)
+    assert [r.cell_id for r in out.collect()] == ["c1"]
+
+
+def test_union_outer_aligns_features(spark):
+    # FIXTURES edge case 3: feature present in only some datasets
+    a = spark.createDataFrame([("c1", 1.0)], "cell_id string, featA double")
+    b = spark.createDataFrame([("c2", 2.0)], "cell_id string, featB double")
+    out = union_outer([a, b]).orderBy("cell_id").collect()
+    assert out[0].featA == 1.0 and out[0].featB is None
+    assert out[1].featA is None and out[1].featB == 2.0
+
+
+def test_zip_columns_positional(spark):
+    left = spark.createDataFrame([(2,), (1,), (3,)], "k int")
+    right = spark.createDataFrame([("b",), ("a",), ("c",)], "v string")
+    out = zip_columns(left, right, ["k"], ["v"]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_first_match_pivot_last_wins_priority(spark):
+    # FIXTURES edge case 8: same concept in both donor arrays → higher
+    # priority (living-donor) wins deterministically
+    df = spark.createDataFrame(
+        [
+            ("u1", "Age", "40", 0),  # organ_donor_data
+            ("u1", "Age", "41", 1),  # living_donor_data overwrites
+            ("u1", "Sex", "F", 0),
+        ],
+        "uuid string, concept string, value string, priority int",
+    )
+    out = first_match_pivot(
+        df, "uuid", "concept", "value", ["Age", "Sex", "Race"], priority_col="priority"
+    ).first()
+    assert out.Age == "41" and out.Sex == "F" and out.Race is None
+
+
+def test_first_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("d1", "b.h5ad"), ("d1", "a.h5ad"), ("d2", "z.h5ad")],
+        "dataset string, path string",
+    )
+    out = first_per_group(df, ["dataset"], ["path"]).orderBy("dataset").collect()
+    assert [(r.dataset, r.path) for r in out] == [("d1", "a.h5ad"), ("d2", "z.h5ad")]
+
+
+def test_collect_sorted_csv_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", "z"), ("g", "a"), ("g", "m")], "k string, v string"
+    ).repartition(4)
+    assert df.groupBy("k").agg(collect_sorted_csv("v").alias("c")).first().c == "a,m,z"
+
+
+def test_es_dsl_compiles_to_filters(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "ATACseq", "public", None),
+            ("u2", "ATACseq", "public", "u9"),  # superseded revision
+            ("u3", "RNAseq", "public", None),
+            ("u4", "ATACseq", "consortium", None),
+        ],
+        "uuid string, dataset_type string, data_access_level string, next_revision_uuid string",
+    )
+    dsl = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"match": {"dataset_type": "ATACseq"}},
+                    {"match": {"data_access_level": "public"}},
+                ],
+                "must_not": [{"exists": {"field": "next_revision_uuid"}}],
+            }
+        },
+        "size": 10000,
+    }
+    out = apply_search(df, dsl).collect()
+    assert [r.uuid for r in out] == ["u1"]
+
+
+def test_manifest_tsv_roundtrip(spark, tmp_path):
+    # all-string read + Unnamed: 0 artifact drop (bin/concatenate.py:108,121)
+    from atac_data_products_spark.sources.tsv import scan_tsv_manifest
+
+    p = tmp_path / "uuids.tsv"
+    p.write_text(
+        "Unnamed: 0\tuuid\thubmap_id\tage\tsex\theight\tweight\tbmi\tcause_of_death\trace\n"
+        "0\tu1\tHBM1\t40\tF\t160\t60\t23\t\tWhite\n"
+    )
+    df = scan_tsv_manifest(spark, str(p))
+    assert "Unnamed: 0" not in df.columns
+    row = df.first()
+    assert row.uuid == "u1" and row.age == "40"  # stays string until cast

@@ -1,0 +1,82 @@
+"""Benchmark loop: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Execution is forced through the noop sink (full pipeline runs, no
+driver-side collect skew).  Queries here are the scale-relevant plans:
+the flagship product build, the shuffle-heavy aggregations/windows, and
+the extension operators (dedup / similarity / text / streaming-batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from atac_data_products_spark.session import get_spark
+
+HEADLINE = [
+    "product_build_obs",
+    "product_cell_count",
+    "union_outer_concat",
+    "join_donor_metadata",
+    "agg_first_match",
+    "first_match_shortcircuit",
+    "agg_collect_lists",
+    "scan_file_pairs",
+    # extension headliners appended as implemented (registry_ext)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "similarity_topk",
+    "window_tumbling_agg",
+    "window_session_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    spark = get_spark("adp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)  # build plan (lazy)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

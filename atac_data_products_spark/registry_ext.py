@@ -1,8 +1,408 @@
 """Extension registry: dedup / similarity / text / multimodal / streaming.
 
 Registered into the same QUERIES/ORACLES dicts as the core registry
-(import side effect).  Implementations land incrementally; this module
-grows per milestone.
+(imported for side effects by ``__spark_entry__``).  Where an operator
+is SQL-expressible its DuckDB oracle is generated from the SAME
+parameters as the Spark plan (hash constants, permutation params,
+thresholds), so parity is structural, not coincidental.  Genuinely
+approximate operators (LSH candidate generation: recall < 1 by design)
+carry the driver's rows-only check and are graded against their exact
+oracle-checked baselines.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extensions.dedup import (
+    MINHASH_K,
+    SIMHASH_BITS,
+    _MASK40,
+    _P,
+    _perm_params,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    minhash_signatures,
+    simhash,
+)
+from .extensions.multimodal import byte_features, with_payload
+from .extensions.similarity import cosine_topk, lsh_topk
+from .extensions.text import (
+    STOPWORDS,
+    lang_id,
+    quality_features,
+    shingle_table,
+    token_count,
+    tokens,
+)
+from .registry import _t, query
+from .sources.tables import events_with_ts
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect), generated from the same
+# constants as the Spark plans.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+    "FROM documents)"
+)
+_SHINGLES_CTE = (
+    "shingles AS (SELECT DISTINCT doc_id, "
+    "unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle "
+    "FROM toks WHERE len(t) >= 3)"
+)
+_H40_SQL = "((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {m})".format(m=_MASK40 + 1)
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+JACCARD_THRESHOLD = 0.2
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace+regex token counting — one narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_uniq_tokens,
+             length(regexp_replace((SELECT text FROM documents d2 WHERE d2.doc_id = toks.doc_id),
+                                   '\\s', '', 'g')) AS n_nonspace,
+             len(list_filter(t, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_uniq_tokens,
+           round(n_uniq_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(n_nonspace / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+           round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+           (n_tokens >= 5 AND n_tokens <= 100000
+            AND n_uniq_tokens / CAST(n_tokens AS DOUBLE) >= 0.1) AS passes_quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/uniqueness/stopword ratios);
+    integer counts + per-row IEEE ratios → fully oracle-hashable."""
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    s AS (SELECT doc_id,
+                 len(list_filter(t, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+                 len(t) AS n FROM toks)
+    SELECT doc_id,
+           CASE WHEN n_stop / CAST(n AS DOUBLE) >= 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang,
+           round(n_stop / CAST(n AS DOUBLE), 6) AS en_score
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via English function-word density (the cheap
+    n-gram LID signal; a model slots in at the same seam as a Pandas UDF)."""
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE}
+    SELECT doc_id,
+           min(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS fp_min,
+           max(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS fp_max,
+           count(*) AS n_shingles
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-hash document fingerprint (winnowing-lite): min/max of the
+    portable 59-bit shingle hashes + shingle cardinality."""
+    from .functions.hashes import hash59
+
+    sh = shingle_table(_t(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(
+        F.min(hash59("shingle")).alias("fp_min"),
+        F.max(hash59("shingle")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content digest — the shuffle
+    carries 16-byte digests, never document bodies."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join —
+    the correctness baseline the LSH path is graded against."""
+    sh = shingle_table(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_perm_params())
+    )
+    return f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    h AS (SELECT doc_id, {_H40_SQL} AS h FROM shingles)
+    SELECT doc_id, {mins} FROM h GROUP BY doc_id
+    """
+
+
+@query("dedup_minhash_signature", oracle=_minhash_oracle())
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k={k}): one map-side-combinable aggregation of
+    k universal-hash permutations over the portable shingle hash — exact,
+    deterministic, oracle-checked bit-for-bit.""".format(k=MINHASH_K)
+    sh = shingle_table(_t(spark, sf_dir, "documents"))
+    return minhash_signatures(sh)
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH recall < 1 by design
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: MinHash → banded LSH buckets → candidate pairs →
+    exact-Jaccard verification.  Approximate candidate generation (recall
+    <1) ⇒ rows-only check; its exact twin is dedup_ngram_jaccard."""
+    return minhash_lsh_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM tok WHERE tok != ''),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — a single shuffle of (doc, token-hash);
+    near-dup candidates are then fingerprints at small Hamming distance."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS na,
+                 (SELECT sqrt(list_dot_product(qe, qe)) FROM q) AS nq
+          FROM embeddings e WHERE e.vec_id != 0)
+    SELECT vec_id, round(dp / (na * nq), 6) AS cosine
+    FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@query("similarity_topk", oracle=_COSINE_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (query = embedding of vec_id 0): one scan,
+    sequential double-precision fold (zip_with+aggregate), scalar top-k —
+    no pairwise blowup at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@query("similarity_lsh_topk")  # rows-only: ANN recall < 1 by design
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: 16-plane hyperplane-LSH bucket pruning, then exact
+    cosine within the probed bucket.  Bucket id is a pure codegen
+    expression and a partition-prunable column at rest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload column + Arrow-batched mapInPandas feature
+    extraction — the real plumbing for media decode, with the codec call
+    stubbed (libs absent) and byte-level features standing in."""
+    media = with_payload(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return byte_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Streaming analogues (batch-checkable; live readStream in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           event_type, count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation — identical semantics to the
+    Structured Streaming version in streaming/events.py (same window call,
+    plus watermark there)."""
+    ev = events_with_ts(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_agg",
+    oracle="""
+    WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS s, event_type FROM events),
+    w AS (SELECT event_type,
+                 unnest([CAST(floor(s/300)*300 AS BIGINT),
+                         CAST(floor(s/300)*300 - 300 AS BIGINT)]) AS ws
+          FROM e)
+    SELECT ws AS window_start_epoch, event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    windows; the oracle enumerates them arithmetically."""
+    ev = events_with_ts(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "window_session_agg",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    m AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    g AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM m)
+    SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's session_window vs
+    the classic gaps-and-islands SQL as oracle."""
+    ev = events_with_ts(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key dedup — batch twin of dropDuplicatesWithinWatermark in
+    the streaming module."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()

@@ -43,6 +43,6 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer DIV, not float division: nanosecond epochs exceed double's
+    # 53-bit mantissa, so ts/1000.0 would round by hundreds of ns
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

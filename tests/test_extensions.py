@@ -1,0 +1,117 @@
+"""Extension-operator tests: dedup, similarity, text, multimodal.
+
+Beyond the per-key oracle equivalence (test_registry), these check the
+semantic properties the oracles can't express: LSH recall against the
+exact baseline, fingerprint locality, stub behavior of the codec seam.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atac_data_products_spark.extensions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash,
+)
+from atac_data_products_spark.extensions.multimodal import (
+    byte_features,
+    decode_media,
+    with_payload,
+)
+from atac_data_products_spark.extensions.similarity import cosine_topk, lsh_topk
+from atac_data_products_spark.extensions.text import shingle_table, word_shingles, tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_copies(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.canonical_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_short_doc_empty(spark):
+    # < n tokens must yield an EMPTY array (sequence(1,0) would be [1,0])
+    df = spark.createDataFrame([("a b",), ("a",), ("a b c",)], "text string")
+    out = df.select(F.size(word_shingles(tokens("text"))).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 1]
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    docs = _docs(spark, [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "q r s t u")])
+    sh = shingle_table(docs)
+    pairs = jaccard_pairs(sh, threshold=0.99).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    far = " ".join(f"other{i}" for i in range(40))
+    docs = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_locality(spark):
+    # near-identical docs → small Hamming distance; disjoint docs → large
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base + " extra"
+    far = " ".join(f"zzz{i}" for i in range(50))
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark, [(1, base), (2, near), (3, far)])).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) <= 6
+    assert ham(fp[1], fp[3]) >= 8
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cosine == 1.0
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1, 101)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[0][1]
+    brute = {r.vec_id for r in cosine_topk(emb, q, k=100).collect()}
+    approx = lsh_topk(emb, q, k=10).collect()
+    assert {r.vec_id for r in approx} <= brute
+    # the probed bucket contains the query's own bucket-mates: must be sorted desc
+    sims = [r.cosine for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_payload_roundtrip(spark):
+    docs = _docs(spark, [(1, "hello"), (2, "wörld")])
+    media = with_payload(docs, "doc_id", "text")
+    assert media.columns == ["media_id", "payload", "media_type", "declared_bytes"]
+    feats = {r.media_id: r for r in byte_features(media).collect()}
+    assert feats[1].byte_len == 5
+    assert feats[2].byte_len == 6  # ö is 2 bytes in UTF-8
+    import hashlib
+
+    assert feats[1].content_md5 == hashlib.md5(b"hello").hexdigest()
+
+
+def test_multimodal_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_media(None)

@@ -1,0 +1,58 @@
+"""Product / manifest sinks (SURVEY.md §2.8).
+
+The reference hands artifacts between CWL steps via output globs
+(steps/concatenate.cwl:29-40) and uploads with shelled-out aws-cli
+(bin/upload.py:9-22).  Here a *data product* is a directory of Parquet
+tables (SURVEY.md §1.4) written idempotently (overwrite-by-product-dir),
+with `_SUCCESS` markers replacing the reference's `finished.txt`
+sentinel (bin/upload.py:37-39).  S3 deployment is the same code path —
+`s3a://` URIs + Hadoop credentials config, never `os.system("aws …")`
+(§2.11 quirk 7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_manifest_tsv(df: DataFrame, path: str) -> None:
+    """Manifest TSV sink (make_uuids_tsv.py:164) — header, tab-separated,
+    and WITHOUT the positional index column (the `Unnamed: 0` artifact,
+    §2.11)."""
+    df.coalesce(1).write.options(sep="\t", header=True).mode("overwrite").csv(path)
+
+
+def write_product(
+    out_dir: str,
+    obs: DataFrame,
+    modalities: dict[str, tuple[DataFrame, DataFrame]],
+    metadata: dict,
+    partition_matrix_by: str = "dataset",
+) -> None:
+    """Write one data product:
+
+      out_dir/
+        obs/                     cell metadata (small)
+        x_<modality>/            long/COO matrix, partitioned by dataset
+        var_<modality>/          feature metadata
+        product.json             metadata record (create_json parity,
+                                 bin/concatenate.py:81-96)
+
+    Matrix tables partition by `dataset` so downstream per-dataset access
+    prunes partitions — the same access pattern the reference hardcodes
+    as per-directory file reads (bin/concatenate.py:124-136).
+    """
+    obs.write.mode("overwrite").parquet(os.path.join(out_dir, "obs"))
+    for modality, (x, var) in modalities.items():
+        (
+            x.write.mode("overwrite")
+            .partitionBy(partition_matrix_by)
+            .parquet(os.path.join(out_dir, f"x_{modality}"))
+        )
+        var.write.mode("overwrite").parquet(os.path.join(out_dir, f"var_{modality}"))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "product.json"), "w") as f:
+        json.dump(metadata, f, indent=2, sort_keys=True)

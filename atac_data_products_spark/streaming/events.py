@@ -1,0 +1,102 @@
+"""Structured Streaming over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.9) — these are engine
+extensions following the standard Spark streaming recipe: file source →
+event-time windows + watermark → sinks.  Each streaming aggregation has
+a batch twin in registry_ext (window_tumbling_agg / window_session_agg /
+stream_dedup_exact) checked against the DuckDB oracle; the streaming
+tests assert stream-equals-batch under Trigger.AvailableNow.
+
+Scale notes: watermarks bound state; session windows and dedup keep
+per-key state that is dropped past the watermark — the knobs that keep
+a 100 TB/day stream's state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (ts arrives as raw nanos — same
+    legacy-parquet handling as the batch reader, converted with integer
+    DIV to µs).
+
+    The streaming file source requires a *directory*; a single-file path
+    is staged behind a symlink dir so the same call works on both.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="adp_stream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        path = stage
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """5-minute tumbling counts with late-data watermark (batch twin:
+    window_tumbling_agg)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """30-minute-gap session windows per user (batch twin:
+    window_session_agg)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact key dedup with bounded state (batch twin: stream_dedup_exact).
+
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes — the streaming-safe version of DISTINCT.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+
+
+def run_to_memory(result: DataFrame, table_name: str, mode: str = "complete") -> None:
+    """Drain a streaming frame into an in-memory sink with AvailableNow
+    (test/verification harness)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,110 @@
+"""Golden end-to-end product-build test (SURVEY.md §5.2.2).
+
+Reference-shaped fixtures (FIXTURES.md) at toy scale, exercising every
+edge case: unmanifested dataset (dropped by J2), one-modality cells
+(dropped by J1), features present in only some datasets (kept by U1),
+BAM_data# barcode prefixes, age cast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from atac_data_products_spark.plans.product import build_product, finalize_and_write
+
+
+def _fixtures(spark):
+    manifest = spark.createDataFrame(
+        [
+            ("ds1", "HBM1.AAAA.111", "40", "F", "160", "60", "23.4", None, "White"),
+            ("ds2", "HBM2.BBBB.222", "55", "M", "175", "80", "26.1", None, "Asian"),
+            # ds3 exists in matrices but NOT here → its cells must drop (edge 1)
+        ],
+        "uuid string, hubmap_id string, age string, sex string, height string, "
+        "weight string, bmi string, cause_of_death string, race string",
+    )
+    coo = "dataset string, barcode string, feature_id string, value double"
+    cbb = [
+        spark.createDataFrame(
+            [
+                ("ds1", "BAM_data#AAAC", "chr1:0-500", 2.0),
+                ("ds1", "BAM_data#AAAC", "chr1:500-1000", 1.0),
+                ("ds1", "GGGT", "chr1:0-500", 3.0),
+                ("ds1", "TTTT", "chr1:0-500", 1.0),  # bin-only cell (edge 2)
+            ],
+            coo,
+        ),
+        spark.createDataFrame(
+            [
+                ("ds2", "CCCC", "chr2:0-500", 5.0),  # feature only in ds2 (edge 3)
+                ("ds3", "ZZZZ", "chr1:0-500", 9.0),  # unmanifested dataset (edge 1)
+            ],
+            coo,
+        ),
+    ]
+    cbg = [
+        spark.createDataFrame(
+            [
+                ("ds1", "BAM_data#AAAC", "GENE1", 7.0),
+                ("ds1", "GGGT", "GENE2", 4.0),
+                ("ds2", "CCCC", "GENE1", 2.0),
+                ("ds2", "DDDD", "GENE1", 8.0),  # gene-only cell (edge 2)
+                ("ds3", "ZZZZ", "GENE1", 1.0),
+            ],
+            coo,
+        ),
+    ]
+    return manifest, {"atac_cell_by_bin": cbb, "atac_cell_by_gene": cbg}
+
+
+def test_product_build_golden(spark, tmp_path):
+    manifest, mats = _fixtures(spark)
+    result = build_product(manifest, mats, tissue="kidney", product_uuid="p-123")
+    meta = finalize_and_write(result, manifest, str(tmp_path / "product"))
+
+    # golden obs: cells in BOTH modalities AND manifested datasets:
+    # ds1-AAAC (prefix stripped), ds1-GGGT, ds2-CCCC;
+    # ds1-TTTT bin-only, ds2-DDDD gene-only, ds3-ZZZZ unmanifested → out
+    obs = {r.cell_id: r for r in result.obs.collect()}
+    assert set(obs) == {"ds1-AAAC", "ds1-GGGT", "ds2-CCCC"}
+    assert obs["ds1-AAAC"].age == 40.0  # string→double cast
+    assert obs["ds2-CCCC"].race == "Asian"
+    assert obs["ds1-AAAC"].tissue == "kidney"
+
+    # golden var union: outer feature alignment keeps per-dataset features
+    x_bin, var_bin = result.modalities["atac_cell_by_bin"]
+    assert {r.feature_id for r in var_bin.collect()} == {
+        "chr1:0-500", "chr1:500-1000", "chr2:0-500",
+    }
+    # matrix restricted to surviving cells
+    assert {r.cell_id for r in x_bin.collect()} == {"ds1-AAAC", "ds1-GGGT", "ds2-CCCC"}
+
+    # golden metadata (A1/A2)
+    assert meta["cell_count"] == 3
+    assert meta["dataset_count"] == 2
+    assert meta["dataset_uuids"] == ["ds1", "ds2"]
+    assert meta["dataset_hbmids"] == ["HBM1.AAAA.111", "HBM2.BBBB.222"]
+    assert meta["product_uuid"] == "p-123"
+
+    # product directory layout + readback
+    out = tmp_path / "product"
+    assert (out / "product.json").exists()
+    with open(out / "product.json") as f:
+        assert json.load(f)["cell_count"] == 3
+    back = spark.read.parquet(str(out / "x_atac_cell_by_bin"))
+    assert back.count() == 4  # AAAC×2 + GGGT×1 (ds1) + CCCC×1 (ds2)
+    # partitioned by dataset for pruning
+    assert any(p.startswith("dataset=") for p in os.listdir(out / "x_atac_cell_by_bin"))
+
+
+def test_product_partition_pruning(spark, tmp_path):
+    manifest, mats = _fixtures(spark)
+    result = build_product(manifest, mats, tissue=None)
+    finalize_and_write(result, manifest, str(tmp_path / "p"))
+    back = spark.read.parquet(str(tmp_path / "p" / "x_atac_cell_by_bin"))
+    plan = back.filter(F.col("dataset") == "ds1")._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (no dataset rows from ds2 read)
+    assert "PartitionFilters" in plan and "dataset" in plan

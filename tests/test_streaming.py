@@ -1,0 +1,55 @@
+"""Structured Streaming tests: stream result == batch-twin result.
+
+Runs the real readStream file source over the sf0.001 events parquet
+with Trigger.AvailableNow into memory sinks, then compares against the
+oracle-checked batch queries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from atac_data_products_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from atac_data_products_spark.registry_ext import window_tumbling_agg
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    assert stream.isStreaming
+    run_to_memory(tumbling_counts(stream), "t_tumbling", mode="complete")
+    got = _norm(spark.table("t_tumbling").toPandas())
+    want = _norm(window_tumbling_agg(spark, SF_SMALL).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_session_equals_batch(spark):
+    from atac_data_products_spark.registry_ext import window_session_agg
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    run_to_memory(session_counts(stream), "t_session", mode="complete")
+    got = _norm(spark.table("t_session").toPandas())
+    want = _norm(window_session_agg(spark, SF_SMALL).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_dedup_equals_batch(spark):
+    from atac_data_products_spark.registry_ext import stream_dedup_exact
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    run_to_memory(dedup_within_watermark(stream), "t_dedup", mode="append")
+    got = _norm(spark.table("t_dedup").toPandas())
+    want = _norm(stream_dedup_exact(spark, SF_SMALL).toPandas())
+    pd.testing.assert_frame_equal(got, want)

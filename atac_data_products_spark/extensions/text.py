@@ -92,6 +92,42 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the classic byte-pair-encoding *pre*-split (the merge table itself is a
+# model artifact; counting pre-tokens is the pipeline-side operation).
+BPE_SPLIT_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
+# Rolling-hash parameters (shared with the DuckDB oracle).
+ROLL_BASE = 31
+ROLL_MOD = 999_999_999_989  # < 2^40: acc*31 + h stays far below 2^63
+ROLL_HASH_MASK = (1 << 40) - 1
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    fold h = (h*B + hash(token)) mod M, seeded with the first token's
+    hash (matching DuckDB's seedless list_reduce fold).  A pure
+    expression fold — no window, no shuffle, no UDF.
+    """
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % F.lit(ROLL_HASH_MASK + 1),
+    )
+    rest = F.slice(hashed, 2, F.greatest(F.size(hashed) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(hashed, 1),
+        lambda acc, h: (acc * F.lit(ROLL_BASE) + h) % F.lit(ROLL_MOD),
+    )
+
+
 def stopword_count(text: Column | str) -> Column:
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))

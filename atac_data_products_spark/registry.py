@@ -942,3 +942,13 @@ def product_build_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 over the flagship plan (bin/concatenate.py:142-143)."""
     return product_obs_plan(spark, sf_dir).agg(F.count("*").alias("n_cells"))
+
+
+@query("sink_product_dir", oracle=_PRODUCT_OBS_ORACLE)
+def sink_product_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-directory sink (the h5mu replacement, SURVEY §1.4/§2.8
+    sink_h5mu): write the flagship obs as a parquet product table and
+    read it back — the round trip is the check."""
+    out = os.path.join(tempfile.gettempdir(), f"adp_product_{_uuid.uuid4().hex[:8]}")
+    product_obs_plan(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -406,3 +406,141 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact key dedup — batch twin of dropDuplicatesWithinWatermark in
     the streaming module."""
     return _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine dedup, BPE counting, rolling fingerprint, stateful map
+# ---------------------------------------------------------------------------
+
+COSINE_DEDUP_THRESHOLD = 0.4
+
+_COSINE_PAIR_BODY = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                   AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id{extra_join})
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="WITH "
+    + _COSINE_PAIR_BODY.format(extra_join="")
+    + f" SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_DEDUP_THRESHOLD}",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact O(n²) baseline: nested-loop
+    self-join + sequential double-precision folds."""
+    from .extensions.similarity import cosine_pairs
+
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_DEDUP_THRESHOLD)
+
+
+def _bucket_sql(n_dims: int = 64) -> str:
+    """DuckDB twin of hyperplane_bucket: literal ±1 plane weights from the
+    same deterministic generator as the Spark expression."""
+    from .extensions.similarity import NUM_PLANES, _plane_sign
+
+    bits = []
+    for p in range(NUM_PLANES):
+        w = "[" + ", ".join(str(_plane_sign(p, d)) for d in range(n_dims)) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {w}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    oracle="WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    + f"    e AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM eb),\n"
+    + "    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+    + "                 round(list_dot_product(a.v, b.v) /\n"
+    + "                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine\n"
+    + "          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)\n"
+    + f" SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_DEDUP_THRESHOLD}",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: pair generation only within hyperplane-LSH buckets —
+    the O(n²) nested loop becomes a hash join on the bucket id.  The
+    bucket function is deterministic, so even this ANN variant is
+    oracle-checked (recall loss across buckets is part of the semantics)."""
+    from .extensions.similarity import cosine_pairs
+
+    return cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), COSINE_DEDUP_THRESHOLD, bucketed=True
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting (letter runs / digit runs / single
+    punctuation) — regexp_extract_all, JVM-side."""
+    from .extensions.text import bpe_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def _rolling_oracle() -> str:
+    from .extensions.text import ROLL_BASE, ROLL_HASH_MASK, ROLL_MOD
+
+    return f"""
+    WITH {_TOKS_CTE},
+    h AS (SELECT doc_id,
+                 list_transform(t, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {ROLL_HASH_MASK + 1}) AS hs
+          FROM toks)
+    SELECT doc_id,
+           list_reduce(hs, (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}) AS rolling_fp
+    FROM h
+    """
+
+
+@query("doc_fingerprint_rolling", oracle=_rolling_oracle())
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream — a
+    pure expression fold (no window, no shuffle, no UDF), reproduced
+    bit-for-bit by the DuckDB list_reduce oracle."""
+    from .extensions.text import rolling_fingerprint, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", rolling_fingerprint(F.col("__toks")).alias("rolling_fp")
+    )
+
+
+@query(
+    "sessionize_apply_in_pandas",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    m AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    g AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM m)
+    SELECT user_id, min(us) AS session_start_us, CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def sessionize_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via Arrow-batched grouped map
+    (applyInPandas): per-user gap sessionization, checked against the
+    same gaps-and-islands oracle as session_window."""
+    from .extensions.stateful import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return sessionize(ev)

@@ -107,13 +107,23 @@ def cosine_pairs(
     into a hash join on the bucket id (the scale path; deterministic, so
     still oracle-checkable, but recall < 1 across bucket boundaries).
     """
+    # Pre-normalize per vector (cost n, not n²): the pair computation is
+    # then a single fold — dot(vn_a, vn_b) — instead of three.  The
+    # oracle replicates the same normalize-then-dot float sequence.
     e = embeddings.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    norm = l2_norm(F.col("v"))
+    e = e.select(
+        F.col(id_col),
+        F.col("v"),
+        F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
+    )
     if bucketed:
         n_dims = len(embeddings.select(vec_col).first()[0])
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_dims, n_planes))
+    e = e.drop("v")
     a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
     b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
     if bucketed:
@@ -122,7 +132,7 @@ def cosine_pairs(
         )
     else:
         joined = a.join(b, F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-    cos = dot(F.col("v_a"), F.col("v_b")) / (l2_norm(F.col("v_a")) * l2_norm(F.col("v_b")))
+    cos = dot(F.col("vn_a"), F.col("vn_b"))
     return (
         joined.select(
             F.col(f"{id_col}_a").alias("id_a"),
@@ -131,6 +141,62 @@ def cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_lo: int = 1,
+    centroid_hi: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid, search
+    only the query's ``nprobe`` closest centroid cells.
+
+    Centroids here are a deterministic vector subset (ids in
+    [centroid_lo, centroid_hi]) standing in for trained k-means centers —
+    the *plan shape* is the real thing: centroid assignment is a
+    broadcast nested-loop over k centroids (cost k·n, one pass), cell
+    membership is a partition-prunable column at rest, and probing reads
+    only nprobe cells.  Deterministic, so fully oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = e.filter(
+        (F.col(id_col) >= centroid_lo) & (F.col(id_col) <= centroid_hi)
+    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+
+    cos = dot(F.col("v"), F.col("cv")) / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.desc("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cid")
+    )
+
+    # driver-side probe selection over k centroid vectors (same sequential
+    # fold order as the SQL oracle)
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cent_rows = cents.collect()
+    scored = []
+    for r in cent_rows:
+        dp = sum(float(a) * float(b) for a, b in zip(r.cv, query_vec))
+        nc = math.sqrt(sum(float(a) * float(a) for a in r.cv))
+        scored.append((dp / (nc * qn), r.cid))
+    scored.sort(key=lambda t: (-t[0], -t[1]))
+    probe_ids = [cid for _, cid in scored[:nprobe]]
+
+    cell = assigned.filter(F.col("cid").isin(probe_ids)).select(id_col)
+    candidates = embeddings.join(cell, id_col, "left_semi").filter(F.col(id_col) != 0)
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
 def lsh_topk(

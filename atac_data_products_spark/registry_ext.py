@@ -60,6 +60,18 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 JACCARD_THRESHOLD = 0.2
 
 
+def _bucket_sql(n_dims: int = 64) -> str:
+    """DuckDB twin of hyperplane_bucket: literal ±1 plane weights from the
+    same deterministic generator as the Spark expression."""
+    from .extensions.similarity import NUM_PLANES, _plane_sign
+
+    bits = []
+    for p in range(NUM_PLANES):
+        w = "[" + ", ".join(str(_plane_sign(p, d)) for d in range(n_dims)) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {w}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -211,11 +223,51 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(sh)
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH recall < 1 by design
+def _lsh_dedup_oracle() -> str:
+    """Full MinHash→banded-LSH→verify in DuckDB SQL, generated from the
+    same band/row/permutation constants as the Spark plan.  LSH recall
+    <1 vs brute force, but the pipeline itself is deterministic — so the
+    approximate path is still value-hash checkable."""
+    from .extensions.dedup import LSH_BANDS, LSH_ROWS
+
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_perm_params())
+    )
+    structs = []
+    for bi in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"mh_{bi * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
+        )
+        structs.append(f"{{'band': {bi}, 'sig': md5({concat})}}")
+    jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
+    return f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    h AS (SELECT doc_id, {_H40_SQL} AS h FROM shingles),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    buckets AS (SELECT doc_id, u.band AS band, u.sig AS sig
+                FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS u FROM sig)),
+    cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+             FROM buckets b1 JOIN buckets b2 USING (band, sig)
+             WHERE b1.doc_id < b2.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE {jac} >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_dedup_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: MinHash → banded LSH buckets → candidate pairs →
-    exact-Jaccard verification.  Approximate candidate generation (recall
-    <1) ⇒ rows-only check; its exact twin is dedup_ngram_jaccard."""
+    exact-Jaccard verification.  The oracle replicates the banding from
+    the same constants, so even this approximate path is value-checked;
+    its exact brute-force twin is dedup_ngram_jaccard."""
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
@@ -276,14 +328,111 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
-@query("similarity_lsh_topk")  # rows-only: ANN recall < 1 by design
+def _lsh_topk_oracle() -> str:
+    return f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM eb),
+    q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+    d AS (SELECT e.vec_id,
+                 round(list_dot_product(e.v, (SELECT qv FROM q)) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        (SELECT sqrt(list_dot_product(qv, qv)) FROM q)), 6) AS cosine
+          FROM e
+          WHERE e.vec_id != 0 AND e.bucket = (SELECT qb FROM q))
+    SELECT vec_id, cosine FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: 16-plane hyperplane-LSH bucket pruning, then exact
-    cosine within the probed bucket.  Bucket id is a pure codegen
-    expression and a partition-prunable column at rest."""
+    """ANN scale path: hyperplane-LSH bucket pruning, then exact cosine
+    within the probed bucket.  Bucket id is a pure codegen expression and
+    a partition-prunable column at rest; deterministic buckets make even
+    the ANN path value-checkable (recall loss is part of the semantics)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _ivf_topk_oracle(lo: int = 1, hi: int = 8, nprobe: int = 2) -> str:
+    qnorm = "(SELECT sqrt(list_dot_product(qv, qv)) FROM q)"
+    return f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM eb WHERE vec_id BETWEEN {lo} AND {hi}),
+    ac AS (SELECT eb.vec_id, c.cid,
+                  list_dot_product(eb.v, c.cv) /
+                  (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS c_cos
+           FROM eb, c),
+    assign AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid DESC) AS rn
+                 FROM ac) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM eb WHERE vec_id = 0),
+    probes AS (SELECT cid FROM (
+                 SELECT cid, row_number() OVER (
+                   ORDER BY list_dot_product(cv, (SELECT qv FROM q)) /
+                            (sqrt(list_dot_product(cv, cv)) * {qnorm}) DESC, cid DESC) AS rn
+                 FROM c) WHERE rn <= {nprobe}),
+    d AS (SELECT eb.vec_id,
+                 round(list_dot_product(eb.v, (SELECT qv FROM q)) /
+                       (sqrt(list_dot_product(eb.v, eb.v)) * {qnorm}), 6) AS cosine
+          FROM eb JOIN assign USING (vec_id)
+          WHERE assign.cid IN (SELECT cid FROM probes) AND eb.vec_id != 0)
+    SELECT vec_id, cosine FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@query("similarity_ivf_topk", oracle=_ivf_topk_oracle())
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest-centroid cell assignment (broadcast
+    nested-loop over k centroids), then exact top-k over the nprobe
+    closest cells.  Deterministic centroid subset stands in for trained
+    k-means centers — the plan shape (assign once, prune cells at query
+    time) is the scale path."""
+    from .extensions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(emb, qvec, k=10)
+
+
+@query(
+    "join_asof_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_us,
+                 last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts_us
+          FROM e)
+    SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_ts_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference, SURVEY §2.4): each purchase
+    attributed to the user's most recent prior click — expressed as ONE
+    window over the ordered stream (no join, no range explosion), the
+    scalable shape for backward as-of semantics."""
+    from .operators.asof import asof_prior_event
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    out = asof_prior_event(
+        ev,
+        key="user_id",
+        time_col="ts_us",
+        match=F.col("event_type") == "click",
+        select_when=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("asof_ts").alias("last_click_ts_us"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,11 +564,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DEDUP_THRESHOLD = 0.4
 
 _COSINE_PAIR_BODY = """
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+          FROM eb),
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(list_dot_product(a.v, b.v) /
-                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                   AS cosine
+                 round(list_dot_product(a.vn, b.vn), 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id{extra_join})
 """
 
@@ -438,25 +588,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_DEDUP_THRESHOLD)
 
 
-def _bucket_sql(n_dims: int = 64) -> str:
-    """DuckDB twin of hyperplane_bucket: literal ±1 plane weights from the
-    same deterministic generator as the Spark expression."""
-    from .extensions.similarity import NUM_PLANES, _plane_sign
-
-    bits = []
-    for p in range(NUM_PLANES):
-        w = "[" + ", ".join(str(_plane_sign(p, d)) for d in range(n_dims)) + "]"
-        bits.append(f"(CASE WHEN list_dot_product(v, {w}) > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
-
-
 @query(
     "dedup_embedding_cosine_lsh",
     oracle="WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    + f"    e AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM eb),\n"
+    + "    en AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM eb),\n"
+    + f"    e AS (SELECT vec_id, vn, {_bucket_sql()} AS bucket FROM en),\n"
     + "    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
-    + "                 round(list_dot_product(a.v, b.v) /\n"
-    + "                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine\n"
+    + "                 round(list_dot_product(a.vn, b.vn), 6) AS cosine\n"
     + "          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)\n"
     + f" SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COSINE_DEDUP_THRESHOLD}",
 )

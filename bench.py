@@ -35,10 +35,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
     "text_quality_score",
     "similarity_topk",
+    "similarity_ivf_topk",
     "window_tumbling_agg",
     "window_session_agg",
+    "join_asof_attribution",
+    "sessionize_apply_in_pandas",
 ]
 
 

@@ -558,6 +558,86 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Engine-native aggregation surface beyond the reference (SURVEY §2.6/§2.7
+# "absent" rows: grouped numeric agg, rollup, analytic windows, unpivot)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (TPC-H-Q1-shaped) — subtotal rows
+    materialize in the same single shuffle via grouping-set expansion."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative analytic window per customer (ordered by the unique key
+    so the frame — and therefore the float accumulation order — is
+    deterministic in both engines)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native unpivot/melt — the inverse of
+    A3's pivot; pure narrow transformation, no shuffle."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("nationkey_d", F.col("c_nationkey").cast("double"))
+        .unpivot(
+            ["c_custkey"],
+            [F.col("c_acctbal").alias("acctbal"), F.col("nationkey_d").alias("nationkey")],
+            "metric",
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine dedup, BPE counting, rolling fingerprint, stateful map
 # ---------------------------------------------------------------------------
 

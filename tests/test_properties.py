@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the invariants oracles can't see.
+
+Each property runs a small number of examples (Spark round-trips are
+~0.5s each); the generators lean on text/ids with edge shapes (empty
+strings, whitespace runs, unicode, duplicates).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(st.lists(st.text(min_size=0, max_size=50), min_size=1, max_size=20, unique=True))
+@settings(**SETTINGS)
+def test_hash59_range_and_determinism(spark, strings):
+    from atac_data_products_spark.functions.hashes import hash59
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    out = df.select(hash59("s").alias("h1"), hash59("s").alias("h2")).collect()
+    for r in out:
+        assert 0 <= r.h1 < (1 << 60)
+        assert r.h1 == r.h2
+
+
+@given(st.lists(texts, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_jaccard_bounds_and_ordering(spark, docs):
+    from atac_data_products_spark.extensions.dedup import jaccard_pairs
+    from atac_data_products_spark.extensions.text import shingle_table
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    pairs = jaccard_pairs(shingle_table(df), threshold=0.0).collect()
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert 0.0 <= p.jaccard <= 1.0
+
+
+@given(
+    st.lists(st.tuples(words, st.floats(-100, 100)), min_size=1, max_size=15),
+    st.lists(st.tuples(words, st.floats(-100, 100)), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_union_outer_preserves_rows(spark, rows_a, rows_b):
+    from atac_data_products_spark.operators.unions import union_outer
+
+    a = spark.createDataFrame(rows_a, "k string, va double")
+    b = spark.createDataFrame(rows_b, "k string, vb double")
+    out = union_outer([a, b])
+    assert out.count() == len(rows_a) + len(rows_b)
+    assert set(out.columns) == {"k", "va", "vb"}
+
+
+@given(
+    st.lists(words, min_size=1, max_size=20),
+    st.lists(words, min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_intersect_keys_is_set_intersection(spark, left, right):
+    from atac_data_products_spark.operators.joins import intersect_keys
+
+    a = spark.createDataFrame([(k,) for k in left], "k string")
+    b = spark.createDataFrame([(k,) for k in right], "k string")
+    got = {r.k for r in intersect_keys(a.distinct(), b, "k").collect()}
+    assert got == set(left) & set(right)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_shingles_count_matches_token_count(spark, text):
+    from atac_data_products_spark.extensions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        F.size(tokens("text")).alias("n_tok"),
+        F.size(word_shingles(tokens("text"))).alias("n_sh"),
+    ).first()
+    # n tokens → max(n-2, 0) 3-gram shingles (empty text tokenizes to [''])
+    assert row.n_sh == max(row.n_tok - 2, 0)

@@ -615,6 +615,31 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a low-cardinality (≡ skewed) key:
+    shard each key into 16 salts, partial-agg, final-agg — bit-identical
+    to the direct aggregation for integer sums, but no single reducer
+    ever sees a whole hot key."""
+    from .operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev,
+        keys=["event_type"],
+        int_sum_cols=["user_id"],
+        salt_on=F.col("event_id"),
+    ).select("event_type", "n_rows", F.col("sum_user_id"))
+
+
+@query(
     "unpivot_stack",
     oracle="""
     SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer

@@ -89,6 +89,35 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     ).select("user_id", "event_type")
 
 
+def stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a running per-user event counter whose state survives across
+    micro-batches.
+
+    This is the charter's "custom stateful operator" seam — arbitrary
+    per-key Python state with Arrow-batched input.  State is one bigint
+    per user; with timeouts (GroupStateTimeout) the same shape implements
+    TTL'd feature stores, per-entity models, or anomaly trackers.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(result: DataFrame, table_name: str, mode: str = "complete") -> None:
     """Drain a streaming frame into an in-memory sink with AvailableNow
     (test/verification harness)."""

@@ -45,6 +45,25 @@ def test_stream_session_equals_batch(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stateful_counts_accumulate_across_batches(spark):
+    from atac_data_products_spark.sources.tables import load_table
+    from atac_data_products_spark.streaming.events import stateful_user_counts
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    run_to_memory(stateful_user_counts(stream), "t_state", mode="update")
+    got = spark.table("t_state").toPandas()
+    # final state row per user (update mode: last emitted per user)
+    final = got.groupby("user_id")["n_events"].max()
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert final.sort_index().astype(int).equals(want.sort_index().astype(int))
+
+
 def test_stream_dedup_equals_batch(spark):
     from atac_data_products_spark.registry_ext import stream_dedup_exact
 

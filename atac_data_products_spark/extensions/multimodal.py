@@ -59,6 +59,49 @@ def byte_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_md5 string"
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> DataFrame:
+    """Frame sampling over opaque payloads: split each payload into
+    fixed-size byte "frames", keep every k-th, emit a digest per kept
+    frame.
+
+    With a real codec the chunker becomes the container demuxer and the
+    digest becomes decode+thumbnail — the Spark seam (mapInPandas over
+    binary, exploded typed rows out) is identical.  Partial trailing
+    frames are kept (real demuxers emit them too).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(raw[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int):
+    """Image resize — stubbed (no imaging library in this container).
+    Signature and schema are the real seam; the body would be a Pillow
+    call per payload inside the same mapInPandas shape as frame_sample."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not shipped in this "
+        "container; frame_sample demonstrates the identical Spark plumbing"
+    )
+
+
 def decode_media(media: DataFrame, target: str = "rgb_frames"):
     """Real codec decode — stubbed: the image/audio libraries are not in
     this container.  The seam (signature, schema, batching) matches

@@ -117,17 +117,25 @@ def jaccard_pairs(
 
     Inverted-index join on shingle → per-pair intersection counts →
     |A∪B| from per-doc set sizes.  With ``candidates`` given (from LSH),
-    verification is restricted to candidate pairs — the scale path.
+    verification is restricted to candidate pairs — the scale path —
+    and ``shingles`` may be a multiset (it is distinct-ed after the
+    restriction).  Without candidates, ``shingles`` must already be
+    distinct per (doc, shingle).
     """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pair_shingles = shingles
     if candidates is not None:
-        # restrict the inverted index to candidate docs BEFORE pairing:
-        # verification cost scales with the candidate set, not the corpus
+        # restrict the inverted index to candidate docs BEFORE pairing
+        # (and before distinct-ing, when fed the multiset): verification
+        # cost — including the set-dedup shuffle — scales with the
+        # candidate set, not the corpus
         cand_docs = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias(id_col)
         ).distinct()
-        pair_shingles = shingles.join(cand_docs, id_col, "left_semi")
+        pair_shingles = shingles.join(cand_docs, id_col, "left_semi").distinct()
+        # set sizes only needed for candidate docs — reuse the restricted set
+        sizes = pair_shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -171,10 +179,11 @@ def minhash_lsh_dedup_pairs(
     insensitive, so MinHash over the shingle *multiset* is identical.
     """
     sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
-    sh = shingle_table(docs, text_col, id_col)
     sig = minhash_signatures(sh_multiset, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
-    return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+    # verification also consumes the multiset: jaccard_pairs distinct-s it
+    # AFTER the candidate restriction, so no full-corpus dedup shuffle runs
+    return jaccard_pairs(sh_multiset, id_col, threshold, candidates=cand)
 
 
 SIMHASH_BITS = 32

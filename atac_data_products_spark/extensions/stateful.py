@@ -31,18 +31,20 @@ def sessionize(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFram
     """
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts_us")
-        ts = pdf["ts_us"].to_numpy()
-        breaks = [0]
-        for i in range(1, len(ts)):
-            if ts[i] - ts[i - 1] >= gap_us:
-                breaks.append(i)
-        breaks.append(len(ts))
-        rows = []
-        uid = int(pdf["user_id"].iloc[0])
-        for s, e in zip(breaks[:-1], breaks[1:]):
-            rows.append((uid, int(ts[s]), e - s))
-        return pd.DataFrame(rows, columns=["user_id", "session_start_us", "n_events"])
+        import numpy as np
+
+        ts = np.sort(pdf["ts_us"].to_numpy())
+        # vectorized break detection: a session starts where the gap from
+        # the previous event is >= gap_us
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(ts) >= gap_us)))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        return pd.DataFrame(
+            {
+                "user_id": int(pdf["user_id"].iloc[0]),
+                "session_start_us": ts[starts].astype("int64"),
+                "n_events": (ends - starts).astype("int64"),
+            }
+        )
 
     return events.select("user_id", "ts_us").groupBy("user_id").applyInPandas(
         per_user, SESSION_SCHEMA

@@ -43,6 +43,7 @@ HEADLINE = [
     "window_session_agg",
     "join_asof_attribution",
     "sessionize_apply_in_pandas",
+    "analytics_regional_revenue",
 ]
 
 

@@ -15,6 +15,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fetch_search_hits(
+    spark,
+    url: str,
+    dsl: dict,
+    schema: str,
+    timeout: float = 30.0,
+):
+    """Live search fetch (the network side of scan_rest_search,
+    make_uuids_tsv.py:41-59): POST the DSL, follow redirects, unnest the
+    ES hit envelope, and materialize a DataFrame under an explicit schema.
+
+    Driver-side by design — the result is a small manifest-shaped set
+    (≤ the ES page window), immediately broadcastable.  Import-gated and
+    never exercised by tests or queries (the compiled-filter path is the
+    tested semantics; this is the thin I/O shim around it).
+    """
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(dsl).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # follows 3xx
+        payload = _json.load(resp)
+    hits = [h.get("_source", h) for h in payload.get("hits", {}).get("hits", [])]
+    return spark.createDataFrame(hits, schema)
+
+
 def compile_bool_query(dsl: dict) -> Column | None:
     """Compile the ES bool-query subset the reference uses into a Column.
 

@@ -1,0 +1,65 @@
+"""Regenerate the physical-plan audit evidence (docs/PLAN_AUDIT.md).
+
+Usage: python tools/explain_audit.py [key ...]   (default: the audit set)
+
+Prints, per query: join strategies, exchanges, pushed filters, read
+schemas — the properties the audit table asserts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+AUDIT_KEYS = [
+    "product_build_obs",
+    "analytics_regional_revenue",
+    "filter_match_eq",
+    "project_drop_obs",
+    "union_outer_concat",
+    "join_donor_metadata",
+    "agg_first_match",
+    "dedup_minhash_signature",
+    "window_tumbling_agg",
+]
+
+
+def main() -> int:
+    from atac_data_products_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    keys = sys.argv[1:] or AUDIT_KEYS
+    for key in keys:
+        df = qs[key](spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+        schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+        print(f"== {key}")
+        print(
+            f"   BroadcastHashJoin={plan.count('BroadcastHashJoin')} "
+            f"SortMergeJoin={plan.count('SortMergeJoin')} "
+            f"ShuffledHashJoin={plan.count('ShuffledHashJoin')} "
+            f"NestedLoop={plan.count('NestedLoopJoin')} "
+            f"ShuffleExchange={plan.count('Exchange hashpartitioning') + plan.count('Exchange rangepartitioning')} "
+            f"HashAggregate={plan.count('HashAggregate')}"
+        )
+        for p in dict.fromkeys(pushed):
+            print(f"   {p[:140]}")
+        for s in dict.fromkeys(schemas):
+            print(f"   {s[:140]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -944,6 +944,107 @@ def product_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return product_obs_plan(spark, sf_dir).agg(F.count("*").alias("n_cells"))
 
 
+@query(
+    "matrix_pivot_wide",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(CASE WHEN l_linenumber = 1 THEN l_quantity END), 4) AS "1",
+           round(sum(CASE WHEN l_linenumber = 2 THEN l_quantity END), 4) AS "2",
+           round(sum(CASE WHEN l_linenumber = 3 THEN l_quantity END), 4) AS "3",
+           round(sum(CASE WHEN l_linenumber = 4 THEN l_quantity END), 4) AS "4",
+           round(sum(CASE WHEN l_linenumber = 5 THEN l_quantity END), 4) AS "5",
+           round(sum(CASE WHEN l_linenumber = 6 THEN l_quantity END), 4) AS "6",
+           round(sum(CASE WHEN l_linenumber = 7 THEN l_quantity END), 4) AS "7"
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def matrix_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded wide pivot of the long matrix form (SURVEY §4.2 guardrail):
+    explicit value list, one hash aggregation, absent pairs null."""
+    from .operators.pivot_wide import matrix_to_wide
+
+    wide = matrix_to_wide(
+        _t(spark, sf_dir, "lineitem"),
+        row_key="l_orderkey",
+        col_key="l_linenumber",
+        value_col="l_quantity",
+        col_values=[1, 2, 3, 4, 5, 6, 7],
+    )
+    return wide.select(
+        "l_orderkey", *[F.round(F.col(f"`{i}`"), 4).alias(str(i)) for i in range(1, 8)]
+    )
+
+
+@query(
+    "pipeline_product_metadata",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS cell_count,
+           CAST(count(DISTINCT dataset) AS BIGINT) AS dataset_count
+    FROM ({_PRODUCT_OBS_ORACLE})
+    """,
+)
+def pipeline_product_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed finalize step (create_json parity,
+    bin/concatenate.py:81-96,142-143): product-level aggregates in one
+    pass over the flagship plan."""
+    return product_obs_plan(spark, sf_dir).agg(
+        F.count("*").alias("cell_count"),
+        F.count_distinct("dataset").alias("dataset_count"),
+    )
+
+
+@query(
+    "pipeline_manifest_build",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS uuid,
+           'HBM' || CAST(c_custkey AS VARCHAR) AS hubmap_id,
+           CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 90 + 1 AS VARCHAR)
+                ELSE CAST(c_custkey % 90 AS VARCHAR) END AS age,
+           CASE WHEN c_custkey % 2 = 0 THEN 'Female' ELSE 'Male' END AS sex,
+           CAST(NULL AS VARCHAR) AS height,
+           CAST(NULL AS VARCHAR) AS weight,
+           CAST(NULL AS VARCHAR) AS bmi,
+           CAST(NULL AS VARCHAR) AS cause_of_death,
+           CAST(NULL AS VARCHAR) AS race
+    FROM customer
+    WHERE c_custkey % 5 != 0 AND c_custkey % 3 != 0 AND c_custkey % 7 != 0
+    """,
+)
+def pipeline_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full manifest pipeline (entry point 1, make_uuids_tsv.py
+    semantics) over hits synthesized from `customer`: ES bool filters
+    (type/access/latest-revision) → donor concept arrays exploded +
+    pivoted with living>organ last-wins → keyed manifest join.  The
+    oracle states the NET semantics; the Spark side actually runs the
+    search compiler and the explode/pivot machinery."""
+    from .plans.manifest import build_manifest
+
+    c = _t(spark, sf_dir, "customer")
+    rec = lambda concept, data_value, term: F.struct(  # noqa: E731
+        F.lit(concept).alias("grouping_concept_preferred_term"),
+        data_value.alias("data_value") if data_value is not None else F.lit(None).cast("string").alias("data_value"),
+        term.alias("preferred_term") if term is not None else F.lit(None).cast("string").alias("preferred_term"),
+    )
+    key = F.col("c_custkey")
+    hits = c.select(
+        key.cast("string").alias("uuid"),
+        F.concat(F.lit("HBM"), key.cast("string")).alias("hubmap_id"),
+        F.when(key % 5 == 0, F.lit("RNAseq")).otherwise(F.lit("ATACseq")).alias("dataset_type"),
+        F.when(key % 3 == 0, F.lit("consortium")).otherwise(F.lit("public")).alias("data_access_level"),
+        F.when(key % 2 == 0, F.lit("LK")).otherwise(F.lit("RK")).alias("origin_samples_organ"),
+        F.when(key % 7 == 0, F.lit("superseded")).alias("next_revision_uuid"),
+        F.array(
+            rec("Age", (key % 90).cast("string"), None),
+            rec("Sex", None, F.when(key % 2 == 0, F.lit("Female")).otherwise(F.lit("Male"))),
+        ).alias("organ_donor_data"),
+        F.when(
+            key % 4 == 0,
+            F.array(rec("Age", (key % 90 + 1).cast("string"), None)),
+        ).alias("living_donor_data"),
+    )
+    return build_manifest(hits)
+
+
 @query("sink_product_dir", oracle=_PRODUCT_OBS_ORACLE)
 def sink_product_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-directory sink (the h5mu replacement, SURVEY §1.4/§2.8

@@ -69,7 +69,10 @@ def write_product(
     obs.write.mode("overwrite").parquet(os.path.join(out_dir, "obs"))
     for modality, (x, var) in modalities.items():
         (
-            x.write.mode("overwrite")
+            # sort within files by cell_id so parquet row-group min/max
+            # statistics prune per-cell reads inside each dataset partition
+            x.sortWithinPartitions(partition_matrix_by, "cell_id")
+            .write.mode("overwrite")
             .partitionBy(partition_matrix_by)
             .parquet(os.path.join(out_dir, f"x_{modality}"))
         )

@@ -151,6 +151,28 @@ def test_es_dsl_compiles_to_filters(spark):
     assert [r.uuid for r in out] == ["u1"]
 
 
+def test_pivot_width_guardrail(spark):
+    import pytest
+
+    from atac_data_products_spark.operators.pivot_wide import (
+        matrix_to_map,
+        matrix_to_wide,
+    )
+
+    x = spark.createDataFrame(
+        [("c1", "f1", 1.0), ("c1", "f2", 2.0), ("c2", "f1", 3.0)],
+        "cell_id string, feature_id string, value double",
+    )
+    wide = matrix_to_wide(x, "cell_id", "feature_id", "value", ["f1", "f2"]).orderBy("cell_id")
+    rows = wide.collect()
+    assert rows[0].f1 == 1.0 and rows[0].f2 == 2.0
+    assert rows[1].f1 == 3.0 and rows[1].f2 is None  # outer fill rule: null
+    with pytest.raises(ValueError, match="guardrail"):
+        matrix_to_wide(x, "cell_id", "feature_id", "value", [f"f{i}" for i in range(5000)])
+    m = {r.cell_id: r.features for r in matrix_to_map(x, "cell_id", "feature_id", "value").collect()}
+    assert m["c1"] == {"f1": 1.0, "f2": 2.0}
+
+
 def test_manifest_tsv_roundtrip(spark, tmp_path):
     # all-string read + Unnamed: 0 artifact drop (bin/concatenate.py:108,121)
     from atac_data_products_spark.sources.tsv import scan_tsv_manifest

@@ -68,10 +68,12 @@ def write_product(
     """
     obs.write.mode("overwrite").parquet(os.path.join(out_dir, "obs"))
     for modality, (x, var) in modalities.items():
+        # sort within files by the row key (when present) so parquet
+        # row-group min/max statistics prune per-cell reads inside each
+        # dataset partition
+        sort_cols = [partition_matrix_by] + (["cell_id"] if "cell_id" in x.columns else [])
         (
-            # sort within files by cell_id so parquet row-group min/max
-            # statistics prune per-cell reads inside each dataset partition
-            x.sortWithinPartitions(partition_matrix_by, "cell_id")
+            x.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(partition_matrix_by)
             .parquet(os.path.join(out_dir, f"x_{modality}"))

@@ -678,6 +678,65 @@ def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function battery (rank / dense_rank / ntile / lag / lead)
+    over a deterministic per-customer order — one window spec, one
+    shuffle, all five functions in the same pass."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@query(
+    "fuzzy_match_names",
+    oracle="""
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 3
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: candidate name pairs within edit
+    distance 3 (Levenshtein, JVM built-in).  At scale this runs AFTER a
+    blocking stage (LSH buckets / prefix keys), never as a raw cross
+    join — the dim-sized input here is the blocked candidate set."""
+    nat = _t(spark, sf_dir, "nation")
+    a = nat.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = nat.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 3)
+    )
+
+
+@query(
     "agg_salted_skew",
     oracle="""
     SELECT event_type,

@@ -186,6 +186,64 @@ def minhash_lsh_dedup_pairs(
     return jaccard_pairs(sh_multiset, id_col, threshold, candidates=cand)
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair graph via distributed label propagation (min-id wins).
+
+    Each iteration joins current labels across edges (both directions)
+    and takes the per-node min — the Pregel-style pattern; iterations
+    are fully distributed, only the convergence check (a count) touches
+    the driver.  Converges in O(component diameter) rounds; dedup
+    components are shallow (stars around a canonical doc), so the
+    practical round count is 2-4.  Deterministic → recursive-CTE oracle.
+    """
+    from pyspark import StorageLevel
+
+    # Iterative loops are the one place materialization is mandatory:
+    # without it, every iteration re-derives the full edge plan (here the
+    # whole Jaccard pipeline) and the label lineage grows unboundedly.
+    # persist the static edge set; localCheckpoint each label generation
+    # to truncate lineage (the Pregel-loop pattern).  Measured: 17s → 5s
+    # at sf0.01.
+    both = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.src == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 32
 
 

@@ -37,7 +37,7 @@ from .extensions.text import (
     token_count,
     tokens,
 )
-from .registry import _t, query
+from .registry import ORACLES, _t, query
 from .sources.tables import events_with_ts
 
 # ---------------------------------------------------------------------------
@@ -270,6 +270,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact brute-force twin is dedup_ngram_jaccard."""
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _cc_oracle() -> str:
+    """Connected components over the Jaccard-pair graph via a recursive
+    CTE: enumerate reachable labels, keep the min per node."""
+    pair_sql = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc_id = e.src
+    )
+    SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+    """
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: distributed min-label propagation over the
+    exact Jaccard near-dup graph — the iterative-algorithm category,
+    checked against a recursive-CTE oracle."""
+    from .extensions.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(docs.select("doc_id"), edges)
+
+
+query("dedup_connected_components", oracle=_cc_oracle())(dedup_connected_components)
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+    bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+           FROM t WHERE len(toks) >= 2)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-k — explode + count + ordered limit;
+    ties broken lexicographically so the page is deterministic."""
+    from .extensions.text import tokens, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = docs.select(tokens("text").alias("__toks")).select(
+        F.explode(word_shingles(F.col("__toks"), n=2)).alias("bigram")
+    )
+    return (
+        bigrams.where(F.col("bigram") != "")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
     )
 
 

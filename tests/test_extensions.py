@@ -59,6 +59,18 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
 
 
+def test_connected_components_chain(spark):
+    # path graph 1-2-3-4 plus isolated 9: min label must walk 3 hops
+    from atac_data_products_spark.extensions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
 def test_simhash_locality(spark):
     # near-identical docs → small Hamming distance; disjoint docs → large
     base = " ".join(f"tok{i}" for i in range(50))

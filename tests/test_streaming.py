@@ -35,6 +35,28 @@ def test_stream_tumbling_equals_batch(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stream_sliding_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.registry_ext import window_sliding_agg
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    sliding = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_to_memory(sliding, "t_sliding", mode="complete")
+    got = _norm(spark.table("t_sliding").toPandas())
+    want = _norm(window_sliding_agg(spark, SF_SMALL).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stream_session_equals_batch(spark):
     from atac_data_products_spark.registry_ext import window_session_agg
 

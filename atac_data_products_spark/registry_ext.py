@@ -736,6 +736,40 @@ def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+
+
+@query(
+    "join_range_banding",
+    oracle="""
+    WITH bands(lo, hi, band) AS (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1000000000.0, 'high'))
+    SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_range_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against an interval dimension: the non-equi predicate
+    compiles to a broadcast nested-loop over the (tiny) band table — the
+    correct physical shape when one side is interval-dimension-sized.
+    (Huge-by-huge range joins bucketize first: equi-join on bucket +
+    residual filter.)"""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
 @query(
     "window_rank_battery",
     oracle="""

@@ -736,6 +736,61 @@ def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition).  At 100 TB the approximate
+    sketch (percentile_approx / t-digest) replaces this plan-compatibly;
+    the exact form is the checkable baseline."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+    )
+
+
+@query(
+    "time_extract_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS y,
+           CAST(EXTRACT(quarter FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS q,
+           CAST(EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS m,
+           CAST(EXTRACT(day FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS d,
+           CAST(EXTRACT(dow FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM CAST(o_orderdate AS TIMESTAMP)) AS INT) AS h
+    FROM orders
+    """,
+)
+def time_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-field extraction battery (year/quarter/month/day/dow/hour)
+    under pinned UTC semantics.  Spark's dayofweek is 1-7 Sunday-first;
+    the oracle's dow is 0-6 Sunday-first — normalized here, documented
+    rather than discovered."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(ts).alias("y"),
+        F.quarter(ts).alias("q"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+        (F.dayofweek(ts) - 1).alias("dow"),
+        F.hour(ts).alias("h"),
+    )
+
+
 _VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
 
 

@@ -118,6 +118,38 @@ def stateful_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def join_stream_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the (broadcastable) static dimension — no streaming state at all."""
+    return stream.join(F.broadcast(dim), "event_type", "inner")
+
+
+def join_stream_stream_attribution(
+    clicks: DataFrame, purchases: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    within the preceding window.  Watermarks on BOTH sides + the time-
+    range predicate bound the join state (rows older than watermark +
+    interval are evicted) — without them a stream-stream join's state
+    grows forever.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", window)
+    p = purchases.select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    ).withWatermark("purchase_ts", window)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("purchase_id", "user_id", "click_id")
+
+
 def run_to_memory(result: DataFrame, table_name: str, mode: str = "complete") -> None:
     """Drain a streaming frame into an in-memory sink with AvailableNow
     (test/verification harness)."""

@@ -67,6 +67,63 @@ def test_stream_session_equals_batch(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_stream_static_join(spark):
+    from atac_data_products_spark.streaming.events import join_stream_static
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5), ("error", 0.0), ("signup", 3.0)],
+        "event_type string, weight double",
+    )
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    enriched = join_stream_static(stream, dim).groupBy("event_type").count()
+    run_to_memory(enriched, "t_enrich", mode="complete")
+    got = {r.event_type: r["count"] for r in spark.table("t_enrich").collect()}
+    from atac_data_products_spark.sources.tables import load_table
+
+    want = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF_SMALL, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_interval_join(spark):
+    from atac_data_products_spark.sources.tables import events_with_ts
+    from atac_data_products_spark.streaming.events import (
+        join_stream_stream_attribution,
+    )
+
+    clicks = read_events_stream(spark, f"{SF_SMALL}/events.parquet").filter(
+        "event_type = 'click'"
+    )
+    purchases = read_events_stream(spark, f"{SF_SMALL}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    joined = join_stream_stream_attribution(clicks, purchases)
+    assert joined.isStreaming
+    run_to_memory(joined, "t_ss_join", mode="append")
+    got = spark.table("t_ss_join")
+
+    ev = events_with_ts(spark, SF_SMALL)
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "ts AS click_ts", "event_id AS click_id"
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "ts AS purchase_ts", "event_id AS purchase_id"
+    )
+    from pyspark.sql import functions as F
+
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("purchase_id", "user_id", "click_id")
+    got_set = {(r.purchase_id, r.click_id) for r in got.collect()}
+    want_set = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert got_set == want_set and len(want_set) > 0
+
+
 def test_stateful_counts_accumulate_across_batches(spark):
     from atac_data_products_spark.sources.tables import load_table
     from atac_data_products_spark.streaming.events import stateful_user_counts

@@ -216,6 +216,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.src == labels[id_col])
@@ -240,7 +241,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    both.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — a component's diameter exceeds the budget; raise "
+            "max_iterations (or switch to the alternating large/small-star "
+            "algorithm for deep graphs)"
+        )
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -37,7 +37,7 @@ from .extensions.text import (
     token_count,
     tokens,
 )
-from .registry import ORACLES, _t, query
+from .registry import ORACLES, _t, _values_sql, query
 from .sources.tables import events_with_ts
 
 # ---------------------------------------------------------------------------
@@ -324,8 +324,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_shingles(F.col("__toks"), n=2)).alias("bigram")
     )
     return (
-        bigrams.where(F.col("bigram") != "")
-        .groupBy("bigram")
+        bigrams.groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
@@ -736,6 +735,31 @@ def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_Q5_TEXT = """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+"""
+
+
+@query("sql_api_q5", oracle=_SQL_Q5_TEXT)
+def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end: the SAME ANSI text the oracle runs, executed by
+    spark.sql over registered views — proving text-in parity with the
+    DataFrame plans (Catalyst compiles both to the same logical algebra)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q5_TEXT)
+
+
 @query(
     "agg_percentiles",
     oracle="""
@@ -796,8 +820,8 @@ _VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
 
 @query(
     "join_range_banding",
-    oracle="""
-    WITH bands(lo, hi, band) AS (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1000000000.0, 'high'))
+    oracle=f"""
+    WITH bands AS ({_values_sql(_VALUE_BANDS, ["lo", "hi", "band"])})
     SELECT band, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 6) AS total_value
     FROM events JOIN bands ON value >= lo AND value < hi

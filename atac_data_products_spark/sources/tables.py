@@ -37,6 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view so the SQL API (`spark.sql`)
+    works over the same scans — ANSI text in, identical Catalyst plans
+    out."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` converted nanos→timestamp (µs truncation, matching
     DuckDB's TIMESTAMP_NS → TIMESTAMP cast)."""

@@ -125,27 +125,34 @@ def join_stream_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
 
 
 def join_stream_stream_attribution(
-    clicks: DataFrame, purchases: DataFrame, window: str = "30 minutes"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    interval: str = "30 minutes",
+    lateness: str = "30 minutes",
 ) -> DataFrame:
     """Stream-stream interval join: purchases matched to same-user clicks
-    within the preceding window.  Watermarks on BOTH sides + the time-
-    range predicate bound the join state (rows older than watermark +
-    interval are evicted) — without them a stream-stream join's state
+    within the preceding ``interval``.  Watermarks on BOTH sides + the
+    time-range predicate bound the join state (rows older than watermark
+    + interval are evicted) — without them a stream-stream join's state
     grows forever.
+
+    ``interval`` (the attribution window) and ``lateness`` (how late
+    events may arrive before being dropped) are distinct durations:
+    state retention is roughly lateness + interval.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
-    ).withWatermark("click_ts", window)
+    ).withWatermark("click_ts", lateness)
     p = purchases.select(
         "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
-    ).withWatermark("purchase_ts", window)
+    ).withWatermark("purchase_ts", lateness)
     return p.join(
         c,
         (F.col("user_id") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}")),
         "inner",
     ).select("purchase_id", "user_id", "click_id")
 

@@ -21,11 +21,21 @@ the product table holds one row per live dataset, not per revision.
 
 from __future__ import annotations
 
-import os
+import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for `path` — works for local, HDFS and
+    object-store URIs alike (os.path would silently say 'missing' for
+    any non-local scheme)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def upsert_latest_revision(
@@ -35,8 +45,17 @@ def upsert_latest_revision(
     key: str = "uuid",
     revision_col: str = "revision",
 ) -> None:
-    """Last-writer-wins merge of a micro-batch into a parquet table."""
-    if os.path.exists(table_path):
+    """Last-writer-wins merge of a micro-batch into a parquet table.
+
+    The merged result is written to a STAGING directory and swapped in
+    (delete + rename) — the plan never reads the path it is replacing,
+    nothing round-trips through the driver, and a crash mid-write leaves
+    the live table untouched (a crash between delete and rename leaves
+    the staging dir to recover from; closing that last window entirely
+    is what transactional table formats are for).
+    """
+    fs, target = _fs_and_path(spark, table_path)
+    if fs.exists(target):
         existing = spark.read.parquet(table_path)
         merged = existing.unionByName(batch, allowMissingColumns=True)
     else:
@@ -47,9 +66,11 @@ def upsert_latest_revision(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # materialize before overwrite (the plan reads the path being replaced)
-    rows = latest.collect()
-    spark.createDataFrame(rows, latest.schema).write.mode("overwrite").parquet(table_path)
+    staging = f"{table_path}.staging-{_uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").parquet(staging)
+    _, staging_path = _fs_and_path(spark, staging)
+    fs.delete(target, True)
+    fs.rename(staging_path, target)
 
 
 def run_incremental_upsert(

@@ -24,12 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from atac_data_products_spark import registry, registry_ext  # noqa: F401
+    from atac_data_products_spark import (  # noqa: F401
+        registry,
+        registry_analytics,
+        registry_ext,
+    )
 
     return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from atac_data_products_spark import registry, registry_ext  # noqa: F401
+    from atac_data_products_spark import (  # noqa: F401
+        registry,
+        registry_analytics,
+        registry_ext,
+    )
 
     return dict(registry.ORACLES)

@@ -1,0 +1,448 @@
+"""Analytic-surface batch 2: statistics, multidimensional aggregation,
+top-k, higher-order array functions, gap-filling, JSON extraction,
+deterministic sampling, null-safe joins.
+
+The reference's analytic surface stops at count/collect aggregations
+(bin/concatenate.py:118-126 value_counts; SURVEY.md §2.6 "absent" rows);
+these are the operators a warehouse user expects on top of the same
+tables, each expressed as a declarative DataFrame plan (Catalyst handles
+pushdown/pruning) with a DuckDB oracle twin.
+
+Parity conventions (see tools/check_correctness.py::normalize):
+- every computed column carries the SAME alias in Spark and SQL;
+- counts CAST to BIGINT on the DuckDB side (sum/count widen to hugeint);
+- floats rounded identically on both sides BEFORE any threshold/sort;
+- event timestamps handled as integers (nanos on the Spark side,
+  epoch-seconds folds on DuckDB's) — never formatted through a session
+  timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import _t, query
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Statistics battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group — stddev/variance/corr/covar are
+    single-pass co-moment aggregates in both engines (numerically stable
+    merge, so partial-aggregate order does not move the rounded value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "agg_conditional_battery",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_discount,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+               AS returned_revenue,
+           round(avg(l_tax) FILTER (WHERE l_quantity > 25), 6) AS avg_tax_bulk
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation — one scan computes every branch
+    (no per-predicate passes; each FILTER is a map-side conditional)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_discount"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("returned_revenue"),
+        F.round(F.avg(F.when(F.col("l_quantity") > 25, F.col("l_tax"))), 6).alias(
+            "avg_tax_bulk"
+        ),
+    )
+
+
+@query(
+    "agg_cube_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 2^k grouping sets in ONE shuffle (Catalyst expands the
+    sets map-side); complements agg_rollup_pricing's hierarchy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+               FROM part GROUP BY p_brand, p_type),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+                                       ORDER BY n DESC, p_type) AS rk FROM c)
+    SELECT p_brand, p_type AS modal_type, n FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a DECLARED tie-break (count desc, then lexicographic) —
+    engines' built-in mode() leaves ties unspecified, so the portable
+    form is count + one window pass."""
+    c = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "p_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_brand", F.col("p_type").alias("modal_type"), "n")
+    )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucket arithmetic — a plain
+    hash aggregate (no sort, no per-bucket pass), portable because
+    floor(x/width) is exact the same way in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+           round(o_totalprice, 2) AS total
+    FROM r WHERE rk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class.  row_number over
+    a partitioned sort = one shuffle on the group key; the rank filter
+    prunes before anything downstream.  (At scale prefer this over
+    groupBy+collect_list: state per group is K rows, not all rows.)"""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rk").cast("bigint").alias("rk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average per user.  The ORDER BY includes the
+    unique event_id so the frame contents are a total order (ties on ts
+    would otherwise make ROWS frames nondeterministic).  Ordering by the
+    raw nano tick equals ordering by the timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (the embedding column as a first-class array)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_hof_battery",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim,
+           round(sqrt(list_dot_product(v, v)), 6) AS l2,
+           round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(v) / len(v), 6) AS mean_elem
+    FROM e
+    """,
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — transform / filter /
+    aggregate run INSIDE codegen (no UDF, no explode-regroup shuffle).
+    Folds are sequential in DOUBLE so both engines walk the identical
+    IEEE sequence (extensions/similarity.py conventions)."""
+    from .extensions.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    asum = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    esum = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("dim"),
+        F.round(l2_norm(F.col("v")), 6).alias("l2"),
+        F.round(asum, 6).alias("l1"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(esum / F.size("v"), 6).alias("mean_elem"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series: gap-filled daily counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+                      CAST(count(*) AS BIGINT) AS n,
+                      round(sum(value), 6) AS total_value
+               FROM events
+               WHERE event_type = 'purchase' AND value > 200
+               GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds)
+    SELECT days.day AS day,
+           coalesce(n, 0) AS n,
+           coalesce(total_value, 0.0) AS total_value
+    FROM days LEFT JOIN d ON days.day = d.day
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series from sparse events: aggregate, then LEFT JOIN a
+    generated calendar spine (sequence+explode) and zero-fill.  The spine
+    is derived from a single min/max row — broadcast, so the join adds no
+    shuffle beyond the aggregation's own.  Day = integer nano-tick DIV
+    86400e9: no session-timezone formatting anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    day_ns = 86_400 * 1_000_000_000
+    d = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .groupBy(F.expr(f"ts DIV {day_ns}").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    spine = (
+        d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return spine.join(d, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_battery",
+    oracle="""
+    WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                      value
+               FROM events)
+    SELECT k_val % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(k_val) AS BIGINT) AS max_k,
+           round(avg(value), 6) AS avg_value
+    FROM j GROUP BY 1
+    """,
+)
+def json_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (events.props carries
+    the reference's metadata-blob pattern, SURVEY §2.1 scan_metadata_json)
+    — get_json_object evaluates in the JVM, so the extract+cast+group
+    stays in one codegen stage."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"), "value"
+    )
+    return j.groupBy((F.col("k_val") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.max("k_val").alias("max_k"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    WITH s AS (SELECT o_orderpriority, o_totalprice,
+                      ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10
+                          AS slot
+               FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE slot = 0) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(sum(o_totalprice) FILTER (WHERE slot = 0), 2) AS sampled_revenue
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% key-stable sample via the portable md5-slot hash (same bigint
+    on both engines).  Unlike rand()-sampling this is reproducible across
+    runs, engines, and partitionings — the property a training-data
+    pipeline needs for holdout splits."""
+    o = _t(spark, sf_dir, "orders")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    s = o.select("o_orderpriority", "o_totalprice", slot.alias("slot"))
+    return s.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("slot") == 0).alias("n_sampled"),
+        F.count("*").alias("n_total"),
+        F.round(F.sum(F.when(F.col("slot") == 0, F.col("o_totalprice"))), 2).alias(
+            "sampled_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                           ELSE o_custkey % 50 END AS k,
+                      o_totalprice
+               FROM orders),
+    b AS (SELECT DISTINCT CASE WHEN c_custkey % 17 = 0 THEN NULL
+                               ELSE c_custkey % 50 END AS k
+          FROM customer)
+    SELECT coalesce(a.k, -1) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics for joining on
+    optional attributes.  Still hash-partitionable (NULL hashes to one
+    bucket), so it stays a normal shuffle/broadcast hash join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.select(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+        "o_totalprice",
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 17 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("k")
+    ).distinct()
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .groupBy(F.coalesce(a["k"], F.lit(-1)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -45,14 +45,31 @@ def main() -> int:
         plan = buf.getvalue()
         pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
         schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+
+        # Count NODES, not substrings: `explain("formatted")` prints each
+        # node twice (tree line `+- Op (n)` and detail header `(n) Op`),
+        # and a shuffle prints as `(n) Exchange` with hashpartitioning
+        # only in the following Arguments line — substring counting both
+        # doubled joins and reported every shuffle as zero.
+        def nodes(name: str) -> int:
+            return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+        shuffle_args = re.findall(
+            r"^\(\d+\) Exchange\n(?:[^\n]+\n)*?Arguments: (\w+)", plan, re.M
+        )
+        n_shuffle = sum(
+            a.startswith(("hashpartitioning", "rangepartitioning", "RoundRobin"))
+            for a in shuffle_args
+        )
         print(f"== {key}")
         print(
-            f"   BroadcastHashJoin={plan.count('BroadcastHashJoin')} "
-            f"SortMergeJoin={plan.count('SortMergeJoin')} "
-            f"ShuffledHashJoin={plan.count('ShuffledHashJoin')} "
-            f"NestedLoop={plan.count('NestedLoopJoin')} "
-            f"ShuffleExchange={plan.count('Exchange hashpartitioning') + plan.count('Exchange rangepartitioning')} "
-            f"HashAggregate={plan.count('HashAggregate')}"
+            f"   BroadcastHashJoin={nodes('BroadcastHashJoin')} "
+            f"SortMergeJoin={nodes('SortMergeJoin')} "
+            f"ShuffledHashJoin={nodes('ShuffledHashJoin')} "
+            f"NestedLoop={nodes('BroadcastNestedLoopJoin') + nodes('CartesianProduct')} "
+            f"ShuffleExchange={n_shuffle} "
+            f"HashAggregate={nodes('HashAggregate') + nodes('ObjectHashAggregate')} "
+            f"SortAggregate={nodes('SortAggregate')}"
         )
         for p in dict.fromkeys(pushed):
             print(f"   {p[:140]}")

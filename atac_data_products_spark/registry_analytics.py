@@ -446,3 +446,191 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector analytics: per-label centroids (long form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vector_centroids",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT label, CAST(generate_subscripts(v, 1) AS BIGINT) AS pos,
+                 unnest(v) AS x
+          FROM e)
+    SELECT label, pos, round(avg(x), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM u GROUP BY label, pos
+    """,
+)
+def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in LONG form (label, dimension, mean).
+
+    posexplode + hash-aggregate: one shuffle keyed by (label, pos) —
+    at 100 TB this is the scalable layout (k*d tiny result rows, partial
+    aggregation map-side) vs collecting vectors per label.  The k-means
+    assignment step of similarity_ivf_topk consumes exactly this shape.
+    posexplode is 0-based, generate_subscripts 1-based → pos+1."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    u = e.select("label", F.posexplode("v").alias("pos0", "x"))
+    return u.groupBy(
+        "label", (F.col("pos0") + 1).cast("bigint").alias("pos")
+    ).agg(
+        F.round(F.avg("x"), 6).alias("centroid_val"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH m AS (SELECT user_id,
+                      min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                      min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                      min(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+               FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+           CAST(count(*) FILTER (WHERE t_click > t_view) AS BIGINT) AS n_clicked_after_view,
+           CAST(count(*) FILTER (WHERE t_buy > t_click AND t_click > t_view) AS BIGINT)
+               AS n_full_funnel
+    FROM m
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: first-touch times per user in
+    ONE pass (conditional min aggregates), then ordering predicates —
+    no self-joins, no per-stage scans; NULL comparisons drop non-
+    participants exactly like the SQL FILTER.  Both engines compare
+    first-touch times in their native tick unit (ns here, µs there);
+    ordering is unit-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("t_view").isNotNull()).alias("n_viewed"),
+        F.count_if(F.col("t_click") > F.col("t_view")).alias("n_clicked_after_view"),
+        F.count_if(
+            (F.col("t_buy") > F.col("t_click")) & (F.col("t_click") > F.col("t_view"))
+        ).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit interleaved key
+
+
+def _zorder_spark(xq, yq):
+    """Interleave the low _Z_BITS of two quantized ints: bit i of x ->
+    position 2i, of y -> 2i+1.  Pure integer expressions (codegen)."""
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        xbit = F.shiftright(xq, i).bitwiseAND(one)
+        ybit = F.shiftright(yq, i).bitwiseAND(one)
+        z = z.bitwiseOR(F.shiftleft(xbit, 2 * i).cast("bigint")).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1).cast("bigint")
+        )
+    return z
+
+
+def _zorder_sql(xq: str, yq: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xq} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yq} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "zorder_key",
+    oracle=f"""
+    WITH q AS (SELECT l_orderkey, l_linenumber,
+                      CAST(floor(l_extendedprice / 500) AS BIGINT) & 255 AS xq,
+                      (CAST(l_quantity AS BIGINT) * 5) & 255 AS yq
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber, {_zorder_sql("xq", "yq")} AS zkey
+    FROM q
+    """,
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two quantized dimensions —
+    the multi-dimensional data-skipping layout: range-partition + sort
+    by zkey at write time and parquet row-group min/max stats prune BOTH
+    predicates (evidence: tests/test_analytics.py).  The key is branch-
+    free integer bit math; each dimension is scaled to fill its 8 bits —
+    unused high bits would collapse the curve back to a 1-D sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return with_zorder_key(li).select("l_orderkey", "l_linenumber", "zkey")
+
+
+def with_zorder_key(li: DataFrame) -> DataFrame:
+    """Append the Morton key column to a lineitem frame in one projection
+    (no join back — (l_orderkey, l_linenumber) is not unique in the
+    synthetic data, and the write path needs key and payload in the same
+    row anyway)."""
+    q = li.withColumns(
+        {
+            "xq": F.floor(F.col("l_extendedprice") / 500)
+            .cast("bigint")
+            .bitwiseAND(F.lit(255).cast("bigint")),
+            "yq": (F.col("l_quantity").cast("bigint") * 5).bitwiseAND(
+                F.lit(255).cast("bigint")
+            ),
+        }
+    )
+    return q.withColumn("zkey", _zorder_spark(F.col("xq"), F.col("yq"))).drop(
+        "xq", "yq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regex_extract_battery",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '\bs[a-z]+', 0) AS first_s_word,
+           CAST(len(regexp_extract_all(text, '\bbatch\b')) AS BIGINT) AS n_batch,
+           CAST(len(regexp_extract_all(text, '[a-z]+e\b')) AS BIGINT) AS n_e_final
+    FROM documents
+    """,
+)
+def regex_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/counting over the corpus — JVM-side regexp_*
+    expressions (one codegen stage, no Python).  Patterns restricted to
+    the RE2-compatible subset so Java's and DuckDB's engines agree."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"\bs[a-z]+", 0).alias("first_s_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\bbatch\b"), 0))
+        .cast("bigint")
+        .alias("n_batch"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+e\b"), 0))
+        .cast("bigint")
+        .alias("n_e_final"),
+    )

@@ -168,3 +168,53 @@ def run_to_memory(result: DataFrame, table_name: str, mode: str = "complete") ->
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, total) via transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (successor to applyInPandasWithState).
+
+    Differences that matter at scale: typed state primitives (value/
+    list/map state) instead of one opaque tuple, per-state TTL, timers,
+    and the RocksDB state store requirement — state lives off-heap and
+    spills to disk, so per-key state count is bounded by disk, not
+    executor memory.  Queries must run with
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``, and the Python worker needs
+    the ``protobuf`` package (its control channel to the JVM state
+    server) — absent here, so the runtime path is import-gated in
+    tests; applyInPandasWithState (stateful_user_counts above) is the
+    fully-exercised stateful seam in this environment.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -8,6 +8,7 @@ oracle-checked batch queries.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from atac_data_products_spark.streaming.events import (
     dedup_within_watermark,
@@ -151,3 +152,50 @@ def test_stream_dedup_equals_batch(spark):
     got = _norm(spark.table("t_dedup").toPandas())
     want = _norm(stream_dedup_exact(spark, SF_SMALL).toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_transform_with_state_running_totals(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) accumulates
+    across micro-batches and matches the batch aggregate.
+
+    The TWS python worker speaks protobuf to the JVM state server;
+    without the protobuf package the query cannot initialize, so this
+    is import-gated the same way as the anndata-backed h5ad codec."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.sources.tables import load_table
+    from atac_data_products_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        stateful_running_totals_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+        run_to_memory(stateful_running_totals_tws(stream), "t_tws", mode="update")
+        got = spark.table("t_tws").toPandas()
+    finally:
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+    # update mode re-emits per batch; the final row per user is the total
+    final = got.sort_values("n_events").groupby("user_id").last()
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    final = final.sort_index()
+    assert final["n_events"].astype(int).equals(want["n_events"].astype(int))
+    assert (final["total_value"] - want["total_value"]).abs().max() < 1e-6

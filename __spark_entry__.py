@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atac_data_products_spark import (  # noqa: F401
         registry,
         registry_analytics,
+        registry_corpus,
         registry_ext,
     )
 
@@ -37,6 +38,7 @@ def oracle_sql() -> dict[str, str]:
     from atac_data_products_spark import (  # noqa: F401
         registry,
         registry_analytics,
+        registry_corpus,
         registry_ext,
     )
 

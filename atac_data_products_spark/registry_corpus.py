@@ -1,0 +1,254 @@
+"""LLM-corpus pipeline batch: normalization/redaction, TF-IDF,
+train/val/test splitting, sequence packing, source-mixture sampling.
+
+These are the operators a large-scale training-data pipeline runs
+between raw documents and a tokenized training set — the engine's
+charter beyond the reference's own surface (BASELINE.json north_star).
+Every one is deterministic (md5-slot hashing, declared orderings) so
+each carries a DuckDB oracle like the rest of the contract.
+
+Scale notes inline; the common theme is: per-source/per-shard
+parallelism instead of global orderings, broadcast dimension literals,
+and single-shuffle aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import _t, _values_sql, query
+
+# ---------------------------------------------------------------------------
+# Normalization / redaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_normalize_redact",
+    oracle=r"""
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                     '[0-9]+', '<num>', 'g') AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS norm_fp,
+           CAST(length(norm) AS BIGINT) AS norm_len
+    FROM n
+    """,
+)
+def corpus_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize text (lowercase, whitespace collapse) and redact
+    digit runs to a placeholder — the first stage of a quality/PII
+    pipeline.  Pure JVM regexp projection, no shuffle; the md5
+    fingerprint of the normalized text is the cross-engine-checkable
+    output (and doubles as the exact-dedup key post-normalization)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        "[0-9]+",
+        "<num>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Three aggregations, all map-side combinable: tf (doc,term), df
+    (term), then a broadcast of the tiny df/N sides back onto tf.  The
+    per-doc ranking windows over (doc_id) — partition-parallel, never a
+    global sort.  Ties broken by term so the top-k is total-ordered."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension (one number), inlined as a literal
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_split_assign",
+    oracle="""
+    WITH s AS (SELECT lang, n_chars,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                          AS slot
+               FROM documents)
+    SELECT lang,
+           CASE WHEN slot < 80 THEN 'train'
+                WHEN slot < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the md5 slot of the doc
+    id: key-stable (a doc never migrates between splits as the corpus
+    grows), engine-portable, and skew-free.  One narrow projection +
+    one aggregation shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 2048
+
+
+@query(
+    "corpus_seq_packing",
+    oracle=rf"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT source,
+           CAST(floor((cum - n_tokens) / {_PACK_CAP}) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def corpus_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for training batches: documents are
+    packed in doc_id order into ~_PACK_CAP-token bins (bin = the running
+    offset DIV cap; a doc may straddle two bins by < one doc).
+
+    Deliberately PER-SOURCE: the running sum windows over each source
+    partition in parallel.  A single global packing order would force
+    one total sort of the corpus — the non-scalable formulation; sharded
+    packing is what training pipelines do anyway (one packer per input
+    shard)."""
+    from .extensions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_CAP)
+        .cast("bigint")
+        .alias("bin_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling
+# ---------------------------------------------------------------------------
+
+# sampling weight (percent) per source — the mixture recipe; both the
+# Spark plan and the oracle are generated from this one constant.
+_MIX_WEIGHTS = [(f"src{i}", 20 + 15 * (i % 5)) for i in range(20)]
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH w AS ({_values_sql(_MIX_WEIGHTS, ["source", "pct"])}),
+    s AS (SELECT d.source, pct,
+                 ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                     AS slot
+          FROM documents d JOIN w ON d.source = w.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE slot < pct) AS BIGINT) AS n_kept
+    FROM s GROUP BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each source keeps a configured fraction
+    of its documents, decided by a key-stable md5 slot (salted 'mix' so
+    it is independent of the split-assignment slot).  The weight table
+    is a broadcast literal dim; sampling is a filter, not a shuffle —
+    at 100 TB the kept fraction streams straight into the next stage."""
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.sql(_values_sql(_MIX_WEIGHTS, ["source", "pct"]))
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    joined = d.join(F.broadcast(weights), "source").select(
+        "source", "pct", slot.alias("slot")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("slot") < F.col("pct")).alias("n_kept"),
+    )

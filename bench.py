@@ -44,6 +44,18 @@ HEADLINE = [
     "join_asof_attribution",
     "sessionize_apply_in_pandas",
     "analytics_regional_revenue",
+    # batch 2/3 analytics (registry_analytics)
+    "agg_stats_battery",
+    "agg_cube_pricing",
+    "window_topk_per_group",
+    "array_hof_battery",
+    "zorder_key",
+    # LLM-corpus pipeline (registry_corpus)
+    "corpus_normalize_redact",
+    "corpus_tfidf_topk",
+    "corpus_split_assign",
+    "corpus_seq_packing",
+    "corpus_mixture_sample",
 ]
 
 

@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry_analytics,
         registry_corpus,
         registry_ext,
+        registry_tpch,
     )
 
     return dict(registry.QUERIES)
@@ -40,6 +41,7 @@ def oracle_sql() -> dict[str, str]:
         registry_analytics,
         registry_corpus,
         registry_ext,
+        registry_tpch,
     )
 
     return dict(registry.ORACLES)

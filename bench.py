@@ -56,6 +56,12 @@ HEADLINE = [
     "corpus_split_assign",
     "corpus_seq_packing",
     "corpus_mixture_sample",
+    # classic decision-support shapes (registry_tpch)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
 ]
 
 

@@ -258,3 +258,51 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.count_if(F.col("slot") < F.col("pct")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: one row in, N typed rows out (Spark 4 table-function API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_term_positions",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos,
+                        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                 FROM documents)
+    SELECT doc_id, CAST(pos AS INT) AS pos, term
+    FROM tok WHERE pos <= 5
+    """,
+)
+def udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function API): each document expands
+    to its first five (position, term) rows through a LATERAL join.
+
+    This exists for API parity — the same semantics run natively as
+    posexplode (vector_centroids / corpus_tfidf use that path).  UDTFs
+    are the seam for expansion logic that genuinely needs Python (a
+    model tokenizer, a parser); like all Python seams it's Arrow-batched
+    but row-generating, so keep it off the hot path when a builtin
+    exists."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class TermSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, term in enumerate(text.strip().lower().split()):
+                if i >= 5:
+                    break
+                yield i + 1, term
+
+    spark.udtf.register("term_split_5", TermSplit)
+    from .sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.term "
+        "FROM __docs_udtf, LATERAL term_split_5(text) AS t"
+    )

@@ -100,3 +100,51 @@ def test_zorder_layout_narrows_rowgroup_stats(spark, tmp_path, n_files):
         assert z_span < 0.7 * plain_span, (
             f"{col}: zorder span {z_span} not narrower than plain {plain_span}"
         )
+
+
+def test_big_big_join_sort_merges_without_broadcast(spark):
+    """The big-big join path: with broadcast disabled (what AQE decides
+    when BOTH sides exceed the threshold at cluster scale), the
+    lineitem-orders join must become a SortMergeJoin and produce the
+    same result as the broadcast plan."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderpriority")
+
+    def agg(df):
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("s"))
+            .toPandas()
+            .set_index("o_orderpriority")
+            .sort_index()
+        )
+
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    baseline = agg(joined)
+
+    def safe_get(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: safe_get(k) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        joined2 = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        got = agg(joined2)
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    assert got.equals(baseline)

@@ -634,3 +634,110 @@ def regex_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_e_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / subqueries / window first-last
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_battery",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT SELECT k FROM b)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM i) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_only_a
+    """,
+)
+def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct-deduped, null-aware) —
+    customers with finished vs open orders.  Spark plans these as
+    left-semi / left-anti hash joins over the deduped sides: one shuffle
+    each, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    counts = [
+        a.count(),
+        b.count(),
+        a.intersect(b).count(),
+        a.exceptAll(b).count(),
+    ]
+    # scalar battery: assemble the four counts into one row (each count
+    # is a distributed job; only the 4 scalars touch the driver)
+    return spark.createDataFrame(
+        [tuple(counts)], "n_a bigint, n_b bigint, n_both bigint, n_only_a bigint"
+    )
+
+
+@query(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (orders above the mean price), executed
+    through the SQL front end — Catalyst evaluates the subquery once and
+    broadcasts the scalar into the filter, not per-row."""
+    from .sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               round(min(o_totalprice), 2) AS min_price
+        FROM __orders_ssq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __orders_ssq)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "window_first_last_battery",
+    oracle="""
+    SELECT event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a full-partition frame — the frame is
+    pinned UNBOUNDED..UNBOUNDED so 'last' means the partition's last row
+    (the default frame would make last_value = current row), and the
+    order includes the unique event_id so every position is total-
+    ordered."""
+    from .sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )

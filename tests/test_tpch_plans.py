@@ -1,0 +1,73 @@
+"""Physical-plan shape evidence for the TPC-H batteries.
+
+Each docstring in registry_tpch.py makes a scale claim (dims broadcast,
+argmax is not a global window, top-k is a driver-side O(k) merge, EXISTS
+compiles to semi/anti joins).  These tests pin those claims to the plan
+Spark actually produces, so a regression in join strategy or an
+accidental all-rows window shows up as a test failure, not a 100x
+slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(key):
+    import __spark_entry__ as e
+
+    return e.queries()[key]
+
+
+def test_q15_argmax_has_no_window(spark):
+    """The max-revenue filter must be a broadcast one-row join, never a
+    global (empty-partitionBy) window that serializes the revenue table
+    through one task."""
+    plan = _phys(_q("tpch_q15_top_supplier")(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """ORDER BY ... LIMIT 20 must plan as TakeOrderedAndProject (per-
+    partition top-k + O(k) driver merge), not a full global sort."""
+    plan = _phys(_q("tpch_q10_returned_items")(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = _phys(_q("tpch_q4_priority_exists")(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    plan = _phys(_q("tpch_q22_idle_customers")(spark, SF_SMALL))
+    assert "LeftAnti" in plan
+
+
+def test_q8_dims_broadcast(spark):
+    """The 8-way star must broadcast every dimension side; at most the
+    lineitem<->orders join may shuffle."""
+    plan = _phys(_q("tpch_q8_market_share")(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 5
+    big_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert big_joins <= 1
+
+
+def test_q17_window_runs_after_pruning_join(spark):
+    """Q17's per-part average window must sit ABOVE the broadcast join
+    (over the brand-pruned rows), not over the full lineitem scan: in
+    the plan string the Window node appears before (closer to the root
+    than) the BroadcastHashJoin it consumes."""
+    plan = _phys(_q("tpch_q17_small_qty_revenue")(spark, SF_SMALL))
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+    assert plan.index("Window") < plan.index("BroadcastHashJoin")

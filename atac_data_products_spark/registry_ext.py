@@ -233,12 +233,14 @@ def _lsh_dedup_oracle() -> str:
     mins = ", ".join(
         f"min((h * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_perm_params())
     )
+    from .functions.hashes import hash59_sql
+
     structs = []
     for bi in range(LSH_BANDS):
         concat = " || '_' || ".join(
             f"mh_{bi * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
         )
-        structs.append(f"{{'band': {bi}, 'sig': md5({concat})}}")
+        structs.append(f"{{'band': {bi}, 'sig': {hash59_sql(concat)}}}")
     jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
     return f"""
     WITH {_TOKS_CTE}, {_SHINGLES_CTE},

@@ -91,6 +91,9 @@ def hyperplane_bucket(vec_col: Column, n_dims: int, n_planes: int = NUM_PLANES) 
     return bucket
 
 
+BRUTE_FORCE_MAX_ROWS = 10_000
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -98,15 +101,38 @@ def cosine_pairs(
     vec_col: str = "embedding",
     bucketed: bool = False,
     n_planes: int = NUM_PLANES,
+    n_dims: int | None = None,
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
     ``bucketed=False``: exact brute-force — an O(n²) nested-loop join,
-    the correctness baseline.  ``bucketed=True``: hyperplane-LSH equality
-    join — pair generation only within a bucket, turning the nested loop
-    into a hash join on the bucket id (the scale path; deterministic, so
-    still oracle-checkable, but recall < 1 across bucket boundaries).
+    the correctness baseline, **guarded**: the input may not exceed
+    ``max_rows`` rows (checked with a bounded ``limit(max_rows+1)``
+    count, so the guard never scans more than the cap itself).  The
+    baseline twin cannot silently become a production path on a large
+    corpus — the LSH path is the only scale entry point.
+    ``bucketed=True``: hyperplane-LSH equality join — pair generation
+    only within a bucket, turning the nested loop into a hash join on
+    the bucket id (the scale path; deterministic, so still
+    oracle-checkable, but recall < 1 across bucket boundaries).
+    ``n_dims`` (vector dimensionality) is required when ``bucketed`` —
+    plan construction stays action-free on the scale path.
     """
+    if bucketed and n_dims is None:
+        raise ValueError(
+            "cosine_pairs(bucketed=True) requires n_dims: plan construction "
+            "must not run a Spark action to discover vector dimensionality"
+        )
+    if not bucketed:
+        probe = embeddings.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"cosine_pairs(bucketed=False) is the O(n^2) brute-force "
+                f"baseline and is capped at max_rows={max_rows} input rows "
+                f"(got >{max_rows}); use bucketed=True (hyperplane LSH) for "
+                "large corpora, or raise max_rows explicitly"
+            )
     # Pre-normalize per vector (cost n, not n²): the pair computation is
     # then a single fold — dot(vn_a, vn_b) — instead of three.  The
     # oracle replicates the same normalize-then-dot float sequence.
@@ -121,7 +147,6 @@ def cosine_pairs(
         F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
     )
     if bucketed:
-        n_dims = len(embeddings.select(vec_col).first()[0])
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_dims, n_planes))
     e = e.drop("v")
     a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])

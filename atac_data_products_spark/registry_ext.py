@@ -963,6 +963,10 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 COSINE_DEDUP_THRESHOLD = 0.4
+# Test-corpus embedding dimensionality (TESTDATA.md: embeddings.embedding is
+# a fixed 64-float array at every SF); passed explicitly so the bucketed plan
+# is built without any Spark action.
+EMBEDDING_DIMS = 64
 
 _COSINE_PAIR_BODY = """
     eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1007,7 +1011,10 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.similarity import cosine_pairs
 
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), COSINE_DEDUP_THRESHOLD, bucketed=True
+        _t(spark, sf_dir, "embeddings"),
+        COSINE_DEDUP_THRESHOLD,
+        bucketed=True,
+        n_dims=EMBEDDING_DIMS,
     )
 
 

@@ -76,3 +76,38 @@ def test_frame_sample_empty_payload(spark):
         "media_id bigint, payload binary, media_type string, declared_bytes bigint",
     )
     assert frame_sample(media).count() == 0
+
+
+def test_cosine_pairs_brute_force_guard_trips(spark):
+    """The O(n^2) baseline refuses inputs above its row cap — it must not
+    silently become a production path on a large corpus."""
+    from atac_data_products_spark.extensions.similarity import cosine_pairs
+
+    emb = spark.range(1, 12).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="brute-force"):
+        cosine_pairs(emb, 0.5, max_rows=10)
+    # explicit raise of the cap unblocks the same input
+    assert cosine_pairs(emb, 0.5, max_rows=11).count() > 0
+
+
+def test_cosine_pairs_bucketed_builds_without_spark_action(spark):
+    """bucketed=True plan construction must not run a job (n_dims is a
+    required parameter, not discovered via .first())."""
+    from atac_data_products_spark.extensions.similarity import cosine_pairs
+
+    emb = spark.range(1, 4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="n_dims"):
+        cosine_pairs(emb, 0.5, bucketed=True)
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    df = cosine_pairs(emb, 0.5, bucketed=True, n_dims=2)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after == before, "plan construction launched a Spark job"
+    assert df.count() >= 0  # the plan itself still executes

@@ -83,9 +83,9 @@ def scan_tsv_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back under an explicit all-string schema (no inference pass)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    out = os.path.join(tempfile.gettempdir(), "adp_manifest_tsv")
+    out = _staging_dir("manifest_tsv")
     _t(spark, sf_dir, "nation").toPandas().to_csv(
-        os.path.join(_ensure_dir(out), "nation.tsv"), sep="\t", index=False
+        os.path.join(out, "nation.tsv"), sep="\t", index=False
     )
     schema = StructType(
         [StructField(c, StringType(), True) for c in ["n_nationkey", "n_name", "n_regionkey"]]
@@ -96,6 +96,20 @@ def scan_tsv_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+# Per-process staging root: unique per session (mkdtemp) so two concurrent
+# sessions on one host never interleave a driver-side write with the other's
+# read, but reused across calls within a process so repeated harness runs
+# don't accumulate temp dirs.
+_STAGING_ROOT: str | None = None
+
+
+def _staging_dir(name: str) -> str:
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        _STAGING_ROOT = tempfile.mkdtemp(prefix="adp_staging_")
+    return _ensure_dir(os.path.join(_STAGING_ROOT, name))
 
 
 @query(
@@ -232,7 +246,7 @@ def scan_json_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON dimension scan (data/symbol_to_ensembl.json et al., baked in at
     docker/Dockerfile:34): newline-JSON written then read with explicit
     schema — same dim content as the YAML path, proving both sources."""
-    out = _ensure_dir(os.path.join(tempfile.gettempdir(), "adp_json_dim"))
+    out = _staging_dir("json_dim")
     path = os.path.join(out, "dim.jsonl")
     with open(path, "w") as f:
         for code, desc in ORGAN_TYPES:
@@ -251,7 +265,7 @@ def scan_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-metadata JSON round trip (written bin/concatenate.py:81-96,
     re-read at bin/upload.py:25-29): single-record JSON scan."""
     n = _t(spark, sf_dir, "lineitem").count()
-    out = _ensure_dir(os.path.join(tempfile.gettempdir(), "adp_meta_json"))
+    out = _staging_dir("meta_json")
     path = os.path.join(out, "meta.json")
     with open(path, "w") as f:
         f.write('{"product_uuid": "adp-0000-fixed-uuid", "cell_count": %d}\n' % n)

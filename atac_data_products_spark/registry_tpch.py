@@ -924,7 +924,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey)
     SELECT l_suppkey, round(value, 2) AS value
     FROM sr
-    WHERE value > (SELECT sum(value) * 0.02 FROM sr)
+    WHERE round(value, 2) > (SELECT round(sum(value) * 0.02, 2) FROM sr)
     ORDER BY value DESC, l_suppkey
     """,
 )
@@ -952,10 +952,13 @@ def tpch_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
         )
     )
-    thresh = sr.agg((F.sum("value") * 0.02).alias("cut"))
+    # Round both sides of the threshold comparison (repo parity
+    # convention, as in q2): cross-engine float fold-order differences
+    # must not flip membership for a supplier sitting exactly at 2%.
+    thresh = sr.agg(F.round(F.sum("value") * 0.02, 2).alias("cut"))
     return (
         sr.join(F.broadcast(thresh))
-        .where(F.col("value") > F.col("cut"))
+        .where(F.round("value", 2) > F.col("cut"))
         .select("l_suppkey", F.round("value", 2).alias("value"))
         .orderBy(F.desc("value"), "l_suppkey")
     )

@@ -69,8 +69,15 @@ def upsert_latest_revision(
     staging = f"{table_path}.staging-{_uuid.uuid4().hex[:8]}"
     latest.write.mode("overwrite").parquet(staging)
     _, staging_path = _fs_and_path(spark, staging)
-    fs.delete(target, True)
-    fs.rename(staging_path, target)
+    # Hadoop FileSystem reports failure via boolean returns, not
+    # exceptions; a false rename after a successful delete would drop the
+    # live table while the stream checkpoint advances past the batch.
+    if fs.exists(target) and not fs.delete(target, True):
+        raise IOError(f"failed to delete live table before swap: {table_path}")
+    if not fs.rename(staging_path, target):
+        raise IOError(
+            f"failed to swap staging into place: {staging} -> {table_path}"
+        )
 
 
 def run_incremental_upsert(

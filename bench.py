@@ -81,6 +81,17 @@ def main() -> None:
     warm = qs["product_cell_count"](spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
+    # Python/Arrow worker-pool warmup: one tiny mapInPandas across all
+    # cores so the Pandas-seam queries measure their plans, not the
+    # one-time spin-up of the Python worker pool.
+    def _identity(it):
+        yield from it
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(n_cpus * 4, numPartitions=n_cpus).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

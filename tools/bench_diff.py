@@ -1,0 +1,69 @@
+"""Diff two bench JSON files and flag per-query regressions.
+
+Usage:
+    python tools/bench_diff.py BENCH_r01.json BENCH_r02.json [--threshold 1.5]
+
+Each input is either the raw one-line JSON bench.py prints, or the
+driver's wrapper ({"parsed": {...}} / {"tail": "...{json}..."}).  Exits
+nonzero if any query regressed by more than the threshold, so the check
+can gate a commit.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    if "queries" in raw:
+        return raw
+    if isinstance(raw.get("parsed"), dict) and "queries" in raw["parsed"]:
+        return raw["parsed"]
+    # driver wrapper without parsed: fish the JSON line out of the tail
+    for line in reversed(raw.get("tail", "").splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise ValueError(f"{path}: no bench JSON found")
+
+
+def main() -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument("--threshold", type=float, default=1.5)
+    ns = p.parse_args()
+    thr = ns.threshold
+    old, new = load_bench(ns.old), load_bench(ns.new)
+    oq, nq = old["queries"], new["queries"]
+    regressed = []
+    print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            tag = "NEW" if a is None else "GONE"
+            print(f"{name:34s} {a if a is not None else '-':>8} {b if b is not None else '-':>8}   {tag}")
+            continue
+        ratio = b / a if a else float("inf")
+        flag = ""
+        if ratio > thr and b - a > 0.2:  # ignore sub-noise absolute deltas
+            flag = f"  REGRESSED >{thr}x"
+            regressed.append(name)
+        print(f"{name:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
+    print(
+        f"\ntotal: {old.get('value', sum(oq.values())):.2f}s -> "
+        f"{new.get('value', sum(nq.values())):.2f}s"
+    )
+    if regressed:
+        print(f"REGRESSIONS ({len(regressed)}): {regressed}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

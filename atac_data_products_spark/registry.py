@@ -705,6 +705,46 @@ def join_zip_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_gene_map",
+    oracle="""
+    WITH gm AS (
+      SELECT 'GENE_' || CAST(i AS VARCHAR) AS symbol,
+             'ENSG' || lpad(CAST((i * 7919) % 100000000 AS VARCHAR), 11, '0')
+               || '.' || CAST(1 + i % 20 AS VARCHAR) AS ensembl_id
+      FROM range(40000) t(i)),
+    p AS (
+      SELECT p_partkey,
+             'GENE_' || CAST((p_partkey * 31) % 50000 AS VARCHAR) AS symbol
+      FROM part)
+    SELECT p.p_partkey, p.symbol,
+           coalesce(gm.ensembl_id, 'UNMAPPED') AS ensembl_id
+    FROM p LEFT JOIN gm USING (symbol)
+    """,
+)
+def join_gene_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene symbol→ensembl annotation join at the reference's REAL dim
+    cardinality: data/symbol_to_ensembl.json is ~57k entries (baked in
+    at docker/Dockerfile:34), not the 16-row organ dim.  Broadcast left
+    join with miss handling (unmapped symbols annotated, not dropped —
+    the reference's dict .get() semantics).  Symbols are drawn from a
+    50k space against a 40k map so ~20% of keys exercise the miss path."""
+    from .sources.dims import gene_map_dim
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("GENE_"), ((F.col("p_partkey") * 31) % 50000).cast("string")
+        ).alias("symbol"),
+    )
+    gm = gene_map_dim(spark)
+    return p.join(F.broadcast(gm), "symbol", "left").select(
+        "p_partkey",
+        "symbol",
+        F.coalesce(F.col("ensembl_id"), F.lit("UNMAPPED")).alias("ensembl_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Union  /  §2.6 Aggregations  /  §2.7 Windows & limits
 # ---------------------------------------------------------------------------

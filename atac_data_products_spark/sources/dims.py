@@ -44,6 +44,33 @@ def organ_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ORGAN_TYPES, "code string, description string")
 
 
+GENE_MAP_SIZE = 40_000
+
+
+def gene_map_dim(spark: SparkSession, n: int = GENE_MAP_SIZE) -> DataFrame:
+    """Synthetic symbol↔ensembl gene map at the reference's real dim
+    cardinality (data/symbol_to_ensembl.json ships ~57k entries, baked
+    in at docker/Dockerfile:34) — the organ dim is 16 rows, so this is
+    the dim-scale the reference actually joins against.
+
+    Deterministic generation (same arithmetic as the DuckDB oracle):
+    symbol GENE_<i>, ensembl ENSG<11-digit>.<version>.  ~40k rows ≈ a
+    few MB — always broadcast; at 100 TB fact scale this stays a
+    BroadcastHashJoin, never a shuffle."""
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    return spark.range(n).select(
+        F.concat(F.lit("GENE_"), i.cast("string")).alias("symbol"),
+        F.concat(
+            F.lit("ENSG"),
+            F.lpad(((i * 7919) % 100_000_000).cast("string"), 11, "0"),
+            F.lit("."),
+            (1 + i % 20).cast("string"),
+        ).alias("ensembl_id"),
+    )
+
+
 def invert_dim(dim: DataFrame, key: str, value: str) -> DataFrame:
     """map_invert (make_uuids_tsv.py:13): direction is irrelevant once the
     lookup is a join — just swap the projected roles."""

@@ -63,6 +63,37 @@ def test_q8_dims_broadcast(spark):
     assert big_joins <= 1
 
 
+def test_minhash_lsh_no_cartesian(spark):
+    """Pair generation must stay an equality join on (band, sig) —
+    banded LSH's whole point.  A refactor that degrades it to a nested
+    loop / cartesian would be quadratic in corpus size."""
+    plan = _phys(_q("dedup_minhash_lsh")(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    # map-side combine on the minhash aggregation
+    assert "partial_min" in plan
+
+
+def test_tfidf_small_sides_broadcast(spark):
+    """df and corpus-size sides must broadcast back onto tf; the big
+    (doc,term) table must never reach a SortMergeJoin."""
+    plan = _phys(_q("corpus_tfidf_topk")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the three aggregations are all map-side combinable
+    assert "partial_count" in plan
+
+
+def test_gene_map_dim_broadcast_no_shuffle(spark):
+    """The 40k-row gene map must broadcast; the fact side must reach it
+    without any shuffle exchange."""
+    plan = _phys(_q("join_gene_map")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_q17_window_runs_after_pruning_join(spark):
     """Q17's per-part average window must sit ABOVE the broadcast join
     (over the brand-pruned rows), not over the full lineitem scan: in

@@ -79,6 +79,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: equal band-signature → candidate pair.
 
@@ -87,8 +88,19 @@ def lsh_candidate_pairs(
     key instead of the 32-char md5 hex it previously used (~4× less key
     traffic; measured sf0.1 wall for the full LSH pipeline 7.6s → lower).
     The self-join runs per (band, bucket) — the only pair generation at
-    scale.  Skewed buckets (a boilerplate shingle set shared by thousands
-    of docs) are split by AQE skew-join handling.
+    scale.
+
+    Skew: bucket INPUT rows are inherently balanced (every doc emits
+    exactly `bands` rows), so AQE's input-byte skew split never fires
+    here — the hazard is the join's OUTPUT, quadratic in bucket size
+    when a boilerplate shingle set is shared by thousands of docs
+    (tests/test_skew.py proves AQE does not catch this).  The scale
+    mitigation is `max_bucket_size`: buckets above the cap emit linear
+    STAR edges (each member ↔ the bucket's min id) instead of all
+    pairs — connected_components still merges the whole cluster, and
+    docs in such buckets are near-identical by construction, so no
+    real cluster is split.  Default None preserves exact all-pairs
+    semantics (the oracle-checked contract).
     """
     band_cols = []
     for bi in range(bands):
@@ -97,17 +109,37 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.sig")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # both windows share one (band, sig) shuffle — the same key the
+        # self-join partitions on, so the exchange is reused
+        w = Window.partitionBy("band", "sig")
+        sized = buckets.withColumn("__n", F.count("*").over(w)).withColumn(
+            "__min", F.min(id_col).over(w)
+        )
+        star = (
+            sized.where(
+                (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__min"))
+            )
+            .select(
+                F.col("__min").alias("doc_a"), F.col(id_col).alias("doc_b")
+            )
+        )
+        buckets = sized.where(F.col("__n") <= max_bucket_size).drop("__n", "__min")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "sig"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .distinct()
     )
+    if max_bucket_size is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(

@@ -48,6 +48,61 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_lsh_hot_bucket_capped_to_star_edges(spark):
+    """The one skew surface the salted-agg test doesn't cover: a
+    boilerplate-heavy corpus (hundreds of docs sharing one shingle set)
+    collapses into a single (band, sig) bucket.  Bucket INPUT rows stay
+    balanced (each doc emits exactly `bands` rows), so AQE's input-byte
+    skew split cannot fire — the hazard is the join OUTPUT, quadratic in
+    bucket size.  Evidence that the engine's mitigation works: with
+    max_bucket_size set, the hot bucket emits linear star edges, and
+    connected components still merges the whole cluster."""
+    from atac_data_products_spark.extensions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from atac_data_products_spark.extensions.text import shingle_table
+
+    # 800 docs with identical boilerplate text (one shingle set → one
+    # bucket per band) + 4200 token-disjoint background docs (every
+    # token embeds the doc id, so no shingle is shared across them)
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 800,
+            F.lit("terms of service boilerplate common to every page"),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+                    for j in range(6)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    sig = minhash_signatures(shingle_table(docs, "text", "doc_id", distinct=False))
+
+    capped = lsh_candidate_pairs(sig, max_bucket_size=100)
+    edges = capped.collect()
+    # linear star edges (one per non-canonical member), not C(800,2)
+    # all-pairs: the quadratic blowup is structurally impossible
+    assert len(edges) == 799
+    assert all(e.doc_a == 0 for e in edges)
+
+    # the capped edge set still yields ONE 800-doc duplicate cluster
+    comp = connected_components(docs.select("doc_id"), capped, id_col="doc_id")
+    sizes = comp.groupBy("cluster_id").count().collect()
+    assert max(r["count"] for r in sizes) == 800
+
+    # uncapped semantics unchanged on the same corpus (contract oracle)
+    n_uncapped = lsh_candidate_pairs(sig).count()
+    assert n_uncapped == 800 * 799 // 2
+
+
 def test_salted_agg_matches_direct_on_skew(spark):
     from atac_data_products_spark.operators.skew import salted_sum_count
 

@@ -64,11 +64,19 @@ def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
     """Per-doc MinHash signature: k min-aggregates over one permuted base
-    hash — a single map-side-combinable aggregation, no UDFs."""
-    h = (hash59("shingle") % F.lit(_MASK40 + 1)).alias("h")
-    base = shingles.select(id_col, h)
+    hash — a single map-side-combinable aggregation, no UDFs.
+
+    The k permutation expressions are built as SQL strings (one py4j
+    call each, parsed JVM-side) rather than nested Column operations —
+    the Column form spent ~1s of driver time on py4j round trips just
+    constructing this plan (measured sf0.1; semantics identical)."""
+    base = shingles.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_MASK40 + 1} AS h",
+    )
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+        F.expr(f"min((h * {a} + {b}) % {_P}) AS mh_{i}")
         for i, (a, b) in enumerate(_perm_params(k))
     ]
     return base.groupBy(id_col).agg(*aggs)
@@ -80,6 +88,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     max_bucket_size: int | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Banded LSH: equal band-signature → candidate pair.
 
@@ -102,12 +111,17 @@ def lsh_candidate_pairs(
     real cluster is split.  Default None preserves exact all-pairs
     semantics (the oracle-checked contract).
     """
-    band_cols = []
-    for bi in range(bands):
-        member = F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
-        band_cols.append(F.struct(F.lit(bi).alias("band"), hash59(member).alias("sig")))
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    # band structs as one SQL string: JVM-side parse instead of ~10 py4j
+    # round trips per band constructing nested Column objects
+    structs = ", ".join(
+        f"struct({bi} AS band, "
+        "CAST(conv(substring(md5(concat_ws('_', "
+        + ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        + ")), 1, 15), 16, 10) AS BIGINT) AS sig)"
+        for bi in range(bands)
+    )
+    buckets = signatures.selectExpr(
+        id_col, f"explode(array({structs})) AS b"
     ).select(id_col, "b.band", "b.sig")
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -139,7 +153,11 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    # dedup_pairs=False skips the distinct shuffle for consumers that are
+    # duplicate-insensitive (semi-join restriction in jaccard_pairs): a
+    # pair colliding in several bands appears once per collision, which
+    # those consumers ignore
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 def jaccard_pairs(
@@ -163,9 +181,11 @@ def jaccard_pairs(
         # (and before distinct-ing, when fed the multiset): verification
         # cost — including the set-dedup shuffle — scales with the
         # candidate set, not the corpus
+        # no distinct on cand_docs: the left-semi probe side is
+        # duplicate-insensitive, so the dedup shuffle would be pure waste
         cand_docs = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-        ).distinct()
+        )
         pair_shingles = shingles.join(cand_docs, id_col, "left_semi").distinct()
         # set sizes only needed for candidate docs — reuse the restricted set
         sizes = pair_shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -215,6 +235,10 @@ def minhash_lsh_dedup_pairs(
     """
     sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
     sig = minhash_signatures(sh_multiset, id_col)
+    # keep the candidate distinct: near-dup pairs collide in MANY bands,
+    # so one dedup shuffle of the multiset bounds both downstream
+    # semi-join shuffles by the unique-pair set (measured sf0.1: parity;
+    # the distinct wins as band-collision multiplicity grows)
     cand = lsh_candidate_pairs(sig, id_col)
     # verification also consumes the multiset: jaccard_pairs distinct-s it
     # AFTER the candidate restriction, so no full-corpus dedup shuffle runs

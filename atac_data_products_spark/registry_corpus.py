@@ -306,3 +306,164 @@ def udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.pos, t.term "
         "FROM __docs_udtf, LATERAL term_split_5(text) AS t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination / repetition filtering / corpus stats
+# ---------------------------------------------------------------------------
+
+_CORPUS_TOKS_CTE = (
+    "toks AS (SELECT doc_id, source, "
+    "regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents)"
+)
+# 3-token shingles; [i:i+2] is DuckDB's inclusive slice (3 elements)
+_CORPUS_SH_SET_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, source, "
+    "unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle "
+    "FROM toks WHERE len(t) >= 3)"
+)
+_CORPUS_SH_MULTI_CTE = _CORPUS_SH_SET_CTE.replace("SELECT DISTINCT", "SELECT").replace(
+    "sh AS", "shm AS"
+)
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH {_CORPUS_TOKS_CTE},
+    {_CORPUS_SH_SET_CTE},
+    bench AS (SELECT shingle FROM sh WHERE source = 'src9'),
+    train AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src9'),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM train GROUP BY doc_id),
+    cont AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             FROM train WHERE shingle IN (SELECT shingle FROM bench)
+             GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(c.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(c.n_contaminated, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+             AS contamination
+    FROM tot t LEFT JOIN cont c USING (doc_id)
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: per training document, the
+    fraction of its distinct word 3-grams that also appear in a held-out
+    benchmark slice (source 'src9' stands in for the eval set) — the
+    n-gram-overlap decontamination step every serious pretraining
+    pipeline runs before training.
+
+    Plan shape: one shingle derivation feeds both sides; the benchmark
+    shingle set reaches the train side as a LEFT SEMI join on the
+    shingle key (build side collapses duplicates, so no distinct
+    shuffle on the benchmark side), then two map-side-combinable
+    per-doc counts.  At 100 TB the benchmark side is tiny relative to
+    the corpus and broadcasts; the train side never self-joins."""
+    from .extensions.text import tokens, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "source", tokens("text").alias("__toks"))
+    sh = (
+        toked.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    bench = sh.where(F.col("source") == "src9").select("shingle")
+    train = sh.where(F.col("source") != "src9").select("doc_id", "shingle")
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    cont = (
+        train.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return tot.join(cont, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+@query(
+    "corpus_repetition_ratio",
+    oracle=f"""
+    WITH {_CORPUS_TOKS_CTE},
+    {_CORPUS_SH_MULTI_CTE}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           round(1 - count(DISTINCT shingle) / CAST(count(*) AS DOUBLE), 6)
+             AS rep_ratio
+    FROM shm GROUP BY doc_id
+    """,
+)
+def corpus_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher-style repeated
+    n-gram filter): 1 − distinct/total word 3-grams per document.
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score near 1 and get filtered before training.
+
+    Single map-side-combinable aggregation over the shingle multiset —
+    one shuffle on doc_id, no joins, no Python."""
+    from .extensions.text import tokens, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens("text").alias("__toks"))
+    shm = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    return shm.groupBy("doc_id").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            1 - F.countDistinct("shingle") / F.count("*").cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "corpus_stats_rollup",
+    oracle="""
+    SELECT coalesce(source, 'ALL') AS source,
+           coalesce(lang, 'ALL') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: document/token/char statistics at
+    (source, lang), per-source, and grand-total grain in ONE pass —
+    GROUP BY ROLLUP, the partial-aggregate-friendly way to get the
+    mixture table a data card reports.  NULL grouping slots are
+    coalesced to 'ALL' so the oracle comparison is engine-portable."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", "lang", "n_chars", F.size(tokens("text")).alias("__nt"))
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+        )
+    )

@@ -56,6 +56,10 @@ HEADLINE = [
     "corpus_split_assign",
     "corpus_seq_packing",
     "corpus_mixture_sample",
+    "corpus_contamination",
+    "corpus_repetition_ratio",
+    "corpus_stats_rollup",
+    "join_gene_map",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

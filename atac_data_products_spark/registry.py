@@ -927,6 +927,78 @@ def sink_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("assay string, cell_count bigint, n_datasets bigint").json(out)
 
 
+@query(
+    "sink_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round trip: the columnar format surface beyond
+    parquet (warehouse interop — Hive/Trino deployments are ORC-heavy).
+    Types survive natively (no string casts), split-able and predicate-
+    pushdown-capable at scale exactly like the parquet path."""
+    out = os.path.join(tempfile.gettempdir(), f"adp_sink_orc_{_uuid.uuid4().hex[:8]}")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: the layout
+    that turns a 100 TB scan into a single-partition scan when the
+    filter hits the partition key.  The read-back filter prunes at
+    PLANNING time (directory listing), never touching the other
+    partitions' files — the pruning itself is plan-asserted in
+    tests/test_operators.py."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"adp_sink_part_{_uuid.uuid4().hex[:8]}"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return back.select("l_orderkey", "l_quantity", "l_returnflag")
+
+
+_CSV_QUOTED_ROWS = [
+    ("1", "plain"),
+    ("2", "has,comma"),
+    ("3", 'has "quote"'),
+    ("4", "multi\nline"),
+]
+
+
+@query(
+    "scan_csv_quoted",
+    oracle=_values_sql(_CSV_QUOTED_ROWS, ["rec_id", "payload"]),
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV scan: embedded delimiters, RFC-4180 doubled quotes and
+    in-field newlines (multiLine).  The TSV manifest path never quotes;
+    real metadata exports do.  Note multiLine disables file splitting —
+    fine for manifests, never for bulk data (use parquet there)."""
+    import csv
+
+    out = _staging_dir("csv_quoted")
+    path = os.path.join(out, "recs.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["rec_id", "payload"])
+        w.writerows(_CSV_QUOTED_ROWS)
+    return (
+        spark.read.options(header=True, multiLine=True, quote='"', escape='"')
+        .schema("rec_id string, payload string")
+        .csv(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the reference's core product-build semantics in one plan
 # (bin/concatenate.py:119-152 — annotate → union → intersect → join → count)

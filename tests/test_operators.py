@@ -186,3 +186,20 @@ def test_manifest_tsv_roundtrip(spark, tmp_path):
     assert "Unnamed: 0" not in df.columns
     row = df.first()
     assert row.uuid == "u1" and row.age == "40"  # stays string until cast
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
+    """sink_partitioned_pruned's scale claim: a filter on the partition
+    key becomes a PartitionFilter (directory pruning at planning time),
+    not a row-level post-scan filter over every file."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    ).write.partitionBy("bucket").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("bucket") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(bucket" in plan or "bucket" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 250

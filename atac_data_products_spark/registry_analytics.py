@@ -741,3 +741,59 @@ def window_first_last_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history (CDC change log → validity intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_state_history",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    ch AS (SELECT * FROM (
+             SELECT user_id, event_id, event_type, ts_us,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS prev
+             FROM e)
+           WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS valid_to_us,
+           (lead(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) IS NULL) AS is_current
+    FROM ch
+    """,
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from a change log: collapse consecutive
+    identical states per entity, then close each surviving row's
+    validity interval with the next change's timestamp (open interval +
+    is_current for the latest) — the standard warehouse pattern for
+    dimension history without a transactional MERGE.
+
+    Two window passes over the SAME (user_id → ts) partitioning: the
+    state-change filter and the interval close reuse one shuffle
+    (Catalyst plans a single Exchange).  Deterministic total order via
+    (ts, event_id) so both engines agree on ties."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return changes.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.lead("ts_us").over(w).isNull().alias("is_current"),
+    )

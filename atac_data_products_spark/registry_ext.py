@@ -1090,3 +1090,56 @@ def sessionize_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts DIV 1000").alias("ts_us")
     )
     return sessionize(ev)
+
+
+_KNN_JOIN_ORACLE = """
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM eb WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, v FROM eb WHERE vec_id % 100 <> 0),
+    d AS (SELECT q.q_id, c.vec_id,
+                 round(list_dot_product(c.v, q.qv) /
+                       (sqrt(list_dot_product(c.v, c.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM c CROSS JOIN q),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+          FROM d)
+    SELECT q_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+"""
+
+
+@query("similarity_knn_join", oracle=_KNN_JOIN_ORACLE)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-3 cosine neighbors for a whole SET of query
+    vectors at once (every 100th vector plays the query side) — the
+    retrieval/eval shape, vs similarity_topk's single query.
+
+    Plan: the small query side broadcasts (BroadcastNestedLoopJoin —
+    the m×n pairing is the algorithm, not an accident), one double fold
+    per (corpus row, query), then a per-query top-k window.  Corpus
+    rows stream once regardless of m; at scale the same plan shards by
+    corpus partition with the query block resident per executor.  For
+    corpus-scale query sets use the LSH/IVF bucketed paths instead."""
+    from .extensions.similarity import _as_double, dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") % 100 != 0)
+    cos = F.round(
+        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    d = c.crossJoin(F.broadcast(q)).select("q_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("q_id", "vec_id", "cosine", "rk")
+    )

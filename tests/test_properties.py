@@ -89,3 +89,68 @@ def test_shingles_count_matches_token_count(spark, text):
     ).first()
     # n tokens → max(n-2, 0) 3-gram shingles (empty text tokenizes to [''])
     assert row.n_sh == max(row.n_tok - 2, 0)
+
+
+@given(st.lists(texts, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_repetition_ratio_bounds(spark, docs):
+    """0 <= rep_ratio < 1 for any doc with >= 1 shingle; a doc whose
+    3-grams are all distinct scores exactly 0."""
+    from atac_data_products_spark.extensions.text import tokens, word_shingles
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    shm = df.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    out = shm.groupBy("doc_id").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    ).collect()
+    for r in out:
+        ratio = 1 - r.n_distinct / r.n_total
+        assert 0 <= ratio < 1
+        assert r.n_distinct <= r.n_total
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_intervals_disjoint_and_cover(spark, rows):
+    """Per entity: validity intervals never overlap, exactly one row is
+    current, and every change row's valid_to equals the next change's
+    valid_from (no gaps)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(uid, i, ts, et) for i, (uid, ts, et) in enumerate(rows)],
+        "user_id long, event_id long, ts_us long, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        df.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    hist = changes.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    ).collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append((r.valid_from_us, r.valid_to_us))
+    for spans in by_user.values():
+        spans.sort(key=lambda s: s[0])
+        opens = [s for s in spans if s[1] is None]
+        assert len(opens) == 1  # exactly one current row
+        for (f1, t1), (f2, _) in zip(spans, spans[1:]):
+            assert t1 == f2  # no gap, no overlap
+            assert f1 < f2

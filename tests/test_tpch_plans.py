@@ -102,3 +102,12 @@ def test_q17_window_runs_after_pruning_join(spark):
     plan = _phys(_q("tpch_q17_small_qty_revenue")(spark, SF_SMALL))
     assert "Window" in plan and "BroadcastHashJoin" in plan
     assert plan.index("Window") < plan.index("BroadcastHashJoin")
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both window passes (change filter, interval close) partition on
+    the same key and order, so Catalyst must plan exactly one shuffle
+    and one sort for the whole history build."""
+    plan = _phys(_q("scd2_state_history")(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2

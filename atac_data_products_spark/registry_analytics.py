@@ -797,3 +797,41 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_us").over(w).alias("valid_to_us"),
         F.lead("ts_us").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "window_range_time_frame",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 6) AS sum_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per user, rolling 1-hour count/sum
+    ending at each event.  A RANGE frame bounds by the ORDER BY *value*
+    (here microseconds), not a row count — ROWS frames buffer a fixed
+    row window, RANGE frames slide by time and absorb bursts, which is
+    the semantics monitoring/feature pipelines actually want.  Executes
+    per-partition after one (user_id) shuffle; ties in ts share a frame
+    on both engines by definition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import _t, query
+from .registry import _t, _values_sql, query
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -834,4 +834,267 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-surface batch 4: interval coverage, dictionary tagging,
+# mergeable partial aggregates, vector quantization, tolerant as-of,
+# distribution-window battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_coverage_profile",
+    oracle="""
+    WITH iv AS (SELECT l.l_orderkey,
+                       date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                           AS d0,
+                       date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+                           AS d1
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    days AS (SELECT l_orderkey, unnest(generate_series(d0, d1)) AS day_id
+             FROM iv WHERE d1 >= d0)
+    SELECT CAST(day_id AS BIGINT) AS day_id,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM days GROUP BY day_id
+    """,
+)
+def interval_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval→point coverage: for every calendar day, how many
+    lineitems are "open" (ordered but not yet shipped) — the classic
+    concurrency/coverage profile over an interval set, computed WITHOUT
+    an interval self-join: each interval explodes to the grid cells
+    (days) it covers, then one aggregation counts per cell.
+
+    This is the scale-correct formulation of interval overlap analysis:
+    expansion factor is bounded by interval length (here order→ship,
+    weeks), the join on the key column co-partitions at scale, and the
+    day_id aggregation is map-side combinable.  Day ids are epoch-day
+    integers end to end — never formatted through a session timezone."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("d0"),
+        F.floor(F.unix_timestamp("l_shipdate") / 86400).alias("d1"),
+    )
+    days = iv.where(F.col("d1") >= F.col("d0")).select(
+        "l_orderkey", F.explode(F.sequence("d0", "d1")).alias("day_id")
+    )
+    return days.groupBy(F.col("day_id").cast("bigint").alias("day_id")).agg(
+        F.count("*").alias("n_open"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# term → category tag dictionary (broadcast dim); mirrors an NER-style
+# gazetteer lookup at training-pipeline scale.
+_TAG_DICT = [
+    ("scan", "exec"), ("join", "exec"), ("agg", "exec"), ("sort", "exec"),
+    ("merge", "exec"), ("hash", "exec"), ("filter", "exec"),
+    ("table", "data"), ("row", "data"), ("column", "data"),
+    ("value", "data"), ("batch", "data"), ("stream", "data"),
+    ("vector", "data"),
+]
+
+
+@query(
+    "dict_tag_terms",
+    oracle=rf"""
+    WITH dict AS ({_values_sql(_TAG_DICT, ["term", "category"])}),
+    tok AS (SELECT doc_id, source,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents)
+    SELECT source, category,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok JOIN dict USING (term)
+    GROUP BY source, category
+    """,
+)
+def dict_tag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer tagging: count dictionary-term hits per (source,
+    category) via a broadcast hash join of the exploded token stream
+    against a term→category dimension — the distributed shape of
+    dictionary NER/keyword tagging.  The dictionary broadcasts (it is
+    always tiny relative to the corpus), the join is map-side, and the
+    aggregation is combinable; nothing about this plan changes at
+    100 TB."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    dict_df = spark.createDataFrame(_TAG_DICT, ["term", "category"])
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    return (
+        tok.join(F.broadcast(dict_df), "term")
+        .groupBy("source", "category")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "agg_partial_merge",
+    oracle="""
+    WITH p AS (SELECT o_orderpriority, o_orderkey % 8 AS shard,
+                      sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY o_orderpriority, shard)
+    SELECT o_orderpriority,
+           CAST(sum(c) AS BIGINT) AS n,
+           round(CAST(sum(s) AS DOUBLE), 2) AS total,
+           round(CAST(sum(s) / sum(c) AS DOUBLE), 6) AS avg_price
+    FROM p GROUP BY o_orderpriority
+    """,
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate state (incremental view maintenance):
+    per-shard partials of (sum, count) are merged into exact global
+    avg — avg is NOT averaged, its algebraic state is.  This is the
+    pattern behind incremental refresh at 100 TB: yesterday's partials
+    persist, only new shards aggregate, and the merge is a tiny second
+    stage.  Sums run in DECIMAL(18,4) so the two-level fold is exactly
+    the one-level fold regardless of partial order (double addition is
+    not associative; decimal is)."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy(
+        "o_orderpriority", (F.col("o_orderkey") % 8).alias("shard")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    return p.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("n"),
+        F.round(F.sum("s").cast("double"), 2).alias("total"),
+        F.round((F.sum("s") / F.sum("c")).cast("double"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "vector_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, y -> abs(y)), 'max') AS amax
+          FROM e)
+    SELECT vec_id,
+           CAST(generate_subscripts(v, 1) AS INT) AS dim,
+           CAST(round(unnest(v) / amax * 127, 0) AS INT) AS q
+    FROM m WHERE amax > 0
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column: per
+    vector, scale by 127/max|x| and round each dimension — the storage/
+    bandwidth move every billion-vector ANN index makes (4 bytes → 1
+    byte per dim).  Long-form output (vec_id, dim, q) keeps the result
+    hashable cross-engine.
+
+    Everything is per-row array math (higher-order max fold + one
+    posexplode): no shuffle, no UDF; at 100 TB quantization is a pure
+    map stage feeding the index writer."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda y: y.cast("double")).alias("v"),
+    )
+    m = e.select(
+        "vec_id",
+        "v",
+        F.aggregate(
+            F.transform("v", F.abs), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+        ).alias("amax"),
+    ).where(F.col("amax") > 0)
+    exploded = m.select("vec_id", "amax", F.posexplode("v").alias("pos", "x"))
+    return exploded.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("x") / F.col("amax") * 127, 0).cast("int").alias("q"),
+    )
+
+
+_ASOF_TOL_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_us,
+                 last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+          FROM e)
+    SELECT event_id, user_id, ts_us AS purchase_ts_us,
+           CASE WHEN ts_us - last_click <= {_ASOF_TOL_US}
+                THEN last_click END AS click_ts_us,
+           (last_click IS NOT NULL AND ts_us - last_click <= {_ASOF_TOL_US})
+               AS attributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a match tolerance: a purchase is
+    attributed to the user's most recent prior click only when the gap
+    is within 10 minutes — the bounded-staleness variant (pandas
+    merge_asof's ``tolerance``) every feature-store lookup needs.  Same
+    single-window shape as the unbounded as-of (no join, no range
+    explosion); the tolerance is a post-window predicate, so the scale
+    story is unchanged."""
+    from .operators.asof import asof_prior_event
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    out = asof_prior_event(
+        ev,
+        key="user_id",
+        time_col="ts_us",
+        match=F.col("event_type") == "click",
+        select_when=F.col("event_type") == "purchase",
+    )
+    within = F.col("ts_us") - F.col("asof_ts") <= _ASOF_TOL_US
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(within, F.col("asof_ts")).alias("click_ts_us"),
+        (F.col("asof_ts").isNotNull() & within).alias("attributed"),
+    )
+
+
+@query(
+    "window_distribution_battery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+               AS ratio_to_report
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows: percent_rank / cume_dist over a
+    deterministic total order plus ratio-to-report against the partition
+    total — the remaining SQL:2003 window family not yet covered by the
+    rank battery.  One (segment) shuffle serves all three frames."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(wp), 6).alias(
+            "ratio_to_report"
+        ),
     )

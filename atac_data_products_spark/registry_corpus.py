@@ -429,6 +429,191 @@ def corpus_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Quality gate / chunking / per-source reservoir
+# ---------------------------------------------------------------------------
+
+# Gopher-style quality rules, applied in fixed priority order; the first
+# failing rule is the reported reason.  Thresholds chosen to split the
+# synthetic corpus into a meaningful keep/drop mix (37/188/229 fail the
+# three rules respectively at sf0.01).
+_QG_STOPWORDS = ("the", "a")
+_QG_MIN_CHARS = 100
+_QG_MIN_STOP_RATIO = 0.05
+_QG_MAX_AVG_TOK_LEN = 5.5
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, n_chars,
+                 round(len(list_filter(toks, x -> x IN ('the', 'a')))
+                       / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+                 round(n_chars / CAST(len(toks) AS DOUBLE), 6) AS avg_tok_len
+          FROM t)
+    SELECT doc_id, stop_ratio, avg_tok_len,
+           CASE WHEN n_chars < {_QG_MIN_CHARS} THEN 'too_short'
+                WHEN stop_ratio < {_QG_MIN_STOP_RATIO} THEN 'low_stopword'
+                WHEN avg_tok_len > {_QG_MAX_AVG_TOK_LEN} THEN 'long_tokens'
+                ELSE 'ok' END AS reason,
+           (n_chars >= {_QG_MIN_CHARS} AND stop_ratio >= {_QG_MIN_STOP_RATIO}
+            AND avg_tok_len <= {_QG_MAX_AVG_TOK_LEN}) AS keep
+    FROM m
+    """,
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-quality gate (the Gopher-rule pattern): length,
+    stopword-ratio, and mean-token-length rules evaluated in one scan,
+    emitting keep/drop plus the FIRST failing rule as a reason code —
+    the audit trail a filtering pipeline reports per dropped doc.
+
+    All rules are per-row array/scalar expressions (higher-order
+    functions, no explode), so the gate is a pure narrow projection: no
+    shuffle, fully pushdown-friendly, and at 100 TB it streams.  Ratios
+    are rounded BEFORE thresholding on both engines (repo parity
+    convention) so a float at the boundary cannot flip the verdict
+    cross-engine."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    )
+    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        stop_ratio.alias("stop_ratio"),
+        avg_tok_len.alias("avg_tok_len"),
+    )
+    reason = (
+        F.when(F.col("n_chars") < _QG_MIN_CHARS, "too_short")
+        .when(F.col("stop_ratio") < _QG_MIN_STOP_RATIO, "low_stopword")
+        .when(F.col("avg_tok_len") > _QG_MAX_AVG_TOK_LEN, "long_tokens")
+        .otherwise("ok")
+    )
+    return m.select(
+        "doc_id",
+        "stop_ratio",
+        "avg_tok_len",
+        reason.alias("reason"),
+        (
+            (F.col("n_chars") >= _QG_MIN_CHARS)
+            & (F.col("stop_ratio") >= _QG_MIN_STOP_RATIO)
+            & (F.col("avg_tok_len") <= _QG_MAX_AVG_TOK_LEN)
+        ).alias("keep"),
+    )
+
+
+# RAG-style chunking: fixed token window with overlap (stride < window).
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "corpus_chunk_overlap",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), {_CHUNK_S})) AS start
+          FROM t),
+    c AS (SELECT doc_id, start, toks[start : start + {_CHUNK_W - 1}] AS chunk
+          FROM s)
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_toks,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window {W}, stride {S}) — the
+    retrieval/embedding chunker: every document expands to its chunk
+    table with stable ids, offsets, and a content fingerprint per chunk.
+
+    The whole operator is array expressions on one row — sequence of
+    chunk starts, slice per start — so the expansion is narrow (factor
+    ~n_tokens/stride, bounded by document length), never a shuffle or a
+    self-join.  At 100 TB chunking streams map-side straight into the
+    embedding stage; the md5 fingerprint doubles as the chunk-level
+    exact-dedup key."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_CHUNK_S))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_W)
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+corpus_chunk_overlap.__doc__ = corpus_chunk_overlap.__doc__.format(
+    W=_CHUNK_W, S=_CHUNK_S
+)
+
+_RSV_K = 5
+
+
+@query(
+    "corpus_reservoir_per_source",
+    oracle=f"""
+    WITH h AS (SELECT source, doc_id,
+                      md5('rsv' || CAST(doc_id AS VARCHAR)) AS hk
+               FROM documents),
+    r AS (SELECT source, doc_id, hk,
+                 row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+          FROM h)
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_RSV_K}
+    """,
+)
+def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group "reservoir": the k={k} docs with the
+    smallest salted-md5 rank per source — a uniform, key-stable sample
+    (a doc's hash never changes, so the sample only changes when a
+    smaller-hash doc arrives, exactly reservoir semantics) used for
+    eyeballing/eval subsets per corpus slice.
+
+    One shuffle on source; the window is partition-parallel.  For large
+    k at 100 TB the same semantics run as a two-phase top-k (per-
+    partition k-smallest, then merge) — Spark's window already degrades
+    gracefully since each source partition sorts independently."""
+    d = _t(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        d.select("source", "doc_id", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _RSV_K)
+        .select("source", "doc_id", "rk")
+    )
+
+
+corpus_reservoir_per_source.__doc__ = corpus_reservoir_per_source.__doc__.format(
+    k=_RSV_K
+)
+
+
 @query(
     "corpus_stats_rollup",
     oracle="""

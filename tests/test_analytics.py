@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from atac_data_products_spark.sources.tables import load_table
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def test_approx_count_distinct_within_tolerance(spark):
@@ -148,3 +148,86 @@ def test_big_big_join_sort_merges_without_broadcast(spark):
             else:
                 spark.conf.unset(k)
     assert got.equals(baseline)
+
+
+def test_interval_coverage_conserves_interval_days(spark):
+    """Sum of per-day open counts == sum of interval lengths (each
+    interval contributes exactly d1-d0+1 day-rows)."""
+    from atac_data_products_spark.registry_analytics import interval_coverage_profile
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = interval_coverage_profile(spark, SF_MED).toPandas()
+    li = load_table(spark, SF_MED, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, SF_MED, "orders").select("o_orderkey", "o_orderdate")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (
+                F.floor(F.unix_timestamp("l_shipdate") / 86400)
+                - F.floor(F.unix_timestamp("o_orderdate") / 86400)
+                + 1
+            ).alias("len")
+        )
+        .where(F.col("len") >= 1)
+    )
+    expected = iv.agg(F.sum("len")).collect()[0][0]
+    assert int(got["n_open"].sum()) == int(expected)
+    assert (got["n_orders"] <= got["n_open"]).all()
+
+
+def test_partial_merge_equals_direct_aggregation(spark):
+    from atac_data_products_spark.registry_analytics import agg_partial_merge
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = (
+        agg_partial_merge(spark, SF_MED).toPandas().set_index("o_orderpriority")
+    )
+    direct = (
+        load_table(spark, SF_MED, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert got["n"].sort_index().equals(direct["n"].sort_index())
+    assert got["total"].sort_index().equals(direct["total"].sort_index())
+
+
+def test_quantize_int8_range_and_saturation(spark):
+    from atac_data_products_spark.registry_analytics import vector_quantize_int8
+
+    got = vector_quantize_int8(spark, SF_MED).toPandas()
+    assert got["q"].between(-127, 127).all()
+    # the max-|x| dimension of every vector saturates to exactly +/-127
+    peak = got.groupby("vec_id")["q"].apply(lambda s: s.abs().max())
+    assert (peak == 127).all()
+
+
+def test_asof_tolerance_bounds_gap(spark):
+    from atac_data_products_spark.registry_analytics import (
+        _ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+
+    got = join_asof_tolerance(spark, SF_MED).toPandas()
+    att = got[got["attributed"]]
+    assert ((att["purchase_ts_us"] - att["click_ts_us"]) <= _ASOF_TOL_US).all()
+    assert got.loc[~got["attributed"], "click_ts_us"].isna().all()
+    assert len(att) > 0 and (~got["attributed"]).sum() > 0
+
+
+def test_distribution_battery_invariants(spark):
+    from atac_data_products_spark.registry_analytics import (
+        window_distribution_battery,
+    )
+
+    got = window_distribution_battery(spark, SF_MED).toPandas()
+    assert got["pct_rank"].between(0, 1).all()
+    assert got["cume"].gt(0).all() and got["cume"].le(1).all()
+    ratio_sums = got.groupby("c_mktsegment")["ratio_to_report"].sum()
+    assert (ratio_sums - 1).abs().max() < 1e-4

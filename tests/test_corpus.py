@@ -88,3 +88,73 @@ def test_mixture_sample_tracks_weights(spark):
     expected = sum(weights.values()) / len(weights) / 100
     got = pdf["n_kept"].sum() / pdf["n_docs"].sum()
     assert abs(got - expected) < 0.08, (got, expected)
+
+
+def test_quality_gate_reason_priority_and_keep(spark):
+    from atac_data_products_spark.registry_corpus import (
+        _QG_MAX_AVG_TOK_LEN,
+        _QG_MIN_STOP_RATIO,
+        corpus_quality_gate,
+    )
+
+    pdf = corpus_quality_gate(spark, SF_MED).toPandas()
+    assert set(pdf["reason"]) == {"ok", "too_short", "low_stopword", "long_tokens"}
+    # keep is exactly reason == 'ok'
+    assert (pdf["keep"] == (pdf["reason"] == "ok")).all()
+    # first-fail priority: a low_stopword reason implies the length rule passed
+    low = pdf[pdf["reason"] == "low_stopword"]
+    assert (low["stop_ratio"] < _QG_MIN_STOP_RATIO).all()
+    ok = pdf[pdf["reason"] == "ok"]
+    assert (ok["stop_ratio"] >= _QG_MIN_STOP_RATIO).all()
+    assert (ok["avg_tok_len"] <= _QG_MAX_AVG_TOK_LEN).all()
+
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    from atac_data_products_spark.extensions.text import tokens
+    from atac_data_products_spark.registry_corpus import (
+        _CHUNK_S,
+        _CHUNK_W,
+        corpus_chunk_overlap,
+    )
+    from atac_data_products_spark.sources.tables import load_table
+
+    chunks = corpus_chunk_overlap(spark, SF_MED).toPandas()
+    n_toks = (
+        load_table(spark, SF_MED, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    # last chunk of every doc reaches the final token; no chunk overruns
+    end = chunks.assign(last=chunks.start_tok + chunks.n_toks - 1)
+    per_doc_max = end.groupby("doc_id")["last"].max()
+    assert per_doc_max.equals(n_toks[per_doc_max.index].astype("int64"))
+    # consecutive chunk starts differ by exactly the stride
+    starts = chunks.sort_values(["doc_id", "start_tok"])
+    diffs = starts.groupby("doc_id")["start_tok"].diff().dropna()
+    assert (diffs == _CHUNK_S).all()
+    # full chunks carry exactly W tokens; overlap = W - S > 0
+    assert _CHUNK_W > _CHUNK_S
+    full = chunks[chunks.start_tok + _CHUNK_W - 1 <= chunks.doc_id.map(n_toks)]
+    assert (full["n_toks"] == _CHUNK_W).all()
+
+
+def test_reservoir_per_source_sizes(spark):
+    from atac_data_products_spark.registry_corpus import (
+        _RSV_K,
+        corpus_reservoir_per_source,
+    )
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = corpus_reservoir_per_source(spark, SF_MED).toPandas()
+    sizes = (
+        load_table(spark, SF_MED, "documents")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    per_source = got.groupby("source")["doc_id"].count()
+    for src, n in per_source.items():
+        assert n == min(_RSV_K, sizes[src])
+    assert (got["rk"] <= _RSV_K).all()

@@ -1,0 +1,90 @@
+"""Distributed graph analytics: fixed-iteration PageRank.
+
+The reference has no graph surface; this is the iterative-algorithm
+category of the engine's extension charter (connected components in
+extensions/dedup.py is the other member).  PageRank here is the random-
+walk form over an undirected (symmetrized) edge set, run for a FIXED
+number of rounds so the result is a deterministic function of the graph
+— which makes it oracle-checkable with a recursive CTE.
+
+Cross-engine determinism is the design constraint: float summation is
+fold-order-dependent, and a distributed sum's fold order is not
+reproducible.  So ranks are kept in **fixed-point integer units**
+(1e12 = rank 1.0): contributions are integer divisions, sums are exact
+BIGINT adds (associative and commutative, any fold order), and the
+damping step is integer multiply-then-divide.  The truncation error per
+step is < out_degree ulps of 1e-12 — irrelevant to ranking, decisive
+for bit-identical cross-engine results.
+
+Scale shape per iteration: one join of the rank vector against the edge
+list on the source key (co-partitionable — both sides hash on node id),
+one map-side-combinable sum on the destination key.  That is the
+canonical distributed PageRank step; 100 TB of edges changes the
+partition count, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000_000  # fixed-point 1.0
+DAMP_NUM = 85  # damping 0.85 as an integer ratio
+DAMP_DEN = 100
+TELEPORT_NUM = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 0.15 * scale
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank for ``n_iterations`` rounds over a directed
+    edge list (symmetrize before calling for the undirected walk).
+
+    Returns (node, rank) with rank in RANK_SCALE units.  The edge set is
+    persisted and each rank generation localCheckpoint-ed — the Pregel-
+    loop pattern (see extensions/dedup.py::connected_components): an
+    unrolled lazy plan would re-derive the edge subtree once per
+    iteration and grow lineage unboundedly.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    # node count as a broadcast one-row dim: the whole rank init is one
+    # lazy plan, no driver-side count() action
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{RANK_SCALE} DIV n_nodes").alias("rank"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iterations):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .join(deg, "src")
+            .select("dst", F.expr("rank DIV out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"{TELEPORT_NUM} DIV n_nodes")
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(contrib, 0)) DIV {DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks

@@ -60,6 +60,13 @@ HEADLINE = [
     "corpus_repetition_ratio",
     "corpus_stats_rollup",
     "join_gene_map",
+    # batch 4 analytics + corpus batch 2
+    "interval_coverage_profile",
+    "dict_tag_terms",
+    "vector_quantize_int8",
+    "join_asof_tolerance",
+    "corpus_quality_gate",
+    "corpus_chunk_overlap",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

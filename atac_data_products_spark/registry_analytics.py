@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
-from .sources.tables import load_table
+from .sources.tables import load_table, ts_us_expr
 
 # ---------------------------------------------------------------------------
 # Statistics battery
@@ -302,13 +302,13 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily series from sparse events: aggregate, then LEFT JOIN a
     generated calendar spine (sequence+explode) and zero-fill.  The spine
     is derived from a single min/max row — broadcast, so the join adds no
-    shuffle beyond the aggregation's own.  Day = integer nano-tick DIV
-    86400e9: no session-timezone formatting anywhere."""
+    shuffle beyond the aggregation's own.  Day = integer µs-epoch DIV
+    86400e6: no session-timezone formatting anywhere."""
     ev = load_table(spark, sf_dir, "events")
-    day_ns = 86_400 * 1_000_000_000
+    day_us = 86_400 * 1_000_000
     d = (
         ev.where((F.col("event_type") == "purchase") & (F.col("value") > 200))
-        .groupBy(F.expr(f"ts DIV {day_ns}").alias("day"))
+        .groupBy((ts_us_expr(ev) / F.lit(day_us)).cast("bigint").alias("day"))
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 6).alias("total_value"),
@@ -780,8 +780,9 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-change filter and the interval close reuse one shuffle
     (Catalyst plans a single Exchange).  Deterministic total order via
     (ts, event_id) so both engines agree on ties."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     changes = (
@@ -821,8 +822,9 @@ def window_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantics monitoring/feature pipelines actually want.  Executes
     per-partition after one (user_id) shuffle; ties in ts share a frame
     on both engines by definition."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.expr("ts DIV 1000").alias("ts_us")
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", "value", ts_us_expr(ev_raw).alias("ts_us")
     )
     w = (
         Window.partitionBy("user_id")
@@ -1049,8 +1051,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     story is unchanged."""
     from .operators.asof import asof_prior_event
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
     )
     out = asof_prior_event(
         ev,
@@ -1096,5 +1099,64 @@ def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(wp), 6).alias(
             "ratio_to_report"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: per-user ordered event strings + pattern counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      substr(event_type, 1, 1) AS letter
+               FROM events),
+    s AS (SELECT user_id,
+                 string_agg(letter, '' ORDER BY ts_us, event_id) AS seq
+          FROM e GROUP BY user_id)
+    SELECT user_id, seq,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+               AS n_funnels
+    FROM s
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining via regex over per-user event strings: encode each
+    user's time-ordered events as a letter string (event types have
+    distinct initials) and count non-overlapping view->click->purchase
+    funnels that complete before an intervening purchase — the
+    MATCH_RECOGNIZE shape expressed portably.
+
+    One (user_id) shuffle builds the sequences; collect_list + array_sort
+    on (ts_us, event_id) structs gives a deterministic total order
+    without an ordered-aggregation primitive, and per-user event counts
+    bound the collected array (the same cardinality argument as the
+    sessionizer)."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        F.struct(
+            ts_us_expr(ev_raw).alias("ts_us"),
+            F.col("event_id").alias("event_id"),
+            F.substring("event_type", 1, 1).alias("letter"),
+        ).alias("ev"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("ev")), lambda s: s.getField("letter")
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        "seq",
+        F.regexp_count("seq", F.lit("v[^p]*c[^p]*p")).cast("bigint").alias(
+            "n_funnels"
         ),
     )

@@ -38,7 +38,7 @@ from .extensions.text import (
     tokens,
 )
 from .registry import ORACLES, _t, _values_sql, query
-from .sources.tables import events_with_ts
+from .sources.tables import events_with_ts, ts_us_expr
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL fragments (DuckDB dialect), generated from the same
@@ -477,8 +477,9 @@ def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable shape for backward as-of semantics."""
     from .operators.asof import asof_prior_event
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
     )
     out = asof_prior_event(
         ev,
@@ -1086,9 +1087,8 @@ def sessionize_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     same gaps-and-islands oracle as session_window."""
     from .extensions.stateful import sessionize
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us")
-    )
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", ts_us_expr(ev_raw).alias("ts_us"))
     return sessionize(ev)
 
 

@@ -45,12 +45,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def ts_us_expr(df: DataFrame):
+    """Microsecond-epoch BIGINT expression for the events `ts` column,
+    robust to the parquet physical type: TIMESTAMP(NANOS) arrives as
+    BIGINT nanos (nanosAsLong) and is integer-DIVed — not float-divided,
+    nanosecond epochs exceed double's 53-bit mantissa — while
+    TIMESTAMP(MICROS) arrives as a timestamp and converts exactly via
+    unix_micros (session tz is UTC, so this equals DuckDB's epoch_us)."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        return F.expr("ts DIV 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` converted nanos→timestamp (µs truncation, matching
-    DuckDB's TIMESTAMP_NS → TIMESTAMP cast)."""
+    """events with `ts` normalized to a µs TIMESTAMP regardless of the
+    file's physical type (BIGINT nanos or TIMESTAMP(MICROS))."""
     from pyspark.sql import functions as F
 
     df = load_table(spark, sf_dir, "events")
-    # integer DIV, not float division: nanosecond epochs exceed double's
-    # 53-bit mantissa, so ts/1000.0 would round by hundreds of ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.timestamp_micros(ts_us_expr(df)))

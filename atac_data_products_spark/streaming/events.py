@@ -17,22 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events (ts arrives as raw nanos — same
-    legacy-parquet handling as the batch reader, converted with integer
-    DIV to µs).
+    """File-source stream of events with `ts` normalized to a µs
+    TIMESTAMP whatever the file's physical type (BIGINT nanos under
+    nanosAsLong, or TIMESTAMP(MICROS)) — same handling as the batch
+    reader (sources/tables.py::ts_us_expr).
 
-    The streaming file source requires a *directory*; a single-file path
-    is staged behind a symlink dir so the same call works on both.
+    The streaming file source requires an explicit schema and a
+    *directory*; the schema comes from a footer-only batch read of the
+    same path, and a single-file path is staged behind a symlink dir so
+    the same call works on both.
     """
     import os
     import tempfile
+
+    from ..sources.tables import ts_us_expr
 
     if os.path.isfile(path):
         stage = tempfile.mkdtemp(prefix="adp_stream_")
@@ -40,11 +39,11 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         path = stage
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.timestamp_micros(ts_us_expr(raw)))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry_analytics,
         registry_corpus,
         registry_ext,
+        registry_graph,
         registry_tpch,
     )
 
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         registry_analytics,
         registry_corpus,
         registry_ext,
+        registry_graph,
         registry_tpch,
     )
 

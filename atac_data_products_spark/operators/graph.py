@@ -54,31 +54,33 @@ def pagerank_fixed(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    # node count as a broadcast one-row dim: the whole rank init is one
-    # lazy plan, no driver-side count() action
-    nn = nodes.agg(F.count("*").alias("n_nodes"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"{RANK_SCALE} DIV n_nodes").alias("rank"))
-        .localCheckpoint()
+    # (src, out_deg) fused with the rank seed: one checkpointed frame
+    # instead of re-deriving a distinct + an agg every iteration.  An
+    # iterative operator is eager by nature (the checkpoint cuts
+    # lineage), so the scalar node count is one tiny extra job up front,
+    # after which the per-node teleport term is a plan-time constant.
+    deg = (
+        e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint()
+    )
+    n_nodes = deg.count()
+    teleport = TELEPORT_NUM // n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(RANK_SCALE // n_nodes).alias("rank")
     )
     for _ in range(n_iterations):
         contrib = (
-            ranks.join(e, ranks.node == e.src)
-            .join(deg, "src")
+            ranks.join(deg, ranks.node == deg.src)
+            .join(e, "src")
             .select("dst", F.expr("rank DIV out_deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, nodes.node == contrib.dst, "left")
+            deg.join(contrib, deg.src == contrib.dst, "left")
             .select(
-                "node",
+                F.col("src").alias("node"),
                 (
-                    F.expr(f"{TELEPORT_NUM} DIV n_nodes")
+                    F.lit(teleport)
                     + F.expr(
                         f"({DAMP_NUM} * coalesce(contrib, 0)) DIV {DAMP_DEN}"
                     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import registry_ext  # noqa: F401  (registers the CC oracle this module composes)
 from .registry import _t, _values_sql, query
 
 # ---------------------------------------------------------------------------
@@ -651,4 +652,118 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "avg_chars",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup pipeline: pairs -> clusters -> keep-best survivor
+# ---------------------------------------------------------------------------
+
+
+def _survivors_oracle() -> str:
+    """Survivor selection on top of the connected-components oracle (the
+    recursive CTE registered by registry_ext, imported above so its
+    ORACLES entry exists at module-import time)."""
+    from .registry import ORACLES
+
+    cc_sql = ORACLES["dedup_connected_components"]
+    return f"""
+    WITH cc AS ({cc_sql}),
+    sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM cc GROUP BY cluster_id),
+    ranked AS (SELECT c.doc_id, c.cluster_id, s.n_members,
+                      row_number() OVER (PARTITION BY c.cluster_id
+                                         ORDER BY length(d.text) DESC, c.doc_id)
+                          AS rn
+               FROM cc c
+               JOIN documents d ON c.doc_id = d.doc_id
+               JOIN sized s ON c.cluster_id = s.cluster_id)
+    SELECT doc_id, cluster_id, n_members FROM ranked WHERE rn = 1
+    """
+
+
+@query("corpus_dedup_survivors", oracle=_survivors_oracle())
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM dedup pipeline composed end-to-end: near-dup
+    pairs -> connected components -> ONE survivor per duplicate cluster
+    (longest text, doc_id tie-break).  Pairs come from the exact Jaccard
+    stage so the whole pipeline is value-checkable; swapping in the LSH
+    candidate stage changes recall, not this plan's shape.
+
+    Scale: survivor selection is a per-cluster window after one
+    (cluster_id) shuffle — never a global sort; cluster sizes are
+    bounded by real duplication, and a pathological mega-cluster is
+    exactly the hot-bucket case the LSH cap test pins."""
+    from .extensions.dedup import connected_components
+    from .registry_ext import dedup_ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(docs.select("doc_id"), edges)
+    sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("text")), F.col("doc_id")
+    )
+    return (
+        cc.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(sized, "cluster_id")
+        .select("doc_id", "cluster_id", "n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: the tokenizer-design report
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK = 200
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM toks),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM tok WHERE token != '' GROUP BY token),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    topk AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOPK})
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+           round(CAST(sum(n) OVER (ORDER BY n DESC, token
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / total, 6) AS cum_frac
+    FROM topk CROSS JOIN total
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency table with cumulative corpus coverage — the
+    report a tokenizer design reads ("how many types cover 95% of
+    tokens").  Token counting and the ordered top-k are fully parallel
+    (map-side-combinable agg + parallel top-k limit); the single-
+    partition window runs over only the {VOCAB_TOPK}-row page, with the
+    corpus-wide token total folded in as a broadcast one-row dim —
+    no global sort of the full vocabulary anywhere."""
+    from .extensions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    topk = counts.orderBy(F.desc("n"), "token").limit(VOCAB_TOPK)
+    w = Window.orderBy(F.desc("n"), "token")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return topk.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.round(
+            F.sum("n").over(wsum).cast("double") / F.col("total"), 6
+        ).alias("cum_frac"),
     )

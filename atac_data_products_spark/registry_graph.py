@@ -1,0 +1,213 @@
+"""Graph-analytics registry: iterative algorithms over derived edge sets.
+
+The reference has no graph surface (its 505-LoC pandas ETL never joins a
+table to itself); this registry is the iterative-algorithm category of
+the engine's extension charter, alongside connected components in
+extensions/dedup.py.  Both Spark plan and DuckDB oracle are generated
+from the SAME constants (fixed-point scale, damping ratio, iteration
+count), so parity is structural.
+
+Cross-engine determinism: ranks are exact BIGINT fixed-point (see
+operators/graph.py) — integer adds are associative/commutative under any
+distributed fold order, so the oracle's single-threaded sum and Spark's
+partial-aggregate sum agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.graph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    RANK_SCALE,
+    TELEPORT_NUM,
+    pagerank_fixed,
+)
+from .registry import _t, query
+
+# Customer node ids are offset into a disjoint id-space so the
+# supplier<->customer edge set is a simple graph over one BIGINT key.
+CUST_OFFSET = 10_000_000
+PR_ITERATIONS = 3
+
+_EDGE_CTES = f"""
+    raw AS (SELECT DISTINCT l_suppkey AS a, o_custkey + {CUST_OFFSET} AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM raw
+              UNION ALL SELECT b AS src, a AS dst FROM raw)"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized supplier<->customer edge list (who shipped to whom).
+
+    Symmetrization is an explode of both directions of each distinct
+    directed pair — ONE scan + ONE distinct shuffle, where a
+    union-of-two-selects would compute the join and distinct twice.  The
+    a/b id-spaces are disjoint (CUST_OFFSET), so the exploded set is
+    already duplicate-free.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("a"),
+            (F.col("o_custkey") + F.lit(CUST_OFFSET)).alias("b"),
+        )
+        .distinct()
+    )
+    return raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def _pagerank_oracle(n_iter: int = PR_ITERATIONS) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL, one CTE pair per
+    step, using the same integer constants as operators/graph.py.  `//`
+    (DuckDB) and `DIV` (Spark) agree on non-negative BIGINTs."""
+    ctes = [
+        _EDGE_CTES,
+        """
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST({scale} // n_nodes AS BIGINT) AS rank
+           FROM nodes CROSS JOIN nn)""".format(scale=RANK_SCALE),
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    c{i} AS (SELECT e.dst AS node,
+                    CAST(sum(r.rank // d.out_deg) AS BIGINT) AS contrib
+             FROM r{i - 1} r
+             JOIN edges e ON r.node = e.src
+             JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    CAST(({TELEPORT_NUM} // nn.n_nodes)
+                         + ({DAMP_NUM} * coalesce(c.contrib, 0)) // {DAMP_DEN}
+                      AS BIGINT) AS rank
+             FROM nodes n CROSS JOIN nn
+             LEFT JOIN c{i} c ON n.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n    SELECT node, rank FROM r{n_iter}"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 rounds, damping 0.85) over the
+    supplier<->customer trade graph.  Exact BIGINT arithmetic makes the
+    distributed result bit-identical to the single-threaded oracle."""
+    return pagerank_fixed(_trade_edges(spark, sf_dir), n_iterations=PR_ITERATIONS)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-order graph
+# ---------------------------------------------------------------------------
+
+_COPART_CTES = """
+    pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordered (p1 < p2) part pairs that co-occur in an order.
+
+    The self-join key is l_orderkey — bounded fan-out (lines per order is
+    small and capped by the schema), so the pair count is ~k²/2 per order,
+    never corpus²; this is the standard co-occurrence edge builder.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COPART_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.p2 = e2.p1
+    JOIN pairs e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-order graph: the canonical
+    ordered-wedge plan — join edges (a<b)x(b<c), close with (a<c).  Each
+    triangle is counted exactly once because edges are stored only in
+    ascending-key direction.  Two shuffle joins on edge endpoints; scale
+    tracks wedge count, not node²."""
+    e = _copart_edges(spark, sf_dir)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+    tri = wedges.join(
+        e3,
+        (F.col("e1.p1") == F.col("e3.p1")) & (F.col("e2.p2") == F.col("e3.p2")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+    side AS (SELECT CASE WHEN src >= {CUST_OFFSET} THEN 'customer' ELSE 'supplier' END AS side,
+                    degree
+             FROM deg)
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(sum(degree) AS BIGINT) AS sum_degree
+    FROM side GROUP BY side
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile per bipartite side — the smoke-read every graph
+    pipeline starts with; one shuffle to degrees, map-side-combinable
+    rollup after."""
+    deg = (
+        _trade_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("src") >= CUST_OFFSET, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+            "degree",
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+            F.sum("degree").alias("sum_degree"),
+        )
+    )

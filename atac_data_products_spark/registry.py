@@ -967,6 +967,38 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("l_orderkey", "l_quantity", "l_returnflag")
 
 
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="SELECT doc_id, source, n_chars FROM documents",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented directory (here 64
+    shards) into size-targeted files — ceil(bytes / 8 MiB) outputs,
+    derived from the actual directory footprint via a FileSystem listing
+    (a metadata call, not a data pass).  Fragmentation is THE silent
+    100 TB killer: a million 100 KB files turn scan planning and task
+    scheduling into the bottleneck long before I/O does.  Values are
+    untouched, so the oracle is the identity query; the file-count
+    contract is pinned in tests/test_operators.py."""
+    frag = os.path.join(_staging_dir("compact"), f"frag_{_uuid.uuid4().hex[:8]}")
+    compact = os.path.join(_staging_dir("compact"), f"out_{_uuid.uuid4().hex[:8]}")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(frag)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, -(-total // COMPACT_TARGET_BYTES))
+
+    spark.read.parquet(frag).repartition(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    return spark.read.parquet(compact)
+
+
 _CSV_QUOTED_ROWS = [
     ("1", "plain"),
     ("2", "has,comma"),

@@ -269,9 +269,19 @@ def connected_components(
     # persist the static edge set; localCheckpoint each label generation
     # to truncate lineage (the Pregel-loop pattern).  Measured: 17s → 5s
     # at sf0.01.
+    # symmetrize via ONE explode over the directed pairs: a union of two
+    # selects would materialize the (possibly expensive) upstream pair
+    # pipeline once per branch before the persist catches it
     both = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint()
@@ -298,6 +308,10 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # free the superseded generation's checkpoint blocks — they
+        # otherwise accumulate for the life of the session and bleed
+        # memory pressure into every later query
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -75,6 +75,7 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        prev = ranks
         ranks = (
             deg.join(contrib, deg.src == contrib.dst, "left")
             .select(
@@ -88,5 +89,12 @@ def pagerank_fixed(
             )
             .localCheckpoint()
         )
+        # the new generation is materialized; release the old one so
+        # checkpoint blocks don't accumulate across the session
+        prev.unpersist()
     e.unpersist()
+    if n_iterations > 0:
+        # the returned generation is materialized; the seed frame is not
+        # referenced by it anymore
+        deg.unpersist()
     return ranks

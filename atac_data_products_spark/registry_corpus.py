@@ -661,12 +661,26 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _survivors_oracle() -> str:
-    """Survivor selection on top of the connected-components oracle (the
-    recursive CTE registered by registry_ext, imported above so its
-    ORACLES entry exists at module-import time)."""
+    """Survivor selection on top of connected components over the LSH
+    candidate pairs.  The LSH oracle (registered by registry_ext,
+    imported above so its ORACLES entry exists at module-import time)
+    replicates the banding from the same constants, so even though the
+    pair stage is approximate-recall, BOTH engines derive the identical
+    pair set and the whole pipeline stays value-checked."""
     from .registry import ORACLES
 
-    cc_sql = ORACLES["dedup_connected_components"]
+    pair_sql = ORACLES["dedup_minhash_lsh"]
+    cc_sql = f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc_id = e.src
+    )
+    SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+    """
     return f"""
     WITH cc AS ({cc_sql}),
     sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
@@ -684,21 +698,25 @@ def _survivors_oracle() -> str:
 
 @query("corpus_dedup_survivors", oracle=_survivors_oracle())
 def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical LLM dedup pipeline composed end-to-end: near-dup
-    pairs -> connected components -> ONE survivor per duplicate cluster
-    (longest text, doc_id tie-break).  Pairs come from the exact Jaccard
-    stage so the whole pipeline is value-checkable; swapping in the LSH
-    candidate stage changes recall, not this plan's shape.
+    """The canonical LLM dedup pipeline composed end-to-end: MinHash-LSH
+    near-dup pairs -> connected components -> ONE survivor per duplicate
+    cluster (longest text, doc_id tie-break).  The pair stage is the
+    banded-LSH SCALE path, not the quadratic exact baseline — and it is
+    still value-checked end to end because the oracle rebuilds the same
+    bands from the same constants (the exact-pair twin of this pipeline
+    is dedup_connected_components).
 
     Scale: survivor selection is a per-cluster window after one
     (cluster_id) shuffle — never a global sort; cluster sizes are
     bounded by real duplication, and a pathological mega-cluster is
     exactly the hot-bucket case the LSH cap test pins."""
-    from .extensions.dedup import connected_components
-    from .registry_ext import dedup_ngram_jaccard
+    from .extensions.dedup import connected_components, minhash_lsh_dedup_pairs
+    from .registry_ext import JACCARD_THRESHOLD
 
     docs = _t(spark, sf_dir, "documents")
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = minhash_lsh_dedup_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
     cc = connected_components(docs.select("doc_id"), edges)
     sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     w = Window.partitionBy("cluster_id").orderBy(

@@ -67,6 +67,13 @@ HEADLINE = [
     "join_asof_tolerance",
     "corpus_quality_gate",
     "corpus_chunk_overlap",
+    # round-2 batch: reconciliation, graph profile, vocab, sequences
+    # (pagerank / triangle_count / dedup_survivors are deliberately not
+    # headline: iterative/multi-join ops, tracked via the oracle gate)
+    "table_diff_reconcile",
+    "graph_degree_stats",
+    "corpus_vocab_coverage",
+    "events_sequence_pattern",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

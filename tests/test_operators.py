@@ -203,3 +203,35 @@ def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "isnotnull(bucket" in plan or "bucket" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == 250
+
+
+def test_compaction_hits_size_targeted_file_count(spark):
+    """sink_compact_small_files' contract: the compacted directory holds
+    ceil(bytes / target) parquet files — far fewer than the fragmented
+    input — and the same rows."""
+    import glob
+    import os
+
+    from atac_data_products_spark.registry import (
+        COMPACT_TARGET_BYTES,
+        sink_compact_small_files,
+    )
+    from atac_data_products_spark import registry
+
+    back = sink_compact_small_files(spark, "/root/testdata/sf0.01")
+    assert back.count() == 500
+
+    root = registry._STAGING_ROOT
+    frag_dirs = sorted(glob.glob(os.path.join(root, "compact", "frag_*")))
+    out_dirs = sorted(glob.glob(os.path.join(root, "compact", "out_*")))
+    assert frag_dirs and out_dirs
+    frag, out = frag_dirs[-1], out_dirs[-1]
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_out = len(glob.glob(os.path.join(out, "*.parquet")))
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(frag, "*.parquet"))
+    )
+    expected = max(1, -(-total // COMPACT_TARGET_BYTES))
+    assert n_frag == 64
+    assert n_out == expected
+    assert n_out < n_frag

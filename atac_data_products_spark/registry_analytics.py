@@ -1314,3 +1314,88 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("same")
     )
     return joined.groupBy(status.alias("status")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Group-wise feature scaling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "normalize_zscore_group",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER w)
+                 / stddev_samp(c_acctbal) OVER w, 6) AS z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def normalize_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-scaling step of
+    every tabular training pipeline, as one unbounded window over the
+    group (mean and stddev share the single (segment) shuffle).  The
+    co-moment aggregates merge stably, so the rounded value is fold-
+    order-proof (same convention as agg_stats_battery)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(
+            (F.col("c_acctbal") - F.avg("c_acctbal").over(w))
+            / F.stddev_samp("c_acctbal").over(w),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "agg_winsorize",
+    oracle="""
+    WITH p AS (SELECT c_mktsegment,
+                      quantile_cont(c_acctbal, 0.05) AS p05,
+                      quantile_cont(c_acctbal, 0.95) AS p95
+               FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment,
+           round(p.p05, 6) AS p05,
+           round(p.p95, 6) AS p95,
+           round(avg(c.c_acctbal), 6) AS avg_raw,
+           round(avg(least(greatest(c.c_acctbal, p.p05), p.p95)), 6)
+               AS avg_winsorized
+    FROM customer c JOIN p ON c.c_mktsegment = p.c_mktsegment
+    GROUP BY c.c_mktsegment, p.p05, p.p95
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped-tail) aggregation: exact interpolated P5/P95
+    per group, broadcast back onto the rows, values clamped into the
+    band, then re-aggregated — outlier-robust statistics without
+    dropping rows.  Two passes over one (segment) partitioning; the
+    tiny per-group bounds frame broadcasts, so no extra shuffle for the
+    clamp join.  At 100 TB the percentile pass swaps to the t-digest
+    sketch plan-compatibly (agg_percentiles' convention)."""
+    c = _t(spark, sf_dir, "customer")
+    p = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    clamped = c.join(F.broadcast(p), "c_mktsegment").select(
+        "c_mktsegment",
+        "p05",
+        "p95",
+        "c_acctbal",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")).alias(
+            "clamped"
+        ),
+    )
+    return clamped.groupBy("c_mktsegment", "p05", "p95").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_raw"),
+        F.round(F.avg("clamped"), 6).alias("avg_winsorized"),
+    ).select(
+        "c_mktsegment",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+        "avg_raw",
+        "avg_winsorized",
+    )

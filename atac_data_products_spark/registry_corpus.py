@@ -785,3 +785,48 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(wsum).cast("double") / F.col("total"), 6
         ).alias("cum_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: the hashing-trick featurizer
+# ---------------------------------------------------------------------------
+
+HASH_FEATURE_BUCKETS = 64
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT % {HASH_FEATURE_BUCKETS}
+                     AS bucket
+          FROM tok WHERE token != '')
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens -> fixed-width feature buckets via the
+    repo's portable md5-prefix hash, counts per (doc, bucket) — a
+    vocabulary-free featurizer whose output width is a constant, which
+    is what makes it the streaming/OOV-safe choice at corpus scale.
+    Long-form output (doc_id, bucket, n): sparse by construction; one
+    combinable aggregation shuffle and no vocabulary state anywhere."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).where(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+        % HASH_FEATURE_BUCKETS
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1143,3 +1143,71 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("q_id", "vec_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch inference seam: Arrow mapInPandas "model scoring"
+# ---------------------------------------------------------------------------
+
+# Deterministic int8 "model": weights in [-63, 63].  Real deployments
+# swap in loaded weights; the CONTRACT under test is the distributed
+# scoring plumbing (schema, Arrow batching, exact quantized arithmetic),
+# not the model.
+ML_WEIGHTS = [((d * 37) % 127) - 63 for d in range(64)]
+
+
+def _ml_score_oracle() -> str:
+    w = "[" + ", ".join(str(x) for x in ML_WEIGHTS) + "]"
+    return f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM eb),
+    q AS (SELECT vec_id,
+                 CASE WHEN amax = 0
+                      THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                      ELSE list_transform(v, x ->
+                             CASE WHEN x >= 0
+                                  THEN floor(x / amax * 127 + 0.5)
+                                  ELSE -floor(-(x / amax * 127) + 0.5) END)
+                 END AS qv
+          FROM m)
+    SELECT vec_id,
+           CAST(list_dot_product(qv, {w}) AS BIGINT) AS score,
+           list_dot_product(qv, {w}) > 0 AS predicted
+    FROM q
+    """
+
+
+@query("ml_score_batch", oracle=_ml_score_oracle())
+def ml_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch inference through the Arrow seam: mapInPandas
+    scores whole record batches with one vectorized numpy matmul per
+    batch — the shape a real embedding-model or reranker scoring job
+    takes when the model cannot be expressed in SQL.
+
+    Bit-exact cross-engine by construction: vectors are symmetric-
+    quantized to int8 steps (half-away-from-zero, matching SQL round
+    semantics) and the score is an integer dot product — no float
+    summation order anywhere, so numpy's pairwise/BLAS reduction and
+    DuckDB's sequential fold agree exactly.  Scale: a pure map stage —
+    no shuffle, no state, Arrow batch size bounds memory."""
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def infer(batches):
+        import numpy as np
+
+        w = np.asarray(ML_WEIGHTS, dtype=np.int64)
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            amax = np.abs(v).max(axis=1)
+            safe = np.where(amax == 0, 1.0, amax)
+            y = v / safe[:, None] * 127.0
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            q[amax == 0] = 0
+            s = q @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "score": s, "predicted": s > 0}
+            )
+
+    return emb.mapInPandas(infer, "vec_id bigint, score bigint, predicted boolean")

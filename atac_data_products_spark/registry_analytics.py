@@ -1399,3 +1399,100 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_raw",
         "avg_winsorized",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution over the event stream
+# ---------------------------------------------------------------------------
+
+_TOUCH_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "attribution_multitouch_linear",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_us,
+                 CAST(count(*) FILTER (WHERE event_type = 'click')
+                      OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN {_TOUCH_WINDOW_US} PRECEDING
+                                      AND 1 PRECEDING) AS BIGINT) AS n_touch
+          FROM e)
+    SELECT event_id, user_id, ts_us AS purchase_ts_us, n_touch,
+           CASE WHEN n_touch > 0 THEN round(1.0 / n_touch, 6) END
+               AS credit_per_touch
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def attribution_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across ALL the user's clicks in the preceding 10
+    minutes — the many-touch generalization of the single-touch as-of
+    join (join_asof_tolerance).  Expressed as one conditional count over
+    a RANGE frame: no join, no interval explosion; the frame bound is
+    event-time value-based, so bursts don't widen state.  One (user_id)
+    shuffle serves the whole computation."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_TOUCH_WINDOW_US, -1)
+    )
+    n_touch = F.count(
+        F.when(F.col("event_type") == "click", F.lit(1))
+    ).over(w)
+    return (
+        ev.withColumn("n_touch", n_touch.cast("bigint"))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "n_touch",
+            F.when(
+                F.col("n_touch") > 0, F.round(F.lit(1.0) / F.col("n_touch"), 6)
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < {K_ANON_THRESHOLD} AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: equivalence-class sizes over the quasi-
+    identifier combination (segment, nation, coarse balance band);
+    classes smaller than k={K_ANON_THRESHOLD} are re-identification
+    risks that a release pipeline must generalize or suppress.  One
+    combinable aggregation — the audit costs a single shuffle at any
+    scale, and the banding column shows the generalization knob."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(
+        F.count("*").alias("n"),
+        (F.count("*") < K_ANON_THRESHOLD).alias("at_risk"),
+    )

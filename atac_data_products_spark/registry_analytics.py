@@ -1496,3 +1496,76 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.count("*") < K_ANON_THRESHOLD).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy traversal: bounded-depth transitive closure
+# ---------------------------------------------------------------------------
+
+_HIER_MAX_DEPTH = 6
+
+
+@query(
+    "hierarchy_ancestor_paths",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS key, c_custkey // 10 AS parent FROM customer
+    ),
+    walk(key, anc, depth) AS (
+      SELECT key, parent, 1 FROM edges WHERE key > 0
+      UNION ALL
+      SELECT w.key, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON w.anc = e.key
+      WHERE w.anc > 0
+    )
+    SELECT key AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_ancestors,
+           string_agg(CAST(anc AS VARCHAR), '/' ORDER BY depth) AS path
+    FROM walk GROUP BY key
+    """,
+)
+def hierarchy_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth hierarchy traversal (transitive closure): every
+    customer's ancestor chain in a parent tree (parent = key DIV 10 —
+    a synthetic but genuinely tree-shaped org/BOM stand-in), built by
+    UNROLLED self-joins on the edge table: depth is bounded (max key
+    14999 → ≤ 6 levels), so the whole closure is ONE lazy plan — no
+    driver loop, no checkpointing, and Catalyst sees every level for
+    reuse.  The per-key path string aggregates the ancestors in depth
+    order (deterministic).  For unbounded-depth graphs the Pregel loop
+    (extensions/dedup.py::connected_components) is the fallback; for
+    hierarchies — org charts, BOMs, category trees — the bounded unroll
+    is the faster, planner-friendly shape."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+    )
+    level = edges.where(F.col("key") > 0).select(
+        "key", F.col("parent").alias("anc"), F.lit(1).alias("depth")
+    )
+    all_levels = level
+    e2 = edges.select(F.col("key").alias("__k"), F.col("parent").alias("__p"))
+    for _ in range(_HIER_MAX_DEPTH - 1):
+        level = (
+            level.where(F.col("anc") > 0)
+            .join(e2, F.col("anc") == F.col("__k"))
+            .select("key", F.col("__p").alias("anc"), (F.col("depth") + 1).alias("depth"))
+        )
+        all_levels = all_levels.unionByName(level)
+    return (
+        all_levels.groupBy("key")
+        .agg(
+            F.count("*").alias("n_ancestors"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("depth", F.col("anc")))
+                    ),
+                    lambda s: s.getField("anc").cast("string"),
+                ),
+                "/",
+            ).alias("path"),
+        )
+        .select(F.col("key").alias("c_custkey"), "n_ancestors", "path")
+    )

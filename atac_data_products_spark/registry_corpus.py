@@ -830,3 +830,79 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: PMI over bigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni WHERE tok != '' GROUP BY tok),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+    bg AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY bigram),
+    nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc),
+    top AS (SELECT bigram, c_xy FROM bc ORDER BY c_xy DESC, bigram LIMIT 20)
+    SELECT t.bigram, t.c_xy,
+           round(ln((CAST(t.c_xy AS DOUBLE) / n_bi)
+                    / ((CAST(x.c AS DOUBLE) / n_uni)
+                       * (CAST(y.c AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM top t
+    JOIN uc x ON x.tok = split_part(t.bigram, ' ', 1)
+    JOIN uc y ON y.tok = split_part(t.bigram, ' ', 2)
+    CROSS JOIN nu CROSS JOIN nb
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for the top-20
+    bigrams — ln(p(xy) / (p(x)p(y))) with the SAME float parenthesization
+    on both engines (ratios first; raw integer cross-products would
+    overflow BIGINT at corpus scale).  Unigram/bigram counting are both
+    combinable aggregates; the unigram side and the one-row totals
+    broadcast onto the 20-row top page, so nothing after the counts
+    shuffles more than the page."""
+    from .extensions.text import tokens, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    uc = (
+        toks.select(F.explode("t").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    bc = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(word_shingles(F.col("t"), n=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    nb = bc.agg(F.sum("c_xy").cast("bigint").alias("n_bi"))
+    top = bc.orderBy(F.desc("c_xy"), "bigram").limit(20)
+    x = uc.select(F.col("tok").alias("__xtok"), F.col("c").alias("__xc"))
+    y = uc.select(F.col("tok").alias("__ytok"), F.col("c").alias("__yc"))
+    joined = (
+        top.join(F.broadcast(x), F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("__xtok"))
+        .join(F.broadcast(y), F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("__ytok"))
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("__xc").cast("double") / F.col("n_uni"))
+                * (F.col("__yc").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return joined.select("bigram", "c_xy", pmi.alias("pmi"))

@@ -231,3 +231,18 @@ def test_distribution_battery_invariants(spark):
     assert got["cume"].gt(0).all() and got["cume"].le(1).all()
     ratio_sums = got.groupby("c_mktsegment")["ratio_to_report"].sum()
     assert (ratio_sums - 1).abs().max() < 1e-4
+
+
+def test_table_diff_statuses_partition_both_snapshots(spark):
+    """added/removed/changed/same must exactly partition both sides:
+    same+changed+removed == |base| and same+changed+added == |rev|
+    (rev = base - 6% removed + 6% inserted)."""
+    from atac_data_products_spark.registry_analytics import table_diff_reconcile
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = {
+        r.status: r.n for r in table_diff_reconcile(spark, SF_MED).collect()
+    }
+    n_base = load_table(spark, SF_MED, "orders").count()
+    assert got["same"] + got["changed"] + got["removed"] == n_base
+    assert got["added"] > 0 and got["removed"] > 0 and got["changed"] > 0

@@ -111,3 +111,57 @@ def test_scd2_windows_share_one_exchange(spark):
     plan = _phys(_q("scd2_state_history")(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_interval_sweep_has_no_interval_explosion(spark):
+    """The coverage profile must be the sweep plan: exactly one
+    sequence-explode (the bounded segment re-expansion) and the two
+    constant 2-element endpoint explodes — never a per-interval
+    sequence(d0, d1) whose output scales with interval length."""
+    plan = _phys(_q("interval_coverage_profile")(spark, SF_SMALL))
+    assert plan.count("sequence(") == 1
+    seg = plan.split("sequence(")[1][:80]
+    assert "coalesce" in seg or "seg_end" in seg
+
+
+def test_dict_tag_has_no_join_or_expand(spark):
+    """Gazetteer tagging folds the dict into HOF projections: no join
+    of an exploded token stream, no count-distinct Expand doubling."""
+    plan = _phys(_q("dict_tag_terms")(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "Expand" not in plan
+
+
+def test_ml_score_is_one_arrow_map_stage(spark):
+    """Batch inference must be a pure map: one MapInPandas over the
+    scan, zero Exchanges."""
+    plan = _phys(_q("ml_score_batch")(spark, SF_SMALL))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_feature_hashing_single_shuffle(spark):
+    """Hashing-trick featurizer: one aggregation Exchange, no joins."""
+    plan = _phys(_q("text_feature_hashing")(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg around one shuffle
+
+
+def test_attribution_single_user_shuffle(spark):
+    """Multi-touch attribution: one (user_id) window pass, no joins."""
+    plan = _phys(_q("attribution_multitouch_linear")(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """The per-group P5/P95 frame must broadcast back onto the rows —
+    clamping adds no shuffle beyond the two aggregations."""
+    plan = _phys(_q("agg_winsorize")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

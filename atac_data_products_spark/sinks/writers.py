@@ -66,7 +66,7 @@ def write_product(
     prunes partitions — the same access pattern the reference hardcodes
     as per-directory file reads (bin/concatenate.py:124-136).
     """
-    obs.write.mode("overwrite").parquet(os.path.join(out_dir, "obs"))
+    obs.write.mode("overwrite").parquet(_join_uri(out_dir, "obs"))
     for modality, (x, var) in modalities.items():
         # sort within files by the row key (when present) so parquet
         # row-group min/max statistics prune per-cell reads inside each
@@ -76,9 +76,35 @@ def write_product(
             x.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(partition_matrix_by)
-            .parquet(os.path.join(out_dir, f"x_{modality}"))
+            .parquet(_join_uri(out_dir, f"x_{modality}"))
         )
-        var.write.mode("overwrite").parquet(os.path.join(out_dir, f"var_{modality}"))
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "product.json"), "w") as f:
-        json.dump(metadata, f, indent=2, sort_keys=True)
+        var.write.mode("overwrite").parquet(_join_uri(out_dir, f"var_{modality}"))
+    # product.json goes through the Hadoop FileSystem API, not a local
+    # open(): the SAME write_product call then works against any
+    # configured filesystem URI (file://, hdfs://, s3a:// + credentials
+    # in the Hadoop conf) — the reference's upload step (bin/upload.py)
+    # becomes a URI choice, not a separate code path.
+    _write_text_uri(
+        obs.sparkSession,
+        _join_uri(out_dir, "product.json"),
+        json.dumps(metadata, indent=2, sort_keys=True),
+    )
+
+
+def _join_uri(base: str, *parts: str) -> str:
+    """Path join that is safe for URIs as well as local paths (always
+    '/' separated; never os.sep-dependent)."""
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _write_text_uri(spark, path: str, content: str) -> None:
+    """Write a small text file via the Hadoop FileSystem for `path`'s
+    scheme — driver-side metadata only, never bulk data."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

@@ -108,3 +108,22 @@ def test_product_partition_pruning(spark, tmp_path):
     plan = back.filter(F.col("dataset") == "ds1")._jdf.queryExecution().executedPlan().toString()
     # partition filter must reach the scan (no dataset rows from ds2 read)
     assert "PartitionFilters" in plan and "dataset" in plan
+
+
+def test_product_write_to_filesystem_uri(spark, tmp_path):
+    """The s3a-readiness claim, exercised: write_product against an
+    explicit `file://` URI goes through the Hadoop FileSystem API for
+    every artifact including product.json (no local open()/os.makedirs
+    assumptions), which is the identical code path an `s3a://` target
+    takes with credentials in the Hadoop conf."""
+    manifest, mats = _fixtures(spark)
+    result = build_product(manifest, mats, tissue="kidney", product_uuid="p-uri")
+    uri = "file://" + str(tmp_path / "product_uri")
+    meta = finalize_and_write(result, manifest, uri)
+    assert meta["product_uuid"] == "p-uri"
+
+    out = tmp_path / "product_uri"
+    with open(out / "product.json") as f:
+        assert json.load(f)["cell_count"] == 3
+    back = spark.read.parquet(uri + "/x_atac_cell_by_bin")
+    assert back.count() == 4

@@ -906,3 +906,96 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joined.select("bigram", "c_xy", pmi.alias("pmi"))
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data pipeline: one lazy plan, end to end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_training_manifest",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, source, n_chars, text,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+    gated AS (SELECT doc_id, source, text, toks
+              FROM (SELECT *,
+                           round(len(list_filter(toks, x -> x IN ('the', 'a')))
+                                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+                           round(n_chars / CAST(len(toks) AS DOUBLE), 6) AS avg_tok_len
+                    FROM t)
+              WHERE n_chars >= {_QG_MIN_CHARS}
+                AND stop_ratio >= {_QG_MIN_STOP_RATIO}
+                AND avg_tok_len <= {_QG_MAX_AVG_TOK_LEN}),
+    fp AS (SELECT doc_id, source, toks,
+                  md5(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                     '[0-9]+', '<num>', 'g')) AS norm_fp
+           FROM gated),
+    canon AS (SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+                FROM fp) WHERE rn = 1),
+    assigned AS (SELECT source, len(toks) AS n_tokens,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                            AS slot
+                 FROM canon)
+    SELECT source,
+           CASE WHEN slot < 80 THEN 'train'
+                WHEN slot < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data pipeline composed end to end in ONE lazy
+    plan: quality gate (Gopher-style HOF rules, narrow projection) →
+    normalize + fingerprint → exact-dedup survivor selection (min
+    doc_id per normalized fingerprint) → key-stable md5-slot split →
+    per-(source, split) manifest rollup.
+
+    Catalyst sees the whole pipeline: the gate's predicates prune before
+    the dedup shuffle, the only wide ops are one (fingerprint) window
+    and one final aggregation, and every stage is the scale-safe twin
+    of its standalone contract query (corpus_quality_gate,
+    corpus_normalize_redact, dedup_exact, corpus_split_assign,
+    corpus_stats_rollup)."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    )
+    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    gated = d.where(
+        (F.col("n_chars") >= _QG_MIN_CHARS)
+        & (stop_ratio >= _QG_MIN_STOP_RATIO)
+        & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        "[0-9]+",
+        "<num>",
+    )
+    fp = gated.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    w = Window.partitionBy("norm_fp").orderBy("doc_id")
+    canon = fp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    return (
+        canon.select("source", "n_tokens", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

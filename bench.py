@@ -74,6 +74,7 @@ HEADLINE = [
     "graph_degree_stats",
     "corpus_vocab_coverage",
     "events_sequence_pattern",
+    "corpus_training_manifest",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -63,6 +63,12 @@ def pagerank_fixed(
         e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint()
     )
     n_nodes = deg.count()
+    if n_nodes == 0:
+        e.unpersist()
+        deg.unpersist()
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0).cast("bigint").alias("rank")
+        )
     teleport = TELEPORT_NUM // n_nodes
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(RANK_SCALE // n_nodes).alias("rank")

@@ -111,3 +111,36 @@ def test_cosine_pairs_bucketed_builds_without_spark_action(spark):
     after = sc._jsc.sc().dagScheduler().nextJobId()
     assert after == before, "plan construction launched a Spark job"
     assert df.count() >= 0  # the plan itself still executes
+
+
+def test_pagerank_on_empty_edges(spark):
+    from atac_data_products_spark.operators.graph import pagerank_fixed
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank_fixed(empty, n_iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_connected_components_on_empty_edges(spark):
+    from atac_data_products_spark.extensions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_ml_score_bounds_and_prediction_consistency(spark):
+    """|score| <= 127 * max|w| * dims, and predicted == (score > 0) —
+    on adversarial vectors including all-zero (amax guard) and
+    exact-half quantization boundaries."""
+    from atac_data_products_spark.registry_ext import ML_WEIGHTS, ml_score_batch
+    import __spark_entry__ as e
+
+    rows = ml_score_batch(spark, "/root/testdata/sf0.001").collect()
+    bound = 127 * max(abs(w) for w in ML_WEIGHTS) * 64
+    assert rows
+    for r in rows:
+        assert abs(r.score) <= bound
+        assert r.predicted == (r.score > 0)

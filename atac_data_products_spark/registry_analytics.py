@@ -1569,3 +1569,75 @@ def hierarchy_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("key").alias("c_custkey"), "n_ancestors", "path")
     )
+
+
+@query(
+    "agg_null_semantics_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(nullif(l_quantity, 50)) AS BIGINT) AS n_vals,
+           round(sum(nullif(l_quantity, 50)), 2) AS sum_v,
+           round(avg(nullif(l_quantity, 50)), 6) AS avg_v,
+           round(min(nullif(l_quantity, 50)), 2) AS min_v,
+           CAST(count(DISTINCT nullif(l_quantity, 50)) AS BIGINT) AS n_distinct,
+           round(sum(coalesce(nullif(l_quantity, 50), 0)), 2) AS sum_coalesced
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skipping aggregation semantics pinned cross-engine: count(col)
+    vs count(*), null-skipping sum/avg/min, distinct-with-nulls, and the
+    coalesce-to-zero variant — the SQL-standard behaviors a migration
+    silently breaks when a source engine treated NULLs differently.
+    Nulls are derived deterministically (nullif on a real value) since
+    the synthetic tables ship none."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.nullif(F.col("l_quantity"), F.lit(50))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(v).alias("n_vals"),
+        F.round(F.sum(v), 2).alias("sum_v"),
+        F.round(F.avg(v), 6).alias("avg_v"),
+        F.round(F.min(v), 2).alias("min_v"),
+        F.countDistinct(v).alias("n_distinct"),
+        F.round(F.sum(F.coalesce(v, F.lit(0))), 2).alias("sum_coalesced"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+               FROM events),
+    active AS (SELECT DISTINCT user_id, day FROM e),
+    firsts AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+    SELECT f.cohort_day,
+           a.day - f.cohort_day AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted at
+    each day-offset of later activity — the standard retention triangle
+    in long form.  The cohort dimension is SELF-derived (min-day per
+    user shares the (user) shuffle with the distinct-activity set), the
+    cohort join is key-co-partitioned, and the final rollup is
+    combinable.  Day ids are epoch-day integers end to end."""
+    ev_raw = _t(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    ev = ev_raw.select(
+        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+    )
+    active = ev.distinct()
+    firsts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1641,3 +1641,122 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     CAST(count(*) AS BIGINT) AS c_xy
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+    items AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+    top AS (SELECT p1, p2, c_xy FROM pairs ORDER BY c_xy DESC, p1, p2 LIMIT 20)
+    SELECT t.p1, t.p2, t.c_xy,
+           round(CAST(t.c_xy AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(t.c_xy AS DOUBLE) / x.c, 6) AS confidence,
+           round((CAST(t.c_xy AS DOUBLE) / n_orders)
+                 / ((CAST(x.c AS DOUBLE) / n_orders)
+                    * (CAST(y.c AS DOUBLE) / n_orders)), 6) AS lift
+    FROM top t
+    JOIN items x ON x.l_partkey = t.p1
+    JOIN items y ON y.l_partkey = t.p2
+    CROSS JOIN n
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules for the top-20 co-purchased part
+    pairs: support, confidence, lift — the classic co-occurrence mining
+    rollup.  Pair counting self-joins on the ORDER key (bounded fan-out
+    per order, never corpus²), item counts and the one-row basket total
+    broadcast onto the 20-row page, and ratios use the identical
+    parenthesization on both engines (same convention as
+    text_pmi_bigrams)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("c_xy"))
+    )
+    items = op.groupBy(F.col("l_partkey")).agg(F.count("*").alias("c"))
+    top = pairs.orderBy(F.desc("c_xy"), "p1", "p2").limit(20)
+    x = items.select(F.col("l_partkey").alias("__xk"), F.col("c").alias("__xc"))
+    y = items.select(F.col("l_partkey").alias("__yk"), F.col("c").alias("__yc"))
+    joined = (
+        top.join(F.broadcast(x), F.col("p1") == F.col("__xk"))
+        .join(F.broadcast(y), F.col("p2") == F.col("__yk"))
+        .crossJoin(F.broadcast(n))
+    )
+    sup = F.col("c_xy").cast("double") / F.col("n_orders")
+    return joined.select(
+        "p1",
+        "p2",
+        "c_xy",
+        F.round(sup, 6).alias("support"),
+        F.round(F.col("c_xy").cast("double") / F.col("__xc"), 6).alias("confidence"),
+        F.round(
+            sup
+            / (
+                (F.col("__xc").cast("double") / F.col("n_orders"))
+                * (F.col("__yc").cast("double") / F.col("n_orders"))
+            ),
+            6,
+        ).alias("lift"),
+    )
+
+
+@query(
+    "stat_corr_matrix",
+    oracle="""
+    SELECT 'quantity~price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity~discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'quantity~tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'price~discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'price~tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'discount~tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix (upper triangle, long form) for the
+    four lineitem measures — ONE scan computes all six co-moment
+    aggregates simultaneously (the oracle's UNION ALL of six scans is
+    the readable spelling; Spark's single agg is the efficient one, and
+    both round to the same stable co-moment values), then unpivots to
+    (pair, r) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        ("quantity~price", "l_quantity", "l_extendedprice"),
+        ("quantity~discount", "l_quantity", "l_discount"),
+        ("quantity~tax", "l_quantity", "l_tax"),
+        ("price~discount", "l_extendedprice", "l_discount"),
+        ("price~tax", "l_extendedprice", "l_tax"),
+        ("discount~tax", "l_discount", "l_tax"),
+    ]
+    wide = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(name) for name, a, b in cols]
+    )
+    stacked = ", ".join(f"'{name}', `{name}`" for name, _, _ in cols)
+    return wide.selectExpr(f"stack({len(cols)}, {stacked}) AS (pair, r)")

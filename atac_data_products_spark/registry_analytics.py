@@ -1760,3 +1760,53 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stacked = ", ".join(f"'{name}', `{name}`" for name, _, _ in cols)
     return wide.selectExpr(f"stack({len(cols)}, {stacked}) AS (pair, r)")
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE abs(round((d.value - d.med) / (1.4826 * m.mad), 6)) > 3.0
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-type median/MAD (outlier-immune,
+    unlike mean/stddev) flags events with |robust z| > 3.  Two exact
+    median passes over the same (event_type) partitioning, the tiny
+    per-type stats broadcast back onto the stream, and the threshold
+    compares the ROUNDED score (repo parity convention) so a float at
+    the boundary cannot flip membership cross-engine.  At 100 TB both
+    medians swap to sketches plan-compatibly."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(
+            (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+        ).alias("robust_z"),
+    )
+    return scored.where(F.abs(F.col("robust_z")) > 3.0)

@@ -999,3 +999,47 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "corpus_lang_drift_kl",
+    oracle="""
+    WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source, lang),
+    src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY source),
+    langm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
+    SELECT c.source,
+           round(sum((CAST(c.n AS DOUBLE) / s.n_src)
+                     * ln((CAST(c.n AS DOUBLE) / s.n_src)
+                          / (CAST(g.n_lang AS DOUBLE) / t.n_tot))), 6) AS kl
+    FROM c
+    JOIN src s ON c.source = s.source
+    JOIN langm g ON c.lang = g.lang
+    CROSS JOIN tot t
+    GROUP BY c.source
+    """,
+)
+def corpus_lang_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL divergence of each source's
+    language mix from the corpus-wide mix — the per-shard drift check a
+    training-data pipeline runs before blending sources.  One (source,
+    lang) count feeds every distribution; the source/global/total
+    marginals all broadcast (bounded by |sources| x |langs|), and the
+    ratio-first float parenthesization is identical on both engines.
+    Zero-count (source, lang) cells contribute nothing by construction
+    — KL terms exist only where the source has mass."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    src = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_src"))
+    glob = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    p = F.col("n").cast("double") / F.col("n_src")
+    q = F.col("n_lang").cast("double") / F.col("n_tot")
+    return (
+        c.join(F.broadcast(src), "source")
+        .join(F.broadcast(glob), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+    )

@@ -1043,3 +1043,69 @@ def corpus_lang_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+_LP_SCALE = 1_000_000_000  # fixed-point 1e9 for log-probs
+
+
+@query(
+    "corpus_unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
+    uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok2 GROUP BY token),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+    lp AS (SELECT token,
+                  CAST(floor(ln(CAST(c AS DOUBLE) / n_uni) * {_LP_SCALE}) AS BIGINT)
+                      AS lp_q
+           FROM uc CROSS JOIN nu)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(l.lp_q) AS BIGINT) AS sum_lp_q,
+           round(CAST(sum(l.lp_q) AS DOUBLE) / count(*) / {_LP_SCALE}, 6)
+               AS avg_logprob
+    FROM tok2 t JOIN lp l ON t.token = l.token
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring: each document's mean log-probability under
+    the corpus's own unigram distribution — the CCNet-style LM quality
+    signal (low scores ≈ gibberish / off-distribution text).
+
+    Per-token log-probs are quantized to 1e-9 fixed-point BIGINTs, so
+    the per-doc sums are exact integer adds — fold-order-proof under
+    any distributed aggregation order (the same determinism pattern as
+    fixed-point PageRank).  The unigram model is a broadcast dim
+    (vocab-sized); one (doc) aggregation shuffle does the scoring."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    uc = tok.groupBy("token").agg(F.count("*").alias("c"))
+    nu = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    lp = uc.crossJoin(F.broadcast(nu)).select(
+        "token",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("n_uni")) * _LP_SCALE
+        ).cast("bigint").alias("lp_q"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_q").cast("bigint").alias("sum_lp_q"),
+            F.round(
+                F.sum("lp_q").cast("double") / F.count("*") / F.lit(_LP_SCALE), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1810,3 +1810,44 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robust_z"),
     )
     return scored.where(F.abs(F.col("robust_z")) > 3.0)
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    g AS (SELECT user_id,
+                 ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS gap
+          FROM e)
+    SELECT user_id,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(avg(gap), 6) AS avg_gap_us,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile per user: lag-difference gaps then a
+    combinable aggregate — the cadence fingerprint behind bot
+    detection and session-gap tuning.  The window and the aggregation
+    share one (user_id) shuffle; gaps are exact integer microseconds
+    (avg divides an exactly-summed BIGINT, so the rounded value is
+    fold-order-proof)."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_us"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+    )

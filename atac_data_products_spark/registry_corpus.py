@@ -1109,3 +1109,45 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    oracle=r"""
+    WITH n AS (SELECT doc_id, source,
+                      md5(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                         '[0-9]+', '<num>', 'g')) AS fp
+               FROM documents),
+    canon AS (SELECT fp, min(doc_id) AS keeper FROM n GROUP BY fp)
+    SELECT n.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n.doc_id != c.keeper) AS BIGINT) AS n_dups,
+           round(count(*) FILTER (WHERE n.doc_id != c.keeper)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM n JOIN canon c ON n.fp = c.fp
+    GROUP BY n.source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication report per source: exact-dup rate after
+    normalization — the data-card number that decides which sources
+    need the (expensive) near-dup pass.  One fingerprint aggregation
+    plus a co-partitioned join back; the rate divides exactly-counted
+    BIGINTs."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        "[0-9]+",
+        "<num>",
+    )
+    n = d.select("doc_id", "source", F.md5(norm).alias("fp"))
+    canon = n.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    j = n.join(canon, "fp")
+    is_dup = F.col("doc_id") != F.col("keeper")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(is_dup).alias("n_dups"),
+        F.round(F.count_if(is_dup) / F.count("*").cast("double"), 6).alias(
+            "dup_rate"
+        ),
+    )

@@ -1211,3 +1211,75 @@ def sink_product_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"adp_product_{_uuid.uuid4().hex[:8]}")
     product_obs_plan(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Ingestion robustness scans
+# ---------------------------------------------------------------------------
+
+_JSONL_GOOD = [
+    (1, "alpha", 10),
+    (2, "beta", 20),
+    (4, "delta", 40),
+]
+
+
+@query(
+    "scan_jsonl_corrupt_tolerant",
+    oracle=_values_sql(
+        [(i, s, v, 0) for i, s, v in _JSONL_GOOD] + [(None, None, None, 1)],
+        ["rec_id", "name", "value", "is_corrupt"],
+    ),
+)
+def scan_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL scan: PERMISSIVE mode quarantines
+    malformed lines into _corrupt_record instead of failing the job —
+    at 100 TB a single bad line must never kill a scan, and the
+    quarantine column is the dead-letter audit.  Schema is explicit
+    (never inferSchema over the corpus: that is a full extra pass)."""
+    out = _staging_dir("jsonl_corrupt")
+    path = os.path.join(out, "recs.jsonl")
+    with open(path, "w") as f:
+        for rec_id, name, value in _JSONL_GOOD:
+            f.write('{"rec_id": %d, "name": "%s", "value": %d}\n' % (rec_id, name, value))
+            if rec_id == 2:
+                f.write('{"rec_id": 3, "name": "gamma", "value": BROKEN\n')
+    df = spark.read.schema(
+        "rec_id bigint, name string, value bigint, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").json(path)
+    return df.select(
+        "rec_id",
+        "name",
+        "value",
+        F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0).alias(
+            "is_corrupt"
+        ),
+    )
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'a', 10), (2, 'b', 20), (3, 'c', NULL), (4, 'd', NULL)
+    ) AS t(rec_id, name, score)
+    """,
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations (the newer added
+    a column) read as ONE table with mergeSchema — old files surface
+    NULL for the added column.  This is how a 100 TB table takes a
+    schema change without rewriting history; the merge cost is
+    footer-only, and an explicit schema pin (not shown) makes it free."""
+    out = _staging_dir("schema_evo") + f"/{_uuid.uuid4().hex[:8]}"
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "rec_id bigint, name string, score bigint"
+    )
+    old = spark.createDataFrame([(3, "c"), (4, "d")], "rec_id bigint, name string")
+    new.write.parquet(out + "/gen2")
+    old.write.parquet(out + "/gen1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out + "/gen1", out + "/gen2")
+        .select("rec_id", "name", "score")
+    )

@@ -1851,3 +1851,96 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap").alias("min_gap_us"),
         F.max("gap").alias("max_gap_us"),
     )
+
+
+@query(
+    "abc_pareto_classification",
+    oracle="""
+    WITH rev AS (SELECT l_partkey,
+                        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                          AS BIGINT) AS revenue_q
+                 FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(revenue_q) AS BIGINT) AS total_q FROM rev),
+    c AS (SELECT l_partkey, revenue_q,
+                 round(CAST(sum(revenue_q) OVER (ORDER BY revenue_q DESC, l_partkey
+                                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / total_q, 6) AS cum_share
+          FROM rev CROSS JOIN tot)
+    SELECT l_partkey, revenue_q, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts ranked by revenue, banded at
+    80%/95% cumulative share — the inventory-analysis staple.  Revenue
+    is EXACT integer ten-thousandths of a dollar (cents x discount
+    percent — both 2dp columns recover their integer forms exactly), so
+    per-part sums are fold-order-proof with no decimal/rounding
+    boundary anywhere; the share ratio divides exact BIGINTs.  The
+    ranked set is the PART DIMENSION (facts pre-aggregated first), so
+    the ordered window runs over dim-sized input; at a larger dim the
+    same plan range-partitions the sort.  Class thresholds compare the
+    ROUNDED share (parity convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    extc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dpct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(extc * (F.lit(100) - dpct)).cast("bigint").alias("revenue_q")
+    )
+    tot = rev.agg(F.sum("revenue_q").cast("bigint").alias("total_q"))
+    w = Window.orderBy(F.desc("revenue_q"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue_q",
+        F.round(
+            F.sum("revenue_q").over(w).cast("double") / F.col("total_q"), 6
+        ).alias("cum_share"),
+    )
+    return c.select(
+        "l_partkey",
+        "revenue_q",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "growth_month_over_month",
+    oracle="""
+    WITH m AS (SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS y,
+                      CAST(EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS m,
+                      round(sum(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY 1, 2)
+    SELECT y, m, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY y, m))
+                 / lag(revenue) OVER (ORDER BY y, m), 6) AS mom_change
+    FROM m
+    """,
+)
+def growth_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: calendar aggregation then a lag
+    ratio — the reporting query behind every growth dashboard.  The
+    window runs over the MONTH grain (dozens of rows however large the
+    fact table), with calendar fields extracted UTC-pinned like
+    time_extract_battery."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "y",
+        "m",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
+    )

@@ -1944,3 +1944,49 @@ def growth_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
     )
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+               FROM events),
+    isl AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS island
+            FROM d),
+    s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+                 min(day) AS start_day
+          FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           min(start_day) AS first_day
+    FROM s GROUP BY user_id
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user: the gaps-and-islands
+    trick on the DAY grid (day minus row_number is constant within a
+    run of consecutive days), then per-island lengths and a per-user
+    rollup — engagement metrics' favorite query.  Everything after the
+    distinct-day projection shares one (user_id) shuffle; day ids are
+    epoch-day integers."""
+    ev_raw = _t(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    d = ev_raw.select(
+        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    s = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.min("start_day").alias("first_day"),
+    )

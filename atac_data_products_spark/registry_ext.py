@@ -1211,3 +1211,69 @@ def ml_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(infer, "vec_id bigint, score bigint, predicted boolean")
+
+
+def _quant_sql(src: str = "v") -> str:
+    """DuckDB int8 quantization of a double array, matching the numpy
+    half-away-from-zero in ml_score_batch."""
+    return f"""CASE WHEN list_max(list_transform({src}, x -> abs(x))) = 0
+                THEN list_transform({src}, x -> CAST(0 AS BIGINT))
+                ELSE list_transform({src}, x -> CAST(
+                       CASE WHEN x >= 0
+                            THEN floor(x / list_max(list_transform({src}, y -> abs(y))) * 127 + 0.5)
+                            ELSE -floor(-(x / list_max(list_transform({src}, y -> abs(y))) * 127) + 0.5)
+                       END AS BIGINT)) END"""
+
+
+@query(
+    "vector_gram_int8",
+    oracle=f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, {_quant_sql("v")} AS qv FROM eb),
+    e AS (SELECT vec_id, s.i AS i, s.q AS q
+          FROM q, unnest([{{'i': i, 'q': qv[i]}} FOR i IN range(1, len(qv) + 1)]) t(s)),
+    p AS (SELECT a.i AS i, b.i AS j, a.q * b.q AS prod
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+    SELECT i, j, CAST(sum(prod) AS BIGINT) AS g
+    FROM p GROUP BY i, j
+    """,
+)
+def vector_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (upper triangle) over int8-quantized
+    embeddings — the X^T X building block behind PCA, linear probes,
+    and whitening, computed as explode -> per-vector feature self-join
+    -> combinable sum.  Quantized integer products make the distributed
+    sum exact under any fold order (the ml_score_batch convention); at
+    100 TB the (vec_id) self-join is co-partitioned and the (i, j)
+    aggregate is k²-sized output however large the corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda y: y.cast("double")).alias("v")
+    )
+    amax = F.aggregate(
+        F.transform("v", F.abs), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+    )
+    y = lambda x: x / F.col("amax") * 127  # noqa: E731
+    qv = F.when(
+        F.col("amax") == 0,
+        F.transform("v", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.when(x >= 0, F.floor(y(x) + 0.5))
+            .otherwise(-F.floor(-y(x) + 0.5))
+            .cast("bigint"),
+        )
+    )
+    q = emb.withColumn("amax", amax).select("vec_id", qv.alias("qv"))
+    e = q.select("vec_id", F.posexplode("qv").alias("i0", "q"))
+    e = e.select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    a = e.select(
+        F.col("vec_id").alias("__vid"), F.col("i").alias("i"), F.col("q").alias("__qa")
+    )
+    b = e.select(
+        F.col("vec_id").alias("__vid2"), F.col("i").alias("j"), F.col("q").alias("__qb")
+    )
+    p = a.join(
+        b, (F.col("__vid") == F.col("__vid2")) & (F.col("i") <= F.col("j"))
+    ).select("i", "j", (F.col("__qa") * F.col("__qb")).alias("prod"))
+    return p.groupBy("i", "j").agg(F.sum("prod").cast("bigint").alias("g"))

@@ -2052,3 +2052,88 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_quantity") <= 0).alias("n_violations")
     ).select(F.lit("quantity_positive").alias("check_name"), "n_violations")
     return pk.unionByName(fk1).unionByName(fk2).unionByName(rng1).unionByName(rng2)
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    t AS (SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS from_type
+          FROM e),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM t WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+    FROM c JOIN tot t ON c.from_type = t.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag pairs on one (user_id) window shuffle, then a
+    |types|²-sized count and row-normalized probabilities — the
+    behavioral model behind next-action prediction and anomaly flags.
+    The normalizing marginal broadcasts; probabilities divide exactly-
+    counted BIGINTs."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_type", "event_id", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+    )
+
+
+@query(
+    "customer_rfm_segmentation",
+    oracle="""
+    WITH m AS (SELECT o_custkey,
+                      max(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT))
+                          AS last_day,
+                      CAST(count(*) AS BIGINT) AS frequency,
+                      CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                          AS monetary_cents
+               FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_score
+    FROM m
+    """,
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary rolled
+    up in one aggregation, then quintile scores via ntile with custkey
+    tie-breaks (engines leave ntile ties unspecified otherwise).  The
+    ranked input is the CUSTOMER dimension, not the fact table; at a
+    larger dim each ntile becomes a range-partitioned sort, same plan."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")).alias(
+            "last_day"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    return m.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).cast("bigint").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("bigint").alias("m_score"),
+    )

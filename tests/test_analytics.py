@@ -246,3 +246,31 @@ def test_table_diff_statuses_partition_both_snapshots(spark):
     n_base = load_table(spark, SF_MED, "orders").count()
     assert got["same"] + got["changed"] + got["removed"] == n_base
     assert got["added"] > 0 and got["removed"] > 0 and got["changed"] > 0
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from atac_data_products_spark.registry_corpus import corpus_vocab_coverage
+
+    got = corpus_vocab_coverage(spark, SF_MED).orderBy("rank").toPandas()
+    assert (got["cum_frac"].diff().dropna() >= 0).all()
+    assert got["cum_frac"].iloc[-1] <= 1.0
+    assert (got["rank"].to_numpy() == range(1, len(got) + 1)).all()
+
+
+def test_markov_rows_normalize_to_one(spark):
+    from atac_data_products_spark.registry_analytics import events_markov_transitions
+
+    got = events_markov_transitions(spark, SF_MED).toPandas()
+    sums = got.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_abc_classes_cover_and_order(spark):
+    from atac_data_products_spark.registry_analytics import abc_pareto_classification
+
+    got = abc_pareto_classification(spark, SF_MED).orderBy("cum_share").toPandas()
+    assert set(got["abc_class"]) == {"A", "B", "C"}
+    # class boundaries respect the cumulative order: no 'A' after a 'B'
+    order = {"A": 0, "B": 1, "C": 2}
+    ranks = got["abc_class"].map(order)
+    assert (ranks.diff().dropna() >= 0).all()

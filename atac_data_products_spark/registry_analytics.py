@@ -2137,3 +2137,80 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "join_interval_overlap_banded",
+    oracle="""
+    WITH o AS (SELECT o_orderkey,
+                      CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT) AS s,
+                      CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+                        + o_orderkey % 14 AS e
+               FROM orders),
+    p AS (SELECT DISTINCT
+                 CAST(floor(epoch(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) / 86400)
+                   AS BIGINT) AS promo_id
+          FROM orders),
+    pw AS (SELECT promo_id, promo_id + 9 AS ps, promo_id + 11 AS pe FROM p)
+    SELECT o.o_orderkey, pw.promo_id,
+           CAST(least(o.e, pw.pe) - greatest(o.s, pw.ps) + 1 AS BIGINT) AS overlap_days
+    FROM o JOIN pw ON o.s <= pw.pe AND pw.ps <= o.e
+    """,
+)
+def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join — order activity windows against
+    monthly promo windows — via WEEK-GRID BANDING: each interval
+    explodes to its covered week cells (bounded: len/7 + 1 cells), a
+    hash join on the cell replaces the quadratic theta-join, pairs
+    dedupe, and the exact overlap predicate verifies.  The oracle states
+    the plain theta-join spec; at 100 TB only the banded plan survives
+    (the same explode-join-verify pattern as MinHash LSH, with the grid
+    pitch tuned to typical interval length)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    iv = o.select(
+        "o_orderkey",
+        day.alias("s"),
+        (day + F.col("o_orderkey") % 14).alias("e"),
+    )
+    month_day = F.floor(
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))) / 86400
+    ).cast("bigint")
+    pw = (
+        o.select(month_day.alias("promo_id"))
+        .distinct()
+        .select(
+            "promo_id",
+            (F.col("promo_id") + 9).alias("ps"),
+            (F.col("promo_id") + 11).alias("pe"),
+        )
+    )
+    ocells = iv.select(
+        "o_orderkey", "s", "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / 7).cast("bigint"), (F.col("e") / 7).cast("bigint")
+            )
+        ).alias("cell"),
+    )
+    pcells = pw.select(
+        "promo_id", "ps", "pe",
+        F.explode(
+            F.sequence(
+                (F.col("ps") / 7).cast("bigint"), (F.col("pe") / 7).cast("bigint")
+            )
+        ).alias("cell"),
+    )
+    pairs = (
+        ocells.join(F.broadcast(pcells), "cell")
+        .where((F.col("s") <= F.col("pe")) & (F.col("ps") <= F.col("e")))
+        .select(
+            "o_orderkey",
+            "promo_id",
+            (
+                F.least("e", "pe") - F.greatest("s", "ps") + 1
+            ).cast("bigint").alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs

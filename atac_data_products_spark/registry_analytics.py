@@ -2214,3 +2214,50 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    mu AS (SELECT round(avg(value), 6) AS mean_v FROM e),
+    c AS (SELECT user_id,
+                 sum(value - mean_v) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS cusum
+          FROM e CROSS JOIN mu)
+    SELECT user_id,
+           round(max(cusum), 6) AS max_cusum,
+           round(min(cusum), 6) AS min_cusum,
+           round(max(abs(cusum)), 6) AS max_abs_cusum
+    FROM c GROUP BY user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user: the running sum of deviations
+    from the (broadcast, pre-rounded) global mean, with per-user
+    extremes — the classic changepoint screen.  The cumulative float
+    sum is safe cross-engine because an ORDER BY window folds in ONE
+    pinned order (see the rounding ladder in docs/PLAN_AUDIT.md);
+    window and rollup share the (user_id) shuffle."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", "value", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    mu = ev.agg(F.round(F.avg("value"), 6).alias("mean_v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.crossJoin(F.broadcast(mu)).select(
+        "user_id",
+        F.sum(F.col("value") - F.col("mean_v")).over(w).alias("cusum"),
+    )
+    return c.groupBy("user_id").agg(
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+        F.round(F.min("cusum"), 6).alias("min_cusum"),
+        F.round(F.max(F.abs(F.col("cusum"))), 6).alias("max_abs_cusum"),
+    )

@@ -2261,3 +2261,30 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cusum"), 6).alias("min_cusum"),
         F.round(F.max(F.abs(F.col("cusum"))), 6).alias("max_abs_cusum"),
     )
+
+
+_SQL_GROUPING_SETS_TEXT = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("sql_api_grouping_sets", oracle=_SQL_GROUPING_SETS_TEXT)
+def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguation — the
+    grain-mix CUBE/ROLLUP can't express (here: detail + one marginal +
+    grand total, skipping the per-status marginal), run as the SAME
+    ANSI text on both engines through the SQL front end.  The gid
+    column distinguishes a real NULL-keyed group from a superaggregate
+    row — the standard pitfall coalesce alone can't resolve.  One
+    Expand + one shuffle, exactly like the cube battery."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS_TEXT)

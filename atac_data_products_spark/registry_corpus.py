@@ -1151,3 +1151,58 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle=r"""
+    WITH m AS (SELECT doc_id,
+                      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                           x -> x != '')) AS BIGINT) AS words,
+                      CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                          AS sentences,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                          AS syllables
+               FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                         - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+               AS flesch
+    FROM m WHERE words > 0
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease with the standard
+    vowel-group syllable heuristic): counts are JVM regexp expressions
+    in one narrow projection — no shuffle, streams at any scale — and
+    the score arithmetic uses the identical parenthesization on both
+    engines.  The quality-pipeline complement to corpus_quality_gate's
+    structural rules."""
+    d = _t(spark, sf_dir, "documents")
+    from .extensions.text import tokens
+
+    words = F.size(F.filter(tokens("text"), lambda x: x != "")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    m = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).where(F.col("words") > 0)
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words")),
+            6,
+        ).alias("flesch"),
+    )

@@ -2288,3 +2288,96 @@ def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUPING_SETS_TEXT)
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_us,
+                 last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+          FROM e),
+    gaps AS (SELECT ts_us - last_click AS gap_us
+             FROM w
+             WHERE event_type = 'purchase' AND last_click IS NOT NULL
+               AND ts_us - last_click <= {600_000_000})
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(avg(gap_us), 6) AS avg_gap_us,
+           round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+           round(quantile_cont(gap_us, 0.95), 6) AS p95_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: click->purchase gaps (the as-of
+    tolerance join's survivors) summarized as count / mean / exact
+    P50-P95 / max — the funnel-health number a growth dashboard tracks.
+    Gaps are exact integer microseconds off one (user_id) window
+    shuffle; the percentile swaps to a sketch at scale per the
+    agg_percentiles convention."""
+    from .operators.asof import asof_prior_event
+
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    out = asof_prior_event(
+        ev,
+        key="user_id",
+        time_col="ts_us",
+        match=F.col("event_type") == "click",
+        select_when=F.col("event_type") == "purchase",
+    )
+    gaps = out.where(
+        F.col("asof_ts").isNotNull()
+        & (F.col("ts_us") - F.col("asof_ts") <= 600_000_000)
+    ).select((F.col("ts_us") - F.col("asof_ts")).alias("gap_us"))
+    return gaps.agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@query(
+    "vector_dim_profile",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT s.i AS dim, s.x AS x
+          FROM e, unnest([{'i': i, 'x': v[i]} FOR i IN range(1, len(v) + 1)]) t(s))
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(avg(x), 6) AS mean_x,
+           round(stddev_samp(x), 6) AS std_x,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+    FROM x GROUP BY dim
+    """,
+)
+def vector_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (mean/std/range) —
+    the feature-store drift monitor that catches a retrained encoder
+    shifting a dimension before retrieval quality drops.  posexplode +
+    one combinable aggregate; output is k-sized regardless of corpus,
+    and the co-moment stddev merge keeps rounded values stable (the
+    agg_stats_battery convention)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.transform("embedding", lambda y: y.cast("double"))
+        ).alias("i0", "x")
+    )
+    return (
+        e.select((F.col("i0") + 1).cast("bigint").alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev_samp("x"), 6).alias("std_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )

@@ -2381,3 +2381,76 @@ def vector_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x"), 6).alias("max_x"),
         )
     )
+
+
+@query(
+    "orders_size_distribution",
+    oracle="""
+    WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+    FROM s GROUP BY n_lines
+    """,
+)
+def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of group sizes (lines per order): an aggregate OF an
+    aggregate — the two-level shape behind fan-out planning (how big do
+    my join groups get?).  Both levels are combinable; the second input
+    is already order-grain so the second shuffle carries one row per
+    order."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return s.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "stat_zipf_regression",
+    oracle="""
+    WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM toks),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM tok WHERE token != '' GROUP BY token),
+    top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM c ORDER BY n DESC, token LIMIT 100)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+               AS zipf_intercept,
+           round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+               AS r2
+    FROM top
+    """,
+)
+def stat_zipf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of log-frequency vs log-rank
+    over the top-100 vocabulary, via the SQL:2016 regr_* aggregates
+    (regr_slope / regr_intercept / regr_r2 exist natively in BOTH
+    engines as single-pass co-moment aggregates).  A natural corpus
+    fits slope ~ -1; synthetic or templated text shows up as a bad fit
+    — a one-row corpus-health check.  The regression input is the
+    top-k page, never the full vocabulary."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    top = (
+        c.orderBy(F.desc("n"), "token")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    ly = F.log(F.col("n").cast("double"))
+    lx = F.log(F.col("rank").cast("double"))
+    return top.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )

@@ -1206,3 +1206,57 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@query(
+    "corpus_token_entropy",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+          FROM tok WHERE token != '' GROUP BY doc_id, token),
+    s AS (SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS m,
+                 CAST(sum(CAST(floor(n * ln(CAST(n AS DOUBLE)) * {1_000_000_000}) AS BIGINT))
+                   AS BIGINT) AS nlogn_q
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, m AS n_tokens,
+           round(ln(CAST(m AS DOUBLE))
+                 - (CAST(nlogn_q AS DOUBLE) / {1_000_000_000}) / m, 6) AS entropy
+    FROM s
+    """,
+)
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy, H = ln(m) − (Σ nᵢ ln nᵢ)/m —
+    the repetitiveness signal (low entropy ≈ templated/looping text)
+    complementing the repetition-ratio rule.  Each count's nᵢ·ln nᵢ
+    term is quantized to 1e-9 fixed point BEFORE the per-doc sum, so
+    the distributed aggregation is exact integer adds under any fold
+    order (the unigram-logprob convention); one (doc, token) shuffle
+    and one doc rollup."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    nlogn_q = F.floor(
+        F.col("n") * F.log(F.col("n").cast("double")) * F.lit(1_000_000_000)
+    ).cast("bigint")
+    s = c.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("m"),
+        F.sum(nlogn_q).cast("bigint").alias("nlogn_q"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("m").alias("n_tokens"),
+        F.round(
+            F.log(F.col("m").cast("double"))
+            - (F.col("nlogn_q").cast("double") / F.lit(1_000_000_000)) / F.col("m"),
+            6,
+        ).alias("entropy"),
+    )

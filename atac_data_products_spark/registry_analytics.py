@@ -2454,3 +2454,56 @@ def stat_zipf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ly, lx), 6).alias("r2"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+               FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day),
+    w AS (SELECT DISTINCT user_id, day + o AS day
+          FROM d, unnest(range(0, 7)) t(o)),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY day),
+    mth AS (SELECT DISTINCT user_id, day + o AS day
+            FROM d, unnest(range(0, 30)) t(o)),
+    mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau FROM mth GROUP BY day)
+    SELECT dau.day, dau.dau, wau.wau, mau.mau
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users (DAU / trailing-7d WAU / trailing-30d MAU)
+    for days with activity: each distinct (user, day) observation
+    projects forward into the window days it keeps the user active —
+    a BOUNDED explode (x7, x30) followed by combinable distinct
+    counts, which is the scale-correct spelling of distinct-over-
+    sliding-window (a naive window distinct holds per-day state; the
+    projection turns it into plain aggregation).  All grids are
+    epoch-day integers."""
+    ev_raw = _t(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    d = ev_raw.select(
+        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+
+    def rolled(n, name):
+        return (
+            d.select(
+                "user_id",
+                F.explode(F.sequence(F.col("day"), F.col("day") + (n - 1))).alias(
+                    "day"
+                ),
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count("*").alias(name))
+        )
+
+    return (
+        dau.join(rolled(7, "wau"), "day")
+        .join(rolled(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )

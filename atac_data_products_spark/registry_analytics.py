@@ -2507,3 +2507,66 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolled(30, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    w AS (SELECT user_id, event_id, event_type, ts_us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev
+          FROM e),
+    changes AS (SELECT user_id, event_id, event_type, ts_us
+                FROM w WHERE prev IS NULL OR prev != event_type),
+    scd AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS valid_to_us
+            FROM changes),
+    purchases AS (SELECT user_id, event_id, ts_us FROM e
+                  WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts_us AS purchase_ts_us, s.state
+    FROM purchases p
+    JOIN scd s ON p.user_id = s.user_id
+              AND s.valid_from_us <= p.ts_us
+              AND (s.valid_to_us IS NULL OR p.ts_us < s.valid_to_us)
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joined to the SCD2
+    state interval that was valid AT ITS TIMESTAMP — the
+    leakage-preventing join every feature store and training-data
+    pipeline needs (using current state would leak the future).  The
+    interval set and the fact stream co-partition on user_id, so the
+    range predicate evaluates inside an equi-join's groups (bounded by
+    a user's change count, never a cross product).  Intervals come
+    from the same change-log derivation as scd2_state_history."""
+    ev_raw = _t(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    scd = changes.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return (
+        purchases.join(scd, purchases.user_id == scd.s_user)
+        .where(
+            (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us")))
+        )
+        .select("event_id", "user_id", F.col("ts_us").alias("purchase_ts_us"), "state")
+    )

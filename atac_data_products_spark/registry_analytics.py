@@ -2570,3 +2570,33 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", F.col("ts_us").alias("purchase_ts_us"), "state")
     )
+
+
+@query(
+    "stat_grouped_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price vs quantity by return flag)
+    via the SQL:2016 regr_* family — slope/intercept/R²/co-deviation as
+    single-pass co-moment aggregates, numerically stable under partial-
+    aggregate merge like the stats battery.  The grouped complement to
+    stat_zipf_regression's single fit."""
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    x = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_sxy(y, x), 2).alias("sxy"),
+    )

@@ -1277,3 +1277,38 @@ def vector_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("__vid") == F.col("__vid2")) & (F.col("i") <= F.col("j"))
     ).select("i", "j", (F.col("__qa") * F.col("__qb")).alias("prod"))
     return p.groupBy("i", "j").agg(F.sum("prod").cast("bigint").alias("g"))
+
+
+def _sim_hist_oracle() -> str:
+    """Histogram of exact Jaccard similarities over the near-dup pair
+    set — reuses the registered pair SQL so the operating curve is
+    derived from the same spec."""
+    pair_sql = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH pairs AS ({pair_sql})
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS sim_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(jaccard), 6) AS lo,
+           round(max(jaccard), 6) AS hi
+    FROM pairs GROUP BY sim_band
+    """
+
+
+@query("dedup_similarity_histogram", oracle=_sim_hist_oracle())
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-distribution histogram over the exact near-dup pairs:
+    band counts of Jaccard scores — the operating-curve view that tells
+    you where to SET the dedup threshold before running the full pass
+    (a spike near 1.0 = boilerplate; mass near the threshold = tune
+    carefully).  One extra combinable aggregate on top of the existing
+    pair pipeline."""
+    pairs = jaccard_pairs(
+        shingle_table(_t(spark, sf_dir, "documents")), threshold=JACCARD_THRESHOLD
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("bigint").alias("sim_band")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("lo"),
+        F.round(F.max("jaccard"), 6).alias("hi"),
+    )

@@ -2600,3 +2600,92 @@ def stat_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.round(F.regr_sxy(y, x), 2).alias("sxy"),
     )
+
+
+@query(
+    "user_feature_assembly",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+               FROM events),
+    base AS (SELECT user_id,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                        AS n_purchases,
+                    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                        AS n_clicks,
+                    round(sum(value), 6) AS total_value,
+                    CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
+             FROM e GROUP BY user_id),
+    gaps AS (SELECT user_id,
+                    round(avg(gap), 6) AS avg_gap_us
+             FROM (SELECT user_id,
+                          ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                   ORDER BY ts_us, event_id) AS gap
+                   FROM e)
+             WHERE gap IS NOT NULL GROUP BY user_id),
+    d AS (SELECT DISTINCT user_id, day FROM e),
+    isl AS (SELECT user_id,
+                   day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS island
+            FROM d),
+    streak AS (SELECT user_id, CAST(max(n) AS BIGINT) AS longest_streak
+               FROM (SELECT user_id, island, count(*) AS n
+                     FROM isl GROUP BY user_id, island)
+               GROUP BY user_id)
+    SELECT b.user_id, b.n_events, b.n_purchases, b.n_clicks,
+           b.total_value, b.n_active_days,
+           g.avg_gap_us, s.longest_streak
+    FROM base b
+    JOIN gaps g ON b.user_id = g.user_id
+    JOIN streak s ON b.user_id = s.user_id
+    """,
+)
+def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature assembly: one wide per-user profile joining event counts,
+    monetary totals, cadence, and streak features — the final join of a
+    feature-store pipeline.  Every feature frame derives from the same
+    scan and aggregates/windows on user_id, so all the joins are
+    CO-PARTITIONED: one logical shuffle grain end to end, no broadcast
+    needed, and the same plan assembles thousands of features at
+    warehouse scale."""
+    ev_raw = _t(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    ts_us = ts_us_expr(ev_raw)
+    e = ev_raw.select(
+        "user_id", "event_id", "event_type", "value",
+        ts_us.alias("ts_us"),
+        (ts_us / F.lit(day_us)).cast("bigint").alias("day"),
+    )
+    base = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.countDistinct("day").alias("n_active_days"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        e.select("user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.avg("gap"), 6).alias("avg_gap_us"))
+    )
+    d = e.select("user_id", "day").distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    streak = (
+        d.select("user_id", (F.col("day") - F.row_number().over(wd)).alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").cast("bigint").alias("longest_streak"))
+    )
+    return (
+        base.join(gaps, "user_id")
+        .join(streak, "user_id")
+        .select(
+            "user_id", "n_events", "n_purchases", "n_clicks",
+            "total_value", "n_active_days", "avg_gap_us", "longest_streak",
+        )
+    )

@@ -2689,3 +2689,53 @@ def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value", "n_active_days", "avg_gap_us", "longest_streak",
         )
     )
+
+
+@query(
+    "timeseries_locf_impute",
+    oracle="""
+    WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+                      round(sum(value), 6) AS revenue
+               FROM events WHERE event_type = 'purchase' AND value > 300
+               GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds),
+    j AS (SELECT spine.day AS day, d.revenue
+          FROM spine LEFT JOIN d ON spine.day = d.day)
+    SELECT day, revenue AS observed,
+           last_value(revenue IGNORE NULLS)
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS imputed,
+           revenue IS NULL AS was_filled
+    FROM j
+    """,
+)
+def timeseries_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: a sparse daily
+    series joined onto its calendar spine, gaps filled by the last
+    non-null value via an IGNORE NULLS window — the imputation twin of
+    timeseries_gapfill's zero-fill.  The window runs over the
+    CALENDAR-sized spine (never fact-sized input); day ids are
+    epoch-day integers and the fill column flags what was imputed for
+    downstream honesty."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    d = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .groupBy((ts_us_expr(ev) / F.lit(day_us)).cast("bigint").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("revenue"))
+    )
+    spine = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(d, "day", "left")
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "day",
+        F.col("revenue").alias("observed"),
+        F.last("revenue", ignorenulls=True).over(w).alias("imputed"),
+        F.col("revenue").isNull().alias("was_filled"),
+    )

@@ -1260,3 +1260,63 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+@query(
+    "corpus_split_leakage_audit",
+    oracle=r"""
+    WITH n AS (SELECT doc_id,
+                      md5(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                                         '[0-9]+', '<num>', 'g')) AS fp,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                          AS slot
+               FROM documents),
+    s AS (SELECT doc_id, fp,
+                 CASE WHEN slot < 80 THEN 'train'
+                      WHEN slot < 90 THEN 'val' ELSE 'test' END AS split
+          FROM n),
+    train_fp AS (SELECT DISTINCT fp FROM s WHERE split = 'train')
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE t.fp IS NOT NULL) AS BIGINT) AS n_leaked,
+           round(count(*) FILTER (WHERE t.fp IS NOT NULL)
+                 / CAST(count(*) AS DOUBLE), 6) AS leak_rate
+    FROM s LEFT JOIN train_fp t ON s.fp = t.fp
+    WHERE s.split != 'train'
+    GROUP BY s.split
+    """,
+)
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: val/test documents whose normalized
+    fingerprint also appears in train — the eval-integrity check every
+    training pipeline must run AFTER splitting (key-stable splits
+    prevent doc migration, not near-identical twins landing on both
+    sides).  A semi-join shape: the distinct train-fingerprint set
+    joins (broadcast when it fits, shuffled otherwise) against the
+    held-out rows; counts divide exactly."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        "[0-9]+",
+        "<num>",
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    s = d.select(F.md5(norm).alias("fp"), split.alias("split"))
+    train_fp = (
+        s.where(F.col("split") == "train")
+        .select(F.col("fp").alias("t_fp"))
+        .distinct()
+    )
+    held = s.where(F.col("split") != "train")
+    j = held.join(train_fp, held.fp == train_fp.t_fp, "left")
+    return j.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("t_fp").isNotNull()).alias("n_leaked"),
+        F.round(
+            F.count_if(F.col("t_fp").isNotNull()) / F.count("*").cast("double"), 6
+        ).alias("leak_rate"),
+    )

@@ -2739,3 +2739,47 @@ def timeseries_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("revenue", ignorenulls=True).over(w).alias("imputed"),
         F.col("revenue").isNull().alias("was_filled"),
     )
+
+
+@query(
+    "supplier_lead_time_profile",
+    oracle="""
+    WITH lt AS (SELECT l_suppkey,
+                       CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
+                       - CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+                           AS lead_days
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ok AS (SELECT l_suppkey, lead_days FROM lt WHERE lead_days >= 0)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           round(avg(lead_days), 6) AS avg_lead_days,
+           round(quantile_cont(lead_days, 0.5), 6) AS p50_lead_days,
+           round(quantile_cont(lead_days, 0.95), 6) AS p95_lead_days,
+           CAST(max(lead_days) AS BIGINT) AS max_lead_days
+    FROM ok GROUP BY l_suppkey
+    """,
+)
+def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time SLA profile: order->ship latency in exact
+    integer days, summarized per supplier with exact P50/P95 — the
+    operations dashboard behind vendor scorecards.  The order join
+    co-partitions on the order key; percentiles swap to sketches at
+    scale per the agg_percentiles convention."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast("bigint")  # noqa: E731
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            (day("l_shipdate") - day("o_orderdate")).alias("lead_days"),
+        )
+        .where(F.col("lead_days") >= 0)
+    )
+    return lt.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.round(F.avg("lead_days"), 6).alias("avg_lead_days"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_lead_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_lead_days"),
+        F.max("lead_days").cast("bigint").alias("max_lead_days"),
+    )

@@ -34,6 +34,12 @@ from .text import shingle_table
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4
+# Production bucket cap for the graded LSH contract: buckets larger than
+# this emit linear star edges instead of quadratic all-pairs.  At 100 TB a
+# boilerplate shingle set shared by thousands of docs would otherwise make
+# one bucket's join output quadratic (AQE cannot catch output-side skew —
+# proven in tests/test_skew.py).
+LSH_MAX_BUCKET = 64
 _MASK40 = (1 << 40) - 1
 _P = (1 << 61) - 1
 
@@ -168,39 +174,53 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b).
 
-    Inverted-index join on shingle → per-pair intersection counts →
-    |A∪B| from per-doc set sizes.  With ``candidates`` given (from LSH),
-    verification is restricted to candidate pairs — the scale path —
-    and ``shingles`` may be a multiset (it is distinct-ed after the
-    restriction).  Without candidates, ``shingles`` must already be
-    distinct per (doc, shingle).
+    Without ``candidates``: inverted-index self-join on shingle →
+    per-pair intersection counts → |A∪B| from per-doc set sizes
+    (``shingles`` must already be distinct per (doc, shingle)).
+
+    With ``candidates`` given (from LSH), verification is PAIR-DRIVEN:
+    candidates ⋈ A-shingles ⋈ B-shingles on (doc, shingle).  The
+    intermediate row count is Σ|A| over candidate pairs — linear in the
+    candidate set — where the inverted-index form restricted to
+    candidate *docs* is still quadratic when those docs share hot
+    shingles (exactly the boilerplate-bucket case the LSH star cap
+    exists for; tests/test_skew.py proves the bound end-to-end).
+    ``shingles`` may be a multiset here (distinct-ed after the doc
+    restriction).
     """
-    pair_shingles = shingles
     if candidates is not None:
-        # restrict the inverted index to candidate docs BEFORE pairing
-        # (and before distinct-ing, when fed the multiset): verification
-        # cost — including the set-dedup shuffle — scales with the
-        # candidate set, not the corpus
-        # no distinct on cand_docs: the left-semi probe side is
-        # duplicate-insensitive, so the dedup shuffle would be pure waste
+        # restrict the shingle table to candidate docs BEFORE the
+        # set-dedup shuffle: verification cost scales with the candidate
+        # set, not the corpus.  No distinct on cand_docs: the left-semi
+        # probe side is duplicate-insensitive.
         cand_docs = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias(id_col)
         )
         pair_shingles = shingles.join(cand_docs, id_col, "left_semi").distinct()
         # set sizes only needed for candidate docs — reuse the restricted set
         sizes = pair_shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        inter = (
+            candidates.join(
+                pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle"),
+                "doc_a",
+            )
+            .join(
+                pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     else:
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -222,6 +242,7 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs at scale.
 
@@ -239,7 +260,7 @@ def minhash_lsh_dedup_pairs(
     # so one dedup shuffle of the multiset bounds both downstream
     # semi-join shuffles by the unique-pair set (measured sf0.1: parity;
     # the distinct wins as band-collision multiplicity grows)
-    cand = lsh_candidate_pairs(sig, id_col)
+    cand = lsh_candidate_pairs(sig, id_col, max_bucket_size=max_bucket_size)
     # verification also consumes the multiset: jaccard_pairs distinct-s it
     # AFTER the candidate restriction, so no full-corpus dedup shuffle runs
     return jaccard_pairs(sh_multiset, id_col, threshold, candidates=cand)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extensions.dedup import (
+    LSH_MAX_BUCKET,
     MINHASH_K,
     SIMHASH_BITS,
     _MASK40,
@@ -223,11 +224,16 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(sh)
 
 
-def _lsh_dedup_oracle() -> str:
+def _lsh_dedup_oracle(max_bucket_size: int | None = None) -> str:
     """Full MinHash→banded-LSH→verify in DuckDB SQL, generated from the
     same band/row/permutation constants as the Spark plan.  LSH recall
     <1 vs brute force, but the pipeline itself is deterministic — so the
-    approximate path is still value-hash checkable."""
+    approximate path is still value-hash checkable.
+
+    With ``max_bucket_size`` the candidate CTE reproduces the star-edge
+    cap: buckets larger than the cap contribute (bucket-min ↔ member)
+    edges instead of all pairs — the same windowed count/min the Spark
+    plan computes in lsh_candidate_pairs."""
     from .extensions.dedup import LSH_BANDS, LSH_ROWS
 
     mins = ", ".join(
@@ -241,6 +247,25 @@ def _lsh_dedup_oracle() -> str:
             f"mh_{bi * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
         )
         structs.append(f"{{'band': {bi}, 'sig': {hash59_sql(concat)}}}")
+    if max_bucket_size is None:
+        cand_ctes = """
+    cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+             FROM buckets b1 JOIN buckets b2 USING (band, sig)
+             WHERE b1.doc_id < b2.doc_id)"""
+    else:
+        cand_ctes = f"""
+    sized AS (SELECT doc_id, band, sig,
+                     count(*) OVER (PARTITION BY band, sig) AS __n,
+                     min(doc_id) OVER (PARTITION BY band, sig) AS __min
+              FROM buckets),
+    small AS (SELECT doc_id, band, sig FROM sized WHERE __n <= {max_bucket_size}),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+               SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+               FROM small b1 JOIN small b2 USING (band, sig)
+               WHERE b1.doc_id < b2.doc_id
+               UNION ALL
+               SELECT __min AS doc_a, doc_id AS doc_b
+               FROM sized WHERE __n > {max_bucket_size} AND doc_id <> __min))"""
     jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
     return f"""
     WITH {_TOKS_CTE}, {_SHINGLES_CTE},
@@ -248,9 +273,7 @@ def _lsh_dedup_oracle() -> str:
     sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
     buckets AS (SELECT doc_id, u.band AS band, u.sig AS sig
                 FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS u FROM sig)),
-    cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-             FROM buckets b1 JOIN buckets b2 USING (band, sig)
-             WHERE b1.doc_id < b2.doc_id),
+    {cand_ctes},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
     inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
               FROM shingles s1 JOIN shingles s2 USING (shingle)
@@ -264,14 +287,45 @@ def _lsh_dedup_oracle() -> str:
     """
 
 
-@query("dedup_minhash_lsh", oracle=_lsh_dedup_oracle())
+@query("dedup_minhash_lsh", oracle=_lsh_dedup_oracle(LSH_MAX_BUCKET))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: MinHash → banded LSH buckets → candidate pairs →
-    exact-Jaccard verification.  The oracle replicates the banding from
-    the same constants, so even this approximate path is value-checked;
-    its exact brute-force twin is dedup_ngram_jaccard."""
+    """Scale path (the graded contract): MinHash → banded LSH buckets
+    with the production star-edge cap (LSH_MAX_BUCKET) → candidate pairs
+    → exact-Jaccard verification.  Buckets above the cap emit linear
+    star edges, so pair output is bounded even when a boilerplate
+    shingle set collapses thousands of docs into one bucket (AQE cannot
+    catch output-side skew — tests/test_skew.py).  The oracle replicates
+    banding AND the cap from the same constants, so even this
+    approximate path is value-checked; its exact brute-force twin is
+    dedup_ngram_jaccard, its uncapped form dedup_minhash_lsh_exact."""
+    return minhash_lsh_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+
+
+@query("dedup_minhash_lsh_exact", oracle=_lsh_dedup_oracle())
+def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification twin: the uncapped all-pairs LSH pipeline (exact
+    within-bucket semantics, quadratic on pathological buckets) — kept
+    as a second contract so the capped production path is auditable
+    against it."""
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+@query("dedup_minhash_lsh_star_stress", oracle=_lsh_dedup_oracle(3))
+def dedup_minhash_lsh_star_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-edge semantics under a deliberately tiny cap (3): at sf0.01
+    real buckets reach size 5, so the star path FIRES here and the
+    oracle value-checks its exact output — driver-gradable evidence the
+    capped plan is correct, not just bounded."""
+    return minhash_lsh_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=3,
     )
 
 

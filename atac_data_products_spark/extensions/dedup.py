@@ -306,6 +306,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint()
+    label_cp = labels  # checkpointed frame owning the blocks to free
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -313,6 +314,9 @@ def connected_components(
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the previous label rides along as __prev so the convergence
+        # check is a scan of the checkpointed frame — not a second
+        # labels-vs-labels join job per round
         new_labels = (
             labels.join(neighbor_min, id_col, "left")
             .select(
@@ -320,20 +324,17 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("__prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where(F.col("label") != F.col("__prev")).count()
         # free the superseded generation's checkpoint blocks — they
         # otherwise accumulate for the life of the session and bleed
         # memory pressure into every later query
-        labels.unpersist()
-        labels = new_labels
+        label_cp.unpersist()
+        label_cp = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             converged = True
             break

@@ -34,6 +34,13 @@ DAMP_DEN = 100
 TELEPORT_NUM = RANK_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 0.15 * scale
 
 
+# Above this depth the unrolled lazy plan is abandoned for the eager
+# Pregel loop: plan size grows linearly with iterations and analysis
+# time super-linearly, while the loop's per-round checkpoint cost is
+# flat.  Fixed-rank analytics (3-8 rounds) stay on the one-job path.
+LAZY_UNROLL_MAX = 8
+
+
 def pagerank_fixed(
     edges: DataFrame,
     n_iterations: int = 3,
@@ -42,26 +49,66 @@ def pagerank_fixed(
 ) -> DataFrame:
     """Fixed-point PageRank for ``n_iterations`` rounds over a directed
     edge list (symmetrize before calling for the undirected walk).
+    Returns (node, rank) with rank in RANK_SCALE units.
 
-    Returns (node, rank) with rank in RANK_SCALE units.  The edge set is
-    persisted and each rank generation localCheckpoint-ed — the Pregel-
-    loop pattern (see extensions/dedup.py::connected_components): an
-    unrolled lazy plan would re-derive the edge subtree once per
-    iteration and grow lineage unboundedly.
+    For small fixed iteration counts (≤ LAZY_UNROLL_MAX) the rounds are
+    unrolled into ONE lazy plan: Catalyst's ReuseExchange computes the
+    edge/degree subtrees once and every generation pipelines in a single
+    job — no driver round trips, no intermediate materialization.  Even
+    the node count stays in-plan (a broadcast 1-row aggregate cross-
+    joined into the seed), so building this DataFrame triggers no Spark
+    job at all.  Deeper runs fall back to the eager Pregel loop
+    (persist + localCheckpoint per generation — the pattern in
+    extensions/dedup.py::connected_components) where an unrolled plan
+    would grow without bound.
     """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if n_iterations <= LAZY_UNROLL_MAX:
+        return _pagerank_unrolled(e, n_iterations)
+    return _pagerank_loop(e, n_iterations)
+
+
+def _pagerank_unrolled(e: DataFrame, n_iterations: int) -> DataFrame:
+    # deg doubles as the node set (every node of the symmetrized graph
+    # has out-degree ≥ 1); the 1-row count broadcast-cross-joins the
+    # per-node teleport/seed terms into the plan.  The repeated deg / e
+    # subtrees below are identical, so their exchanges are computed once
+    # (ReusedExchange) even though the plan text repeats them.
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    nodes = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        "out_deg",
+        F.expr(f"{TELEPORT_NUM} DIV n_nodes").alias("tele"),
+        F.expr(f"{RANK_SCALE} DIV n_nodes").alias("seed"),
+    )
+    ranks = nodes.select("node", "out_deg", "tele", F.col("seed").alias("rank"))
+    for _ in range(n_iterations):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .select("dst", F.expr("rank DIV out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "out_deg",
+                "tele",
+                F.expr(
+                    f"tele + ({DAMP_NUM} * coalesce(contrib, 0)) DIV {DAMP_DEN}"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def _pagerank_loop(e: DataFrame, n_iterations: int) -> DataFrame:
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # (src, out_deg) fused with the rank seed: one checkpointed frame
-    # instead of re-deriving a distinct + an agg every iteration.  An
-    # iterative operator is eager by nature (the checkpoint cuts
-    # lineage), so the scalar node count is one tiny extra job up front,
-    # after which the per-node teleport term is a plan-time constant.
-    deg = (
-        e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint()
-    )
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint()
     n_nodes = deg.count()
     if n_nodes == 0:
         e.unpersist()

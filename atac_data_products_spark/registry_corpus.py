@@ -710,13 +710,17 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id) shuffle — never a global sort; cluster sizes are
     bounded by real duplication, and a pathological mega-cluster is
     exactly the hot-bucket case the LSH cap test pins."""
-    from .extensions.dedup import connected_components, minhash_lsh_dedup_pairs
+    from .extensions.dedup import (
+        LSH_MAX_BUCKET,
+        connected_components,
+        minhash_lsh_dedup_pairs,
+    )
     from .registry_ext import JACCARD_THRESHOLD
 
     docs = _t(spark, sf_dir, "documents")
-    edges = minhash_lsh_dedup_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+    edges = minhash_lsh_dedup_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
+    ).select("doc_a", "doc_b")
     cc = connected_components(docs.select("doc_id"), edges)
     sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     w = Window.partitionBy("cluster_id").orderBy(

@@ -68,13 +68,15 @@ HEADLINE = [
     "corpus_quality_gate",
     "corpus_chunk_overlap",
     # round-2 batch: reconciliation, graph profile, vocab, sequences
-    # (pagerank / triangle_count / dedup_survivors are deliberately not
-    # headline: iterative/multi-join ops, tracked via the oracle gate)
     "table_diff_reconcile",
     "graph_degree_stats",
     "corpus_vocab_coverage",
     "events_sequence_pattern",
     "corpus_training_manifest",
+    # round-3 heavyweights: iterative / multi-stage composition plans
+    "graph_pagerank",
+    "corpus_dedup_survivors",
+    "join_interval_overlap_banded",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -111,17 +113,31 @@ def main() -> None:
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min-of-N per query (N=3 by default): single-shot timings drift
+    # ±0.15 s with JIT/GC noise at this scale, which round-over-round
+    # comparison reads as phantom regressions; the min isolates plan
+    # cost.  (r01/r02 were single-shot — totals are ~10-15% higher than
+    # the same plans measured this way.)
+    n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)  # build plan (lazy)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(n_iters):
+            # plan construction is INSIDE the window: eager-iterative
+            # operators (pagerank loop fallback, connected components)
+            # run jobs during construction, and excluding it would
+            # under-report them (r02 did; its survivors row measured
+            # only the final window stage)
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

@@ -117,6 +117,64 @@ def stateful_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_cusum_drift(stream: DataFrame, mean_v: float) -> DataFrame:
+    """Streaming CUSUM changepoint screen via applyInPandasWithState —
+    the stateful-analytic twin of the batch ``events_cusum_drift``
+    (registry_analytics).
+
+    State per user is three doubles: the running cusum and its extremes.
+    Each micro-batch sorts its rows by (ts, event_id) and extends the
+    running sum with a left-to-right float64 cumsum — the SAME pinned
+    fold order as the batch window (ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING), so under in-order arrival the emitted extremes are
+    bit-compatible with the batch result.  ``mean_v`` is the reference
+    mean (in production CUSUM monitors deviation from a *trained*
+    reference; the batch twin derives it from the full dataset).
+
+    Ordering caveat, inherent to streaming CUSUM: rows arriving in a
+    LATER micro-batch with an EARLIER event time are folded after the
+    state they should have preceded.  Bound it operationally with a
+    watermark-sized ingest delay; the op itself keeps O(1) state per
+    key either way.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cusum, mx, mn = state.get
+        else:
+            cusum, mx, mn = 0.0, None, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            run = (pdf["value"].astype("float64") - mean_v).cumsum() + cusum
+            cusum = float(run.iloc[-1])
+            bmax, bmin = float(run.max()), float(run.min())
+            mx = bmax if mx is None else max(mx, bmax)
+            mn = bmin if mn is None else min(mn, bmin)
+        state.update((cusum, mx, mn))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "max_cusum": [round(mx, 6)],
+                "min_cusum": [round(mn, 6)],
+                "max_abs_cusum": [round(max(abs(mx), abs(mn)), 6)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, max_cusum double, min_cusum double, "
+            "max_abs_cusum double"
+        ),
+        stateStructType="cusum double, max_cusum double, min_cusum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def join_stream_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against
     the (broadcastable) static dimension — no streaming state at all."""

@@ -244,3 +244,29 @@ def test_stream_ml_score_equals_batch(spark):
     got = _norm(spark.table("t_ml_score").toPandas())
     want = _norm(batch_df.toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_cusum_equals_batch(spark):
+    """Stateful CUSUM drift (applyInPandasWithState) == the oracle-checked
+    batch twin under in-order arrival — the stateful-ANALYTIC streaming
+    seam (running float state + extremes, not just a counter)."""
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.registry_analytics import events_cusum_drift
+    from atac_data_products_spark.sources.tables import events_with_ts
+    from atac_data_products_spark.streaming.events import stateful_cusum_drift
+
+    # same reference mean (same rounding) as the batch query derives
+    mean_v = (
+        events_with_ts(spark, SF_SMALL)
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+        .collect()[0]["m"]
+    )
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    run_to_memory(stateful_cusum_drift(stream, mean_v), "t_cusum", mode="update")
+    got = spark.table("t_cusum").toPandas()
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user carries the final extremes (single file => one batch here)
+    got = got.groupby("user_id").tail(1).reset_index(drop=True)
+    want = events_cusum_drift(spark, SF_SMALL).toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))

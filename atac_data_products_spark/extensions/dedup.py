@@ -166,6 +166,73 @@ def lsh_candidate_pairs(
     return pairs.distinct() if dedup_pairs else pairs
 
 
+def _pair_overlap_counts(
+    shingles: DataFrame, id_col: str, candidates: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Pair-driven set-overlap counting for candidate pairs: returns
+    (inter, sizes) where inter = (doc_a, doc_b, n_inter) and sizes =
+    (id, n_sh) over the candidate-restricted distinct shingle sets.
+    Intermediate rows are Σ|A| over candidate pairs — linear in the
+    candidate set (see jaccard_pairs docstring)."""
+    # restrict the shingle table to candidate docs BEFORE the set-dedup
+    # shuffle: cost scales with the candidate set, not the corpus.  No
+    # distinct on cand_docs: the left-semi probe side is
+    # duplicate-insensitive.
+    cand_docs = candidates.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
+    pair_shingles = shingles.join(cand_docs, id_col, "left_semi").distinct()
+    sizes = pair_shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.join(
+            pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle"),
+            "doc_a",
+        )
+        .join(
+            pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return inter, sizes
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional containment C(A,B) = |A∩B| / |A| over candidate pairs
+    — the near-SUPERSET detector.  A short doc quoted wholesale inside a
+    long one has high containment but low Jaccard (the union is
+    dominated by the long doc), so symmetric-Jaccard dedup misses it;
+    containment is the standard second pass (quotes, re-posts with added
+    commentary, header-wrapped mirrors).
+
+    Emits pairs where either direction reaches ``threshold``, with both
+    directions reported.  Same pair-driven plan as the Jaccard verify:
+    linear in the candidate set, never corpus-quadratic.
+    """
+    inter, sizes = _pair_overlap_counts(shingles, id_col, candidates)
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c_a = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_b = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+        )
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
@@ -189,28 +256,7 @@ def jaccard_pairs(
     restriction).
     """
     if candidates is not None:
-        # restrict the shingle table to candidate docs BEFORE the
-        # set-dedup shuffle: verification cost scales with the candidate
-        # set, not the corpus.  No distinct on cand_docs: the left-semi
-        # probe side is duplicate-insensitive.
-        cand_docs = candidates.select(
-            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-        )
-        pair_shingles = shingles.join(cand_docs, id_col, "left_semi").distinct()
-        # set sizes only needed for candidate docs — reuse the restricted set
-        sizes = pair_shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-        inter = (
-            candidates.join(
-                pair_shingles.select(F.col(id_col).alias("doc_a"), "shingle"),
-                "doc_a",
-            )
-            .join(
-                pair_shingles.select(F.col(id_col).alias("doc_b"), "shingle"),
-                ["doc_b", "shingle"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_inter"))
-        )
+        inter, sizes = _pair_overlap_counts(shingles, id_col, candidates)
     else:
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")

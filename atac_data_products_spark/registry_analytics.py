@@ -2783,3 +2783,173 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_lead_days"),
         F.max("lead_days").cast("bigint").alias("max_lead_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: OHLC resampling, CDC merge, sketch-accuracy contract
+# ---------------------------------------------------------------------------
+
+_OHLC_BUCKET_US = 900_000_000  # 15 minutes
+
+
+@query(
+    "timeseries_resample_ohlc",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    b AS (SELECT event_type, value, event_id, ts_us,
+                 (ts_us // {_OHLC_BUCKET_US}) * {_OHLC_BUCKET_US} AS bucket_us
+          FROM e),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bucket_us
+                                    ORDER BY ts_us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket_us
+                                    ORDER BY ts_us DESC, event_id DESC) AS rn_d
+          FROM b)
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+    FROM r GROUP BY event_type, bucket_us
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 15-minute OHLC bars per event type —
+    the hypertable/candlestick rollup.  Open/close are first/last by
+    (ts, event_id) resolved with two row_numbers over ONE
+    (event_type, bucket) shuffle (opposite sort orders re-sort within
+    partitions, no second exchange), and the bar aggregation reuses the
+    same partitioning.  Bucketing is integer µs arithmetic — never a
+    session-timezone date_trunc."""
+    ev_raw = _t(spark, sf_dir, "events")
+    e = ev_raw.select(
+        "event_type", "value", "event_id", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    b = e.withColumn(
+        "bucket_us",
+        (F.col("ts_us") - F.col("ts_us") % _OHLC_BUCKET_US).cast("bigint"),
+    )
+    w_a = Window.partitionBy("event_type", "bucket_us").orderBy("ts_us", "event_id")
+    w_d = Window.partitionBy("event_type", "bucket_us").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    r = b.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return r.groupBy("event_type", "bucket_us").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, c_name,
+                         round(c_acctbal, 2) AS c_acctbal FROM customer),
+    changes AS (
+      SELECT c_custkey AS k, 'U' AS op, c_name AS name,
+             round(c_acctbal + 100.0, 2) AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL FROM customer WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 'NEW ' || c_name,
+             round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 7 = 2
+    )
+    SELECT coalesce(s.c_custkey, ch.k) AS c_custkey,
+           CASE WHEN ch.op IN ('U', 'I') THEN ch.name ELSE s.c_name END AS c_name,
+           CASE WHEN ch.op IN ('U', 'I') THEN ch.acctbal
+                ELSE s.c_acctbal END AS c_acctbal,
+           CASE ch.op WHEN 'I' THEN 'inserted' WHEN 'U' THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM snap s FULL OUTER JOIN changes ch ON s.c_custkey = ch.k
+    WHERE ch.op IS DISTINCT FROM 'D'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE / CDC-apply semantics as one declarative plan:
+    a deterministic change batch (updates / deletes / inserts keyed off
+    custkey residues) applied to the customer snapshot via FULL OUTER
+    join + per-op resolution — upsert, delete, and passthrough in a
+    single pass, the Delta/Iceberg MERGE INTO shape without a table
+    format.
+
+    Scale: one co-partitioned join on the merge key; the change batch is
+    usually a small fraction of the snapshot, so AQE broadcasts it;
+    output is written partition-aligned with the snapshot for the next
+    apply cycle."""
+    cust = _t(spark, sf_dir, "customer")
+    snap = cust.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+    )
+    dele = cust.where(F.col("c_custkey") % 7 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("acctbal"),
+    )
+    ins = cust.where(F.col("c_custkey") % 7 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    applied = F.col("op").isin("U", "I")
+    return (
+        snap.join(changes, snap.c_custkey == changes.k, "full_outer")
+        .where(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.coalesce("c_custkey", "k").alias("c_custkey"),
+            F.when(applied, F.col("name")).otherwise(F.col("c_name")).alias("c_name"),
+            F.when(applied, F.col("acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("op") == "I", "inserted")
+            .when(F.col("op") == "U", "updated")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+    )
+
+
+@query(
+    "approx_distinct_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            <= 0.05 * count(DISTINCT user_id)) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy CONTRACT, checked as a query: each engine
+    runs its own HyperLogLog distinct-count next to the exact count and
+    asserts the 5% envelope.  The sketches differ across engines (only
+    the boolean + exact count are compared), which is exactly the
+    point — approx_count_distinct is the scale path for distincts, and
+    this row is the standing evidence its error budget holds on this
+    data.  Sketch aggregation is map-side combinable: at 100 TB the
+    shuffle carries fixed-size HLL registers, never user ids."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.count_distinct("user_id"))
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
+    )

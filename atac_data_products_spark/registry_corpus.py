@@ -572,6 +572,80 @@ corpus_chunk_overlap.__doc__ = corpus_chunk_overlap.__doc__.format(
     W=_CHUNK_W, S=_CHUNK_S
 )
 
+# Exact-substring duplication at span granularity: non-overlapping
+# token windows, cross-document occurrence counting.
+_SPAN_W = 16
+
+
+@query(
+    "corpus_span_dup_rate",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), {_SPAN_W})) AS start
+          FROM t),
+    c AS (SELECT doc_id,
+                 md5(array_to_string(toks[start : start + {_SPAN_W - 1}], ' ')) AS fp
+          FROM s),
+    g AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY fp)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM c JOIN g USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def corpus_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span rate: non-overlapping {W}-token
+    windows fingerprinted per doc, a span counted as duplicated when its
+    fingerprint occurs in ≥2 DISTINCT documents — the span-granular
+    exact-substring dedup signal (the fraction drives "remove repeated
+    passages" decisions the way doc-level exact dedup can't: boilerplate
+    headers/footers duplicate across otherwise-unique pages).
+
+    Scale: chunking is narrow array expressions; then ONE shuffle on the
+    16-byte span fingerprint for the distinct-doc count (combinable),
+    whose output is already co-partitioned for the fp join back, and one
+    (doc_id) shuffle for the per-doc rollup.  Bodies never shuffle —
+    only fingerprints.  Within-doc repetition is the separate
+    corpus_repetition_ratio signal."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_SPAN_W))
+        ).alias("start"),
+    )
+    c = s.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), _SPAN_W))).alias(
+            "fp"
+        ),
+    )
+    g = c.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        c.join(g, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+corpus_span_dup_rate.__doc__ = corpus_span_dup_rate.__doc__.format(W=_SPAN_W)
+
 _RSV_K = 5
 
 

@@ -234,6 +234,21 @@ def _lsh_dedup_oracle(max_bucket_size: int | None = None) -> str:
     cap: buckets larger than the cap contribute (bucket-min ↔ member)
     edges instead of all pairs — the same windowed count/min the Spark
     plan computes in lsh_candidate_pairs."""
+    jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
+    return f"""
+    WITH {_lsh_with_body(max_bucket_size)}
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE {jac} >= {JACCARD_THRESHOLD}
+    """
+
+
+def _lsh_with_body(max_bucket_size: int | None = None) -> str:
+    """Shared oracle CTE body: shingles → signatures → banded buckets →
+    candidate pairs (+ per-doc set sizes and pair intersections)."""
     from .extensions.dedup import LSH_BANDS, LSH_ROWS
 
     mins = ", ".join(
@@ -266,9 +281,7 @@ def _lsh_dedup_oracle(max_bucket_size: int | None = None) -> str:
                UNION ALL
                SELECT __min AS doc_a, doc_id AS doc_b
                FROM sized WHERE __n > {max_bucket_size} AND doc_id <> __min))"""
-    jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
-    return f"""
-    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    return f"""{_TOKS_CTE}, {_SHINGLES_CTE},
     h AS (SELECT doc_id, {_H40_SQL} AS h FROM shingles),
     sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
     buckets AS (SELECT doc_id, u.band AS band, u.sig AS sig
@@ -277,14 +290,7 @@ def _lsh_dedup_oracle(max_bucket_size: int | None = None) -> str:
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
     inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
               FROM shingles s1 JOIN shingles s2 USING (shingle)
-              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
-    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
-    FROM cand c
-    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-    JOIN sizes sa ON c.doc_a = sa.doc_id
-    JOIN sizes sb ON c.doc_b = sb.doc_id
-    WHERE {jac} >= {JACCARD_THRESHOLD}
-    """
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)"""
 
 
 @query("dedup_minhash_lsh", oracle=_lsh_dedup_oracle(LSH_MAX_BUCKET))
@@ -327,6 +333,43 @@ def dedup_minhash_lsh_star_stress(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=3,
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _containment_oracle() -> str:
+    ca = "round(n_inter / CAST(sa.n_sh AS DOUBLE), 6)"
+    cb = "round(n_inter / CAST(sb.n_sh AS DOUBLE), 6)"
+    return f"""
+    WITH {_lsh_with_body(LSH_MAX_BUCKET)}
+    SELECT c.doc_a, c.doc_b, {ca} AS containment_a, {cb} AS containment_b
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE greatest({ca}, {cb}) >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B|/|A| over the capped LSH
+    candidates — the near-SUPERSET pass symmetric Jaccard misses (a doc
+    quoted wholesale inside a longer one scores high containment, low
+    Jaccard).  Same pair-driven verification plan as the Jaccard path:
+    linear in the candidate set.  Recall caveat is shared with all
+    MinHash banding (signatures track Jaccard, so low-Jaccard supersets
+    must collide in some band to be candidates); the deterministic
+    pipeline keeps even that approximate semantics value-checked."""
+    from .extensions.dedup import containment_pairs, lsh_candidate_pairs
+    from .extensions.text import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=False)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
+    return containment_pairs(sh, cand, threshold=CONTAINMENT_THRESHOLD)
 
 
 def _cc_oracle() -> str:
@@ -1146,6 +1189,95 @@ def sessionize_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev)
 
 
+def _ann_recall_oracle() -> str:
+    cos = (
+        "round(list_dot_product(c.v, q.qv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM eb),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, v, bucket FROM e WHERE vec_id % 100 <> 0),
+    bd AS (SELECT q.q_id, c.vec_id, {cos} AS cosine FROM c CROSS JOIN q),
+    br AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM bd) WHERE rk <= 10),
+    ld AS (SELECT q.q_id, c.vec_id, {cos} AS cosine
+           FROM c JOIN q ON c.bucket = q.qb),
+    lr AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM ld) WHERE rk <= 10),
+    hits AS (SELECT q_id, count(*) AS n FROM br JOIN lr USING (q_id, vec_id)
+             GROUP BY q_id)
+    SELECT q.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
+    FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+    """
+
+
+@query("similarity_ann_recall_eval", oracle=_ann_recall_oracle())
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN path against exact brute
+    force, per query — the eval harness every approximate index needs
+    before it gates a production retrieval system.  Both rankings are
+    deterministic, so even the *measurement of the approximation* is
+    value-checked.
+
+    Plan: queries (every 100th vector) broadcast once; the corpus
+    streams ONCE through each ranking (brute = broadcast nested loop,
+    LSH = bucket-equality hash join), per-query top-k windows, then a
+    tiny (q_id, vec_id) overlap join.  Corpus cost is two scans
+    regardless of query count."""
+    from pyspark.sql.window import Window
+
+    from .extensions.similarity import _as_double, dot, hyperplane_bucket, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    e = emb.withColumn("bucket", hyperplane_bucket(F.col("v"), 64))
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = e.where(F.col("vec_id") % 100 != 0)
+    cos = F.round(
+        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        6,
+    ).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("q_id", "vec_id")
+        )
+
+    brute = topk(c.crossJoin(F.broadcast(q)).select("q_id", "vec_id", cos))
+    lsh = topk(
+        c.join(F.broadcast(q), c.bucket == q.qb).select("q_id", "vec_id", cos)
+    )
+    hits = brute.join(lsh, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n", F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+        )
+    )
+
+
 _KNN_JOIN_ORACLE = """
     WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS q_id, v AS qv FROM eb WHERE vec_id % 100 = 0),
@@ -1196,6 +1328,85 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 3)
         .select("q_id", "vec_id", "cosine", "rk")
+    )
+
+
+_KNN_VOTE_ORACLE = """
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       CAST(label AS BIGINT) AS label FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+          FROM eb WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, v, label FROM eb WHERE vec_id % 100 <> 0),
+    d AS (SELECT q.q_id, c.vec_id, c.label,
+                 round(list_dot_product(c.v, q.qv) /
+                       (sqrt(list_dot_product(c.v, c.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM c CROSS JOIN q),
+    nn AS (SELECT q_id, label FROM (
+             SELECT q_id, label,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM d) WHERE rk <= 5),
+    votes AS (SELECT q_id, label, count(*) AS n FROM nn GROUP BY q_id, label),
+    pred AS (SELECT q_id, label AS pred_label FROM (
+               SELECT q_id, label,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY n DESC, label) AS rn
+               FROM votes) WHERE rn = 1)
+    SELECT q.q_id, q.true_label, p.pred_label,
+           (q.true_label = p.pred_label) AS correct
+    FROM q JOIN pred p ON q.q_id = p.q_id
+"""
+
+
+@query("knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, majority vote, count-then-label
+    tie-break) of held-out vectors against the labeled corpus — the
+    label-propagation / weak-annotation shape of a training-data
+    pipeline (auto-labeling new data from an embedded seed set).
+
+    Plan: query block broadcasts; corpus streams once through the
+    scoring join; per-query top-k window; vote resolution is two tiny
+    aggregations on q_id — nothing scales with corpus² at any point."""
+    from pyspark.sql.window import Window
+
+    from .extensions.similarity import _as_double, dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.where(F.col("vec_id") % 100 != 0)
+    cos = F.round(
+        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        6,
+    ).alias("cosine")
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    nn = (
+        c.crossJoin(F.broadcast(q.select("q_id", "qv")))
+        .select("q_id", "vec_id", "label", cos)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 5)
+    )
+    votes = nn.groupBy("q_id", "label").agg(F.count("*").alias("n"))
+    w_vote = Window.partitionBy("q_id").orderBy(F.desc("n"), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("pred_label"))
+    )
+    return q.select("q_id", "true_label").join(pred, "q_id").select(
+        "q_id",
+        "true_label",
+        "pred_label",
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
     )
 
 

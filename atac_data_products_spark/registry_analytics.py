@@ -2953,3 +2953,71 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.count_distinct("user_id")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "stat_welch_ttest",
+    oracle="""
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n1,
+                      CAST(sum(n_chars) AS BIGINT) AS s1,
+                      CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+               FROM documents GROUP BY source),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s,
+                 CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+          FROM documents),
+    m AS (SELECT source, n1, s1, q1,
+                 n - n1 AS n2, s - s1 AS s2, q - q1 AS q2
+          FROM s CROSS JOIN g),
+    v AS (SELECT source, n1, n2,
+                 s1 / CAST(n1 AS DOUBLE) AS m1,
+                 s2 / CAST(n2 AS DOUBLE) AS m2,
+                 (q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / (n1 - 1) AS v1,
+                 (q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / (n2 - 1) AS v2
+          FROM m)
+    SELECT source, n1 AS n_docs,
+           round(m1, 6) AS mean_chars,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+    FROM v
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic of each source's document
+    length against the REST of the corpus — the drift/outlier screen run
+    before blending a new source into a training mix.
+
+    Both group and complement moments derive from ONE pass of exact
+    BIGINT sums (n, Σx, Σx²): the complement is global-minus-group
+    arithmetic on a broadcast 1-row aggregate, so no second scan, no
+    self-join, and the float math starts from fold-order-proof
+    integers — bit-identical cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q1"),
+    )
+    g = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q"),
+    )
+    m = s.crossJoin(F.broadcast(g)).select(
+        "source", "n1", "s1", "q1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("s") - F.col("s1")).alias("s2"),
+        (F.col("q") - F.col("q1")).alias("q2"),
+    )
+    m1 = F.col("s1") / F.col("n1").cast("double")
+    m2 = F.col("s2") / F.col("n2").cast("double")
+    v1 = (F.col("q1") - F.col("s1") * m1) / (F.col("n1") - 1)
+    v2 = (F.col("q2") - F.col("s2") * m2) / (F.col("n2") - 1)
+    return m.select(
+        "source",
+        F.col("n1").alias("n_docs"),
+        F.round(m1, 6).alias("mean_chars"),
+        F.round((m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2")), 6).alias(
+            "t_stat"
+        ),
+    )

@@ -646,6 +646,52 @@ def corpus_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 corpus_span_dup_rate.__doc__ = corpus_span_dup_rate.__doc__.format(W=_SPAN_W)
 
+
+@query(
+    "corpus_novelty_rate",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    shingles AS (SELECT DISTINCT doc_id,
+                        unnest([array_to_string(t[i:i+2], ' ')
+                                FOR i IN range(1, len(t)-1)]) AS shingle
+                 FROM toks WHERE len(t) >= 3),
+    o AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+    FROM shingles s JOIN o USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's shingles that the
+    corpus sees FIRST in that doc (global min doc_id owns the shingle).
+    The curation-ordering signal — low-novelty docs add little content
+    beyond what earlier docs already contribute, the streaming-corpus
+    complement to pairwise dedup.
+
+    Scale: one combinable min-agg shuffle on the shingle hash, one fp
+    join back (co-partitioned with the agg output), one (doc_id)
+    rollup.  Document bodies never shuffle."""
+    from .extensions.text import shingle_table
+
+    sh = shingle_table(_t(spark, sf_dir, "documents"))
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty_rate"),
+        )
+    )
+
 _RSV_K = 5
 
 

@@ -372,6 +372,94 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(sh, cand, threshold=CONTAINMENT_THRESHOLD)
 
 
+def _mh_calibration_oracle() -> str:
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    ex = "coalesce(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 0)"
+    return f"""
+    WITH {_lsh_with_body(LSH_MAX_BUCKET)},
+    est AS (SELECT c.doc_a, c.doc_b,
+                   round(({eq}) / {MINHASH_K}.0, 6) AS jaccard_est
+            FROM cand c
+            JOIN sig sa ON c.doc_a = sa.doc_id
+            JOIN sig sb ON c.doc_b = sb.doc_id),
+    ex AS (SELECT e.doc_a, e.doc_b, e.jaccard_est,
+                  round({ex}, 6) AS jaccard_exact
+           FROM est e
+           JOIN sizes za ON e.doc_a = za.doc_id
+           JOIN sizes zb ON e.doc_b = zb.doc_id
+           LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b)
+    SELECT doc_a, doc_b, jaccard_est, jaccard_exact,
+           round(abs(jaccard_est - jaccard_exact), 6) AS abs_err
+    FROM ex
+    """
+
+
+@query("dedup_minhash_estimate_calibration", oracle=_mh_calibration_oracle())
+def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash sketch: per capped-LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching components / k) next to the exact shingle Jaccard, with
+    the absolute error — the measurement that justifies k=32 and the
+    band/row split before anyone trusts the sketch at corpus scale
+    (E[est] = J, σ = sqrt(J(1-J)/k)).
+
+    Plan: signatures join the candidate pairs twice (co-partitioned on
+    the doc key); exact values come from the same pair-driven verify as
+    the graded dedup path; everything downstream of candidate
+    generation is linear in the candidate set."""
+    from .extensions.dedup import lsh_candidate_pairs
+    from .extensions.text import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=False)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(MINHASH_K), 6).alias("jaccard_est"),
+        )
+    )
+    exact = jaccard_pairs(sh, threshold=0.0, candidates=cand).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            F.round(F.coalesce("jaccard_exact", F.lit(0.0)), 6).alias(
+                "jaccard_exact"
+            ),
+            F.round(
+                F.abs(
+                    F.col("jaccard_est") - F.coalesce("jaccard_exact", F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )
+
+
 def _cc_oracle() -> str:
     """Connected components over the Jaccard-pair graph via a recursive
     CTE: enumerate reachable labels, keep the min per node."""

@@ -175,6 +175,37 @@ def stateful_cusum_drift(stream: DataFrame, mean_v: float) -> DataFrame:
     )
 
 
+def ohlc_bars(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming 15-minute OHLC bars per event type (batch twin:
+    timeseries_resample_ohlc).
+
+    open/close are ``min_by``/``max_by`` over the (ts, event_id) struct —
+    declarative aggregates that run incrementally inside the watermarked
+    window state, where the batch twin's row_number formulation would
+    need a full sort.  Same (type, bucket) grain, same tie-break."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) * 1_000_000).alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
 def join_stream_static(stream: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against
     the (broadcastable) static dimension — no streaming state at all."""

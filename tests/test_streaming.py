@@ -270,3 +270,18 @@ def test_stream_cusum_equals_batch(spark):
     got = got.groupby("user_id").tail(1).reset_index(drop=True)
     want = events_cusum_drift(spark, SF_SMALL).toPandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_stream_ohlc_equals_batch(spark):
+    """Streaming min_by/max_by OHLC bars == the oracle-checked batch
+    row_number formulation on the same grain — two different physical
+    strategies (incremental window state vs sort-based windows) pinned
+    to one result."""
+    from atac_data_products_spark.registry_analytics import timeseries_resample_ohlc
+    from atac_data_products_spark.streaming.events import ohlc_bars
+
+    stream = read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+    run_to_memory(ohlc_bars(stream), "t_ohlc", mode="complete")
+    got = _norm(spark.table("t_ohlc").toPandas())
+    want = _norm(timeseries_resample_ohlc(spark, SF_SMALL).toPandas())
+    pd.testing.assert_frame_equal(got, want)

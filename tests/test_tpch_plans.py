@@ -165,3 +165,41 @@ def test_winsorize_bounds_broadcast(spark):
     plan = _phys(_q("agg_winsorize")(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: with a selective dim-side predicate
+    and broadcast off, Spark injects a bloom filter built from the dim
+    side into the fact scan (bloom_filter_might_contain) — the runtime
+    complement to static predicate pushdown, and the mechanism that
+    keeps big-big joins from shuffling rows that cannot match."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from atac_data_products_spark.sources.tables import load_table
+
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

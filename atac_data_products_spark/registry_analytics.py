@@ -3021,3 +3021,34 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+@query(
+    "approx_percentile_accuracy",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+            <= 0.05 * quantile_cont(value, 0.5)) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy CONTRACT, the percentile sibling of
+    [[approx_distinct_accuracy]]: each engine runs its own mergeable
+    quantile sketch (Spark: Greenwald-Khanna ``percentile_approx``;
+    DuckDB: t-digest) beside the exact interpolated median and asserts
+    the 5% envelope.  Only the exact median and the boolean are
+    compared — the sketches legitimately differ.
+
+    The sketch is the 100 TB path: exact ``percentile`` buffers every
+    value per group, while the GK sketch is bounded-size and map-side
+    combinable, so the shuffle carries fixed-size summaries.  This row
+    is standing evidence the error budget holds on this data."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.expr("percentile_approx(value, 0.5, 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(exact, 6).alias("p50_exact"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
+    )

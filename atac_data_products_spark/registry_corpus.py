@@ -1444,3 +1444,257 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("t_fp").isNotNull()) / F.count("*").cast("double"), 6
         ).alias("leak_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: sentence stats, bigram LM, cross-source overlap,
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_sentence_stats",
+    oracle=r"""
+    WITH seg AS (SELECT doc_id,
+                        list_filter(
+                          list_transform(
+                            regexp_split_to_array(text, '[.!?]+\s+'),
+                            s -> length(trim(s))),
+                          x -> x > 0) AS lens
+                 FROM documents)
+    SELECT doc_id,
+           CAST(len(lens) AS BIGINT) AS n_sentences,
+           round(CAST(list_aggregate(lens, 'sum') AS DOUBLE) / len(lens), 6)
+               AS avg_sentence_chars,
+           CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_sentence_chars
+    FROM seg WHERE len(lens) > 0
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document — the text-analysis
+    probe behind readability/quality gates (documents whose mean
+    sentence length is degenerate are boilerplate or OCR noise).
+
+    Pure array HOFs inside whole-stage codegen: split on the sentence
+    boundary regex, per-segment trimmed lengths via ``transform``, and
+    the count/sum/max all reduce over the array IN INDEX ORDER — no
+    explode, no shuffle, no Python.  Each row's work is O(doc length);
+    at 100 TB this is a map-only pass."""
+    d = _t(spark, sf_dir, "documents")
+    lens = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+\s+"),
+            lambda s: F.length(F.trim(s)),
+        ),
+        lambda x: x > 0,
+    )
+    return (
+        d.select("doc_id", lens.alias("lens"))
+        .where(F.size("lens") > 0)
+        .select(
+            "doc_id",
+            F.size("lens").cast("bigint").alias("n_sentences"),
+            F.round(
+                F.aggregate(
+                    "lens", F.lit(0).cast("bigint"), lambda a, x: a + x
+                ).cast("double")
+                / F.size("lens"),
+                6,
+            ).alias("avg_sentence_chars"),
+            F.array_max("lens").cast("bigint").alias("max_sentence_chars"),
+        )
+    )
+
+
+_BG_SCALE = 1_000_000_000  # fixed-point 1e9 for bigram log-probs
+
+
+@query(
+    "corpus_bigram_logprob",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id,
+                  [t[x] || ' ' || t[x + 1] for x in generate_series(1, len(t) - 1)]
+                      AS bigrams
+           FROM toks),
+    pair AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cu
+            FROM (SELECT unnest(t) AS token FROM toks) WHERE token != ''
+            GROUP BY token),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+    bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM pair GROUP BY bigram),
+    lp AS (SELECT b.bigram,
+                  CAST(floor(ln((b.cb + 1.0) / (u.cu + v.vocab)) * {_BG_SCALE})
+                       AS BIGINT) AS lp_q
+           FROM bc b
+           JOIN uni u ON split_part(b.bigram, ' ', 1) = u.token
+           CROSS JOIN v)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.lp_q) AS BIGINT) AS sum_lp_q,
+           round(CAST(sum(l.lp_q) AS DOUBLE) / count(*) / {_BG_SCALE}, 6)
+               AS avg_logprob
+    FROM pair p JOIN lp l ON p.bigram = l.bigram
+    GROUP BY p.doc_id
+    """,
+)
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: each
+    document's mean log P(w2 | w1) under the corpus's own bigram
+    counts — the step up from [[corpus_unigram_logprob]]'s CCNet-style
+    quality signal (bigram perplexity separates shuffled-word salad
+    from fluent text, which unigram scores cannot).
+
+    Determinism: per-bigram log-probs quantized to 1e-9 fixed-point
+    BIGINTs, so per-doc sums are exact integer adds under any fold
+    order.  Plan shape: one token explode feeds BOTH count tables
+    (bigram and unigram conditioning counts); the scoring join keys on
+    the bigram string.  The model tables are corpus-vocabulary-sized —
+    at 100 TB they no longer broadcast, and the scoring join becomes a
+    shuffle hash join on the bigram key, which AQE picks on its own
+    (nothing in the plan pins a broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = d.select("doc_id", t.alias("t"))
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pair = toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cu"))
+    )
+    v = uni.agg(F.count("*").cast("bigint").alias("vocab"))
+    bc = pair.groupBy("bigram").agg(F.count("*").cast("bigint").alias("cb"))
+    lp = (
+        bc.join(uni, F.split_part(bc.bigram, F.lit(" "), F.lit(1)) == uni.token)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.floor(
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab")))
+                * _BG_SCALE
+            ).cast("bigint").alias("lp_q"),
+        )
+    )
+    return (
+        pair.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp_q").cast("bigint").alias("sum_lp_q"),
+            F.round(
+                F.sum("lp_q").cast("double") / F.count("*") / F.lit(_BG_SCALE), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "corpus_cross_source_overlap",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  md5(t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' ||
+                      t[x+3] || ' ' || t[x+4]) AS dg
+           FROM toks, (SELECT unnest(generate_series(1, 100000)) AS x) g
+           WHERE x <= len(t) - 4)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for every source pair, how
+    many distinct 5-gram shingles they share — the governance number
+    that decides which source pairs need a near-dup pass before being
+    mixed into one training blend (cf. [[corpus_contamination]], which
+    checks documents against a benchmark; this checks sources against
+    each other).
+
+    Shingles are md5-digested BEFORE the distinct + self-join, so both
+    shuffles carry 32-char digests, never text.  The per-digest match
+    group is bounded by the number of sources (20 here), so the
+    self-join's output per key is bounded — no quadratic bucket risk.
+    At 100 TB: distinct-(source, digest) is the big shuffle; the pair
+    join keys on digest with bounded fan-out; the rollup is a 190-row
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = d.select("source", t.alias("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda x: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("t", x),
+                F.element_at("t", x + 1),
+                F.element_at("t", x + 2),
+                F.element_at("t", x + 3),
+                F.element_at("t", x + 4),
+            )
+        ),
+    )
+    sh = (
+        toks.select("source", F.explode(shingle).alias("dg"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dg") == F.col("b.dg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_shingles"))
+    )
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH r AS (SELECT doc_id, lang,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ) AS rk
+               FROM documents)
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: a deterministic fixed-size sample per
+    language stratum (the eval-set carve-out every training pipeline
+    runs; ``df.sampleBy`` is only approximate and seed-dependent across
+    partitionings, so the contract uses md5-ordered row_number — same
+    rows on any cluster, any partition count).
+
+    One shuffle on the stratum key; per-stratum state is a top-20
+    heap.  At 100 TB, strata are language-sized (skewed: en >> rest) —
+    the window's sort is bounded per partition and Spark's
+    WindowGroupLimit pushes the rk <= 20 limit into the sort, so the
+    big stratum never materializes a full ordering."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("sample_rank"))
+    )

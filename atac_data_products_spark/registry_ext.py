@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .extensions.dedup import (
     LSH_MAX_BUCKET,
@@ -1664,4 +1665,172 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.min("jaccard"), 6).alias("lo"),
         F.round(F.max("jaccard"), 6).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd), fixed iterations, exact-deterministic across engines
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_Q = 1_000_000  # input quantization: 1e-6 fixed point
+
+
+def _km_dist_sql(vec: str, cen: str) -> str:
+    """64-term squared-distance sum with a FIXED left-to-right
+    association order, so the double arithmetic is bit-identical in any
+    engine that parses `a + b + c` left-associatively (all of them)."""
+    return " + ".join(
+        f"({vec}[{i}] - {cen}[{i}]) * ({vec}[{i}] - {cen}[{i}])"
+        for i in range(1, _KM_DIM + 1)
+    )
+
+
+def _km_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(sum(q.eq[{i}]) AS BIGINT) AS s{i}" for i in range(1, _KM_DIM + 1)
+    )
+    cent = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n" for i in range(1, _KM_DIM + 1)
+    )
+    d1 = _km_dist_sql("q.eq", "i0.c")
+    d2 = _km_dist_sql("q.eq", "c1.c")
+    df = _km_dist_sql("q.eq", "c2.c")
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      [CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)
+                       for x in embedding] AS eq
+               FROM embeddings),
+    i0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                      AS cluster_id,
+                  [CAST(x AS DOUBLE) for x in eq] AS c
+           FROM (SELECT vec_id, eq FROM q ORDER BY vec_id LIMIT {_KM_K}) t),
+    a1 AS (SELECT vec_id, cluster_id FROM (
+             SELECT q.vec_id, i0.cluster_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {d1}, i0.cluster_id) AS rk
+             FROM q CROSS JOIN i0) WHERE rk = 1),
+    m1 AS (SELECT a1.cluster_id, CAST(count(*) AS BIGINT) AS n, {sums}
+           FROM a1 JOIN q USING (vec_id) GROUP BY a1.cluster_id),
+    c1 AS (SELECT cluster_id, [{cent}] AS c FROM m1),
+    a2 AS (SELECT vec_id, cluster_id FROM (
+             SELECT q.vec_id, c1.cluster_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {d2}, c1.cluster_id) AS rk
+             FROM q CROSS JOIN c1) WHERE rk = 1),
+    m2 AS (SELECT a2.cluster_id, CAST(count(*) AS BIGINT) AS n, {sums}
+           FROM a2 JOIN q USING (vec_id) GROUP BY a2.cluster_id),
+    c2 AS (SELECT cluster_id, [{cent}] AS c FROM m2)
+    SELECT a2.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(floor(({df}) / 1000000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000.0, 3) AS inertia,
+           round(any_value(c2.c[1]) / {_KM_Q}, 6) AS centroid_d0
+    FROM a2 JOIN q USING (vec_id) JOIN c2 ON a2.cluster_id = c2.cluster_id
+    GROUP BY a2.cluster_id
+    """
+
+
+def _km_dist_col(vec: str, cen: str):
+    """Mirror of :func:`_km_dist_sql`: a sequential fold over the
+    zipped arrays.  ``aggregate`` folds left-to-right by definition, so
+    the double additions happen in the same order as the oracle's
+    left-associative 64-term sum — bit-identical results — while the
+    codegen stays a compact loop instead of a 64-term unrolled tree
+    (the unrolled Column version cost ~6 s of janino compile + ~6 s of
+    Py4J build round-trips; this form is one expression node)."""
+    return F.aggregate(
+        F.zip_with(
+            vec, cen, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("vector_kmeans_lloyd", oracle=_km_oracle())
+def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, two fixed iterations) as a pure DataFrame
+    plan — the iterative-ML shape (centroid assign → update → repeat)
+    with a bit-identical cross-engine contract, which stock k-means
+    never gives (random init + float fold order).
+
+    Determinism recipe: inputs quantized to 1e-6 fixed-point BIGINTs
+    (so centroid sums are exact integers under any aggregation order);
+    init = the k lowest vec_ids; every squared-distance is a 64-term
+    double sum in a FIXED association order; argmin ties break on
+    cluster_id; per-point inertia is floor-quantized before the final
+    exact integer sum.
+
+    Scale shape: each iteration is one broadcast of the k×64 centroid
+    table against the full point set (map-side assign — no shuffle),
+    then ONE groupBy(cluster) shuffle carrying 64 integer partial sums
+    per map task (map-side combine makes this k×64 longs per task, not
+    per row).  Iterations compose lazily; at a real iteration count you
+    would localCheckpoint every few rounds like
+    [[dedup_connected_components]] does."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_Q + 0.5).cast("bigint"),
+        ).alias("eq"),
+    )
+    i0 = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).cast("int").alias("cluster_id"),
+            F.transform("eq", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = q.crossJoin(F.broadcast(cent))
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                _km_dist_col("eq", "c"), "cluster_id"
+            )
+        )
+        return d.select("vec_id", "cluster_id", rk.alias("rk")).where(
+            F.col("rk") == 1
+        ).drop("rk")
+
+    def update(asg: DataFrame) -> DataFrame:
+        # expression strings: one Py4J parse each instead of 64 Column
+        # trees built call-by-call from Python
+        sums = [
+            F.expr(f"cast(sum(eq[{i - 1}]) as bigint) as s{i}")
+            for i in range(1, _KM_DIM + 1)
+        ]
+        m = (
+            asg.join(q, "vec_id")
+            .groupBy("cluster_id")
+            .agg(F.count("*").cast("bigint").alias("n"), *sums)
+        )
+        cent = F.expr(
+            "array("
+            + ", ".join(
+                f"cast(s{i} as double) / n" for i in range(1, _KM_DIM + 1)
+            )
+            + ")"
+        )
+        return m.select("cluster_id", cent.alias("c"))
+
+    a1 = assign(i0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+    f = a2.join(q, "vec_id").join(F.broadcast(c2), "cluster_id")
+    dq = F.floor(_km_dist_col("eq", "c") / 1e9).cast("bigint")
+    return f.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.round(F.sum(dq).cast("double") / 1000.0, 3).alias("inertia"),
+        F.round(F.any_value(F.element_at("c", 1)) / _KM_Q, 6).alias(
+            "centroid_d0"
+        ),
     )

@@ -3052,3 +3052,231 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("p50_exact"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
     )
+
+
+def _hex_u32_sql(h: str, pos_fn: str) -> str:
+    """Parse the first 8 hex chars of md5 output into a BIGINT with an
+    engine-portable expression: neither a conv() (absent in DuckDB) nor
+    a strtol — just 8 digit lookups in a fixed-order polynomial.
+    ``pos_fn`` is the 2-arg substring-position function name
+    (Spark: instr, DuckDB: strpos), identical (haystack, needle)
+    argument order in both."""
+    terms = " + ".join(
+        f"(CAST({pos_fn}('0123456789abcdef', substr({h}, {i}, 1)) AS BIGINT)"
+        f" - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+_DP_EPS = 1.0  # Laplace scale b = sensitivity/epsilon = 1.0
+
+
+def _dp_noise_sql(u: str) -> str:
+    """Inverse-CDF Laplace sample at deterministic uniform ``u``:
+    -b * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5))."""
+    return (
+        f"(-{1.0 / _DP_EPS} * sign({u} - 0.5) * ln(1 - 2 * abs({u} - 0.5)))"
+    )
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n_true,
+                 ({_hex_u32_sql("md5(event_type)", "strpos")} + 0.5)
+                     / 4294967296.0 AS u
+          FROM c)
+    SELECT event_type,
+           round({_dp_noise_sql("u")}, 6) AS noise,
+           round(n_true + {_dp_noise_sql("u")}, 3) AS n_noised
+    FROM u
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release shape: per-group counts with
+    Laplace(1/ε) noise, ε=1 — the mechanism a data-product publishes
+    instead of raw counts (cf. [[privacy_k_anonymity]], which
+    suppresses; this perturbs).
+
+    The noise is REAL Laplace via inverse-CDF, but drawn at a
+    deterministic uniform — the md5 of the group key parsed through an
+    engine-portable hex polynomial — so the contract stays value-hash
+    checkable.  A production run swaps the md5 for a seeded PRNG per
+    release; everything else (the one aggregation shuffle, the
+    noise-after-aggregate order, the post-processing round) is exactly
+    what ships.  Noise is added AFTER the exact count aggregate:
+    per-partition noising would sum k noise draws and destroy the ε
+    budget."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_true"))
+    noise = F.expr(
+        _dp_noise_sql(
+            f"(({_hex_u32_sql('md5(event_type)', 'instr')} + 0.5) / 4294967296.0)"
+        )
+    )
+    return c.select(
+        "event_type",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 3).alias("n_noised"),
+    )
+
+
+@query(
+    "stream_late_data_audit",
+    oracle="""
+    WITH o AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) AS wm_us
+               FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts_us < wm_us - 600000000) AS BIGINT)
+               AS n_late,
+           round(count(*) FILTER (WHERE ts_us < wm_us - 600000000)
+                 / CAST(count(*) AS DOUBLE), 6) AS late_rate
+    FROM o GROUP BY user_id
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning audit: for each user's stream (arrival order =
+    event_id), how many events arrive more than 10 minutes behind the
+    running event-time high-water mark — i.e. the rows a streaming job
+    with ``withWatermark("ts", "10 minutes")`` would DROP.  Run this
+    batch audit before picking a watermark delay; the streaming twins
+    ([[window_tumbling_agg]] etc.) then own the online path.
+
+    Per-user windows shuffle once on user_id; the running max is a
+    bounded-state frame (one µs BIGINT per row).  Watermarks in Spark
+    are per-stream global, but the per-key audit is the actionable
+    report (which users' devices deliver late) and bounds the global
+    answer from above."""
+    from .sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = ts_us_expr(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.max(ts_us).over(w).alias("wm_us"),
+    )
+    late = F.col("ts_us") < F.col("wm_us") - 600_000_000
+    return o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_if(late).cast("bigint").alias("n_late"),
+        F.round(F.count_if(late) / F.count("*").cast("double"), 6).alias(
+            "late_rate"
+        ),
+    )
+
+
+_PSI_SCALE = 1_000_000_000_000  # 1e-12 fixed point for PSI terms
+
+
+@query(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events),
+    m AS (SELECT event_type,
+                 min(ts_us) AS t0, max(ts_us) AS t1,
+                 min(value) AS v0, max(value) AS v1
+          FROM e GROUP BY event_type),
+    b AS (SELECT e.event_type,
+                 CAST(least(floor((e.value - m.v0) * 10.0
+                                  / greatest(m.v1 - m.v0, 1e-9)), 9) AS BIGINT)
+                     AS bin,
+                 CASE WHEN e.ts_us * 2 <= m.t0 + m.t1 THEN 1 ELSE 0 END AS is_ref
+          FROM e JOIN m USING (event_type)),
+    c AS (SELECT event_type, bin,
+                 CAST(count(*) FILTER (WHERE is_ref = 1) AS BIGINT) AS c_ref,
+                 CAST(count(*) FILTER (WHERE is_ref = 0) AS BIGINT) AS c_cur
+          FROM b GROUP BY event_type, bin),
+    tot AS (SELECT event_type,
+                   CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(c_cur) AS BIGINT) AS n_cur
+            FROM c GROUP BY event_type),
+    grid AS (SELECT t.event_type, g.bin, t.n_ref, t.n_cur
+             FROM tot t CROSS JOIN
+                  (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    f AS (SELECT grid.event_type, grid.n_ref, grid.n_cur,
+                 (coalesce(c.c_ref, 0) + 0.5) / (grid.n_ref + 5.0) AS p,
+                 (coalesce(c.c_cur, 0) + 0.5) / (grid.n_cur + 5.0) AS q
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.bin = c.bin)
+    SELECT event_type,
+           any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+           round(CAST(sum(CAST(floor((p - q) * ln(p / q) * {_PSI_SCALE})
+                               AS BIGINT)) AS DOUBLE) / {_PSI_SCALE}, 6)
+               AS psi
+    FROM f GROUP BY event_type
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    each event type's timeline — the standard ML-monitoring screen for
+    feature drift (PSI > 0.2 = retrain trigger).  Ten equi-width bins
+    over the type's own value range, Laplace-smoothed so empty bins are
+    defined, and every per-bin term quantized to 1e-12 fixed point
+    before summation — the 10-term float sum would otherwise depend on
+    fold order.
+
+    Two aggregation shuffles over (event_type, bin) — cardinality
+    10×|types| — and a broadcastable per-type bounds table.  The raw
+    event rows are scanned twice (bounds, then binning); at 100 TB the
+    bounds pass is a cheap min/max-combinable scan, and nothing holds
+    per-row state."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_type", "value", ts_us_expr(ev).alias("ts_us"))
+    m = e.groupBy("event_type").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1"),
+        F.min("value").alias("v0"), F.max("value").alias("v1"),
+    )
+    b = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("v0")) * 10.0
+                / F.greatest(F.col("v1") - F.col("v0"), F.lit(1e-9))
+            ),
+            F.lit(9),
+        ).cast("bigint").alias("bin"),
+        F.when(F.col("ts_us") * 2 <= F.col("t0") + F.col("t1"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("is_ref") == 1).cast("bigint").alias("c_ref"),
+        F.count_if(F.col("is_ref") == 0).cast("bigint").alias("c_cur"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    grid = tot.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    f = grid.join(c, ["event_type", "bin"], "left").select(
+        "event_type", "n_ref", "n_cur",
+        ((F.coalesce("c_ref", F.lit(0)) + 0.5) / (F.col("n_ref") + 5.0)).alias("p"),
+        ((F.coalesce("c_cur", F.lit(0)) + 0.5) / (F.col("n_cur") + 5.0)).alias("q"),
+    )
+    term = F.floor(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * _PSI_SCALE
+    ).cast("bigint")
+    return f.groupBy("event_type").agg(
+        F.any_value("n_ref").alias("n_ref"),
+        F.any_value("n_cur").alias("n_cur"),
+        F.round(F.sum(term).cast("double") / _PSI_SCALE, 6).alias("psi"),
+    )

@@ -1698,3 +1698,58 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("lang", "doc_id", F.col("rk").cast("bigint").alias("sample_rank"))
     )
+
+
+@query(
+    "corpus_shard_assign",
+    oracle="""
+    WITH r AS (SELECT doc_id, source, n_chars,
+                      sum(n_chars) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING
+                      ) AS cum
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(floor((cum - n_chars) / 2048.0) AS BIGINT) AS shard_id,
+                 n_chars
+          FROM r)
+    SELECT source, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY source, shard_id
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: assign each document to a ~2 KiB output
+    shard within its source, by running-size cutoff over a
+    deterministic md5 shuffle order — the step that turns a deduped
+    corpus into evenly-sized webdataset/tfrecord shards.  A doc starts
+    a new shard when the PRECEDING docs already fill the target (the
+    ``cum - n_chars`` guard), so shard 0 is never empty and every doc
+    lands in exactly one shard.
+
+    One shuffle on source; the running sum is a bounded-state window.
+    Shard sizes stay within one doc of target regardless of
+    partitioning because the cumsum is an exact BIGINT over a total
+    order.  At 100 TB the source partition is the parallel unit (one
+    writer task per source × shard), matching how shard files are
+    laid out on disk."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    shard = F.floor((F.col("cum") - F.col("n_chars")) / 2048.0).cast("bigint")
+    return r.select("source", shard.alias("shard_id"), "n_chars").groupBy(
+        "source", "shard_id"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1834,3 +1834,69 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_d0"
         ),
     )
+
+
+@query(
+    "semantic_bucket_purity",
+    oracle=f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, {{bucket}} AS bucket FROM eb),
+    j AS (SELECT e.bucket, d.lang
+          FROM e JOIN documents d ON d.doc_id = e.vec_id),
+    lc AS (SELECT bucket, lang, CAST(count(*) AS BIGINT) AS c
+           FROM j GROUP BY bucket, lang),
+    tot AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM lc GROUP BY bucket),
+    top AS (SELECT bucket, lang AS top_lang, c AS top_c FROM (
+              SELECT bucket, lang, c,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY c DESC, lang) AS rk
+              FROM lc) WHERE rk = 1)
+    SELECT tot.bucket, tot.n_docs, tot.n_langs, top.top_lang,
+           round(top.top_c / CAST(tot.n_docs AS DOUBLE), 6) AS purity
+    FROM tot JOIN top ON tot.bucket = top.bucket
+    """.replace("{bucket}", _bucket_sql()),
+)
+def semantic_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: hyperplane-LSH buckets of the embedding space
+    joined back to the documents table, reporting each semantic
+    bucket's language purity — the check that an embedding space (and
+    its LSH partitioning) actually separates languages before it is
+    trusted for [[dedup_embedding_cosine_lsh]] or ANN routing.
+
+    The bucket id is the same codegen'd expression the cosine-LSH
+    dedup uses (no UDF); the doc join keys on vec_id = doc_id (both
+    sides shuffle-pruned to two narrow columns); purity derives from
+    one (bucket, lang) aggregation plus a 2^planes-row rollup.  At
+    100 TB the join is the only wide shuffle and carries 16 bytes a
+    row."""
+    from .extensions.similarity import hyperplane_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding"), 64).alias("bucket"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    lc = e.join(d, "vec_id").groupBy("bucket", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = lc.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.col("c").desc(), "lang")
+    )
+    top = (
+        lc.select("bucket", "lang", "c", rk.alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("bucket", F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    return tot.join(top, "bucket").select(
+        "bucket", "n_docs", "n_langs", "top_lang",
+        F.round(F.col("top_c") / F.col("n_docs").cast("double"), 6).alias("purity"),
+    )

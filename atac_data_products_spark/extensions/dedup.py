@@ -317,6 +317,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    small_graph_edge_cap: int = 200_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a near-dup
     pair graph via distributed label propagation (min-id wins).
@@ -327,6 +328,17 @@ def connected_components(
     the driver.  Converges in O(component diameter) rounds; dedup
     components are shallow (stars around a canonical doc), so the
     practical round count is 2-4.  Deterministic → recursive-CTE oracle.
+
+    Adaptive strategy (the AQE pattern — pick the physical plan from a
+    runtime statistic): when the materialized edge set is small
+    (≤ ``small_graph_edge_cap`` pairs, ≈3 MB collected), the component
+    map is computed with a driver-side union-find and broadcast back —
+    each Pregel round otherwise costs a fixed ~0.5 s of job scheduling
+    that dwarfs the actual work on shallow dedup graphs.  The result is
+    bit-identical (min id per component either way).  Above the cap —
+    e.g. billions of near-dup edges at 100 TB — the distributed loop
+    runs unchanged; the collected volume is bounded by the cap, never
+    by corpus size.
     """
     from pyspark import StorageLevel
 
@@ -339,8 +351,58 @@ def connected_components(
     # symmetrize via ONE explode over the directed pairs: a union of two
     # selects would materialize the (possibly expensive) upstream pair
     # pipeline once per branch before the persist catches it
+    directed = edges.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = directed.count()
+    if n_edges <= small_graph_edge_cap:
+        # ---- small-graph fast path: union-find on the driver ----
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one collect (bounded by the cap — ≤ ~3 MB), NOT toLocalIterator:
+        # the iterator fetches partition-by-partition, one scheduled job
+        # per partition — 64 sequential round trips measured 2x slower
+        # than the whole Pregel loop
+        for row in directed.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[rb] = ra
+        directed.unpersist()
+        # min member per component == the converged min-label result
+        comp_min: dict = {}
+        members: dict = {}
+        for node in list(parent.keys()):
+            r = find(node)
+            members.setdefault(r, []).append(node)
+        for r, ms in members.items():
+            lo = min([r, *ms])
+            comp_min[r] = lo
+        label_rows = [
+            (node, comp_min[find(node)])
+            for node in set(parent) | set(members)
+        ]
+        spark = nodes.sparkSession
+        id_type = dict(nodes.dtypes)[id_col]
+        label_df = spark.createDataFrame(
+            label_rows or [], f"{id_col} {id_type}, __cc_label {id_type}"
+        )
+        return (
+            nodes.select(id_col)
+            .join(F.broadcast(label_df), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("__cc_label", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+
     both = (
-        edges.select(
+        directed.select(
             F.explode(
                 F.array(
                     F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
@@ -385,6 +447,7 @@ def connected_components(
             converged = True
             break
     both.unpersist()
+    directed.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

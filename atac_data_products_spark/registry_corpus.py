@@ -1753,3 +1753,71 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "corpus_importance_resampling",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_tot,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM c),
+    r AS (SELECT c.lang, c.n_lang,
+                 least(1.0, (CAST(t.n_tot AS DOUBLE) / t.n_langs) / c.n_lang)
+                     AS accept_p
+          FROM c CROSS JOIN t),
+    acc AS (SELECT d.lang, r.n_lang, r.accept_p,
+                   CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+                        < CAST(floor(r.accept_p * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents d JOIN r ON d.lang = r.lang)
+    SELECT lang,
+           any_value(n_lang) AS n_orig,
+           CAST(sum(kept) AS BIGINT) AS n_resampled,
+           round(any_value(accept_p), 6) AS accept_p
+    FROM acc GROUP BY lang
+    """,
+)
+def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing by importance resampling: down-sample
+    over-represented languages toward a UNIFORM target mix with
+    per-doc deterministic md5-slot acceptance — the DoReMi-style
+    reweighting step run before tokenizing a multilingual blend
+    (cf. [[corpus_mixture_sample]], which samples by source weight;
+    this drives the mix toward a target distribution).
+
+    Acceptance probability is a per-lang broadcast scalar
+    (target_share / actual_share, clamped at 1), and the accept test is
+    a pure per-row expression on the key hash — no shuffle beyond the
+    lang-count aggregate and the final rollup, key-stable under corpus
+    growth, reproducible on any cluster."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    t = c.agg(
+        F.sum("n_lang").cast("bigint").alias("n_tot"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_tot").cast("double") / F.col("n_langs")) / F.col("n_lang"),
+        ).alias("accept_p"),
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1_000_000
+    )
+    kept = F.when(
+        slot < F.floor(F.col("accept_p") * 1_000_000).cast("bigint"), 1
+    ).otherwise(0)
+    acc = d.join(F.broadcast(r), "lang").select(
+        "lang", "n_lang", "accept_p", kept.alias("kept")
+    )
+    return acc.groupBy("lang").agg(
+        F.any_value("n_lang").alias("n_orig"),
+        F.sum("kept").cast("bigint").alias("n_resampled"),
+        F.round(F.any_value("accept_p"), 6).alias("accept_p"),
+    )

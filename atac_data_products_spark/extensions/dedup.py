@@ -489,3 +489,37 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         bit = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def lsh_probe_pairs(
+    signatures: DataFrame,
+    new_col: str,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Asymmetric LSH probe: candidate pairs between NEW docs and the
+    existing snapshot only — the incremental-dedup shape.  Same banding
+    as :func:`lsh_candidate_pairs`, but the bucket join is
+    new-side × old-side, so no old×old (or new×new) pair is ever
+    generated: at 100 TB the snapshot side is billions of rows and the
+    daily batch is millions — probing emits O(|new| × bucket hit rate)
+    candidates instead of re-pairing the whole corpus.
+    """
+    structs = ", ".join(
+        f"struct({bi} AS band, "
+        "CAST(conv(substring(md5(concat_ws('_', "
+        + ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        + ")), 1, 15), 16, 10) AS BIGINT) AS sig)"
+        for bi in range(bands)
+    )
+    buckets = signatures.selectExpr(
+        id_col, new_col, f"explode(array({structs})) AS b"
+    ).select(id_col, new_col, "b.band", "b.sig")
+    n = buckets.where(F.col(new_col)).select(
+        "band", "sig", F.col(id_col).alias("doc_new")
+    )
+    o = buckets.where(~F.col(new_col)).select(
+        "band", "sig", F.col(id_col).alias("doc_old")
+    )
+    return n.join(o, ["band", "sig"]).select("doc_new", "doc_old").distinct()

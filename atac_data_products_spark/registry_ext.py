@@ -1900,3 +1900,134 @@ def semantic_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n_docs", "n_langs", "top_lang",
         F.round(F.col("top_c") / F.col("n_docs").cast("double"), 6).alias("purity"),
     )
+
+
+@query(
+    "multimodal_format_sniff",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FFE0')
+                                      WHEN 1 THEN unhex('89504E47')
+                                      ELSE unhex('52494646') END
+                          || encode(text) AS payload,
+                      CASE doc_id % 4 WHEN 0 THEN 'image/jpeg'
+                                      WHEN 1 THEN 'image/png'
+                                      WHEN 2 THEN 'audio/wav'
+                                      ELSE 'image/jpeg' END AS declared_type
+               FROM documents),
+    s AS (SELECT doc_id, declared_type,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                 CASE left(hex(payload), 6)
+                      WHEN 'FFD8FF' THEN 'image/jpeg'
+                      WHEN '89504E' THEN 'image/png'
+                      WHEN '524946' THEN 'audio/wav'
+                      ELSE 'application/octet-stream' END AS sniffed_type
+          FROM m)
+    SELECT sniffed_type,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) FILTER (WHERE sniffed_type != declared_type) AS BIGINT)
+               AS n_declared_mismatch
+    FROM s GROUP BY sniffed_type
+    """,
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-ingest triage: magic-byte format sniffing over opaque
+    binary payloads, reconciled against the declared content type — the
+    first gate of a multimodal pipeline (misdeclared media must be
+    rerouted BEFORE hitting the wrong decoder; cf. the decode seam in
+    [[multimodal_byte_features]]).
+
+    The payloads here are deterministically synthesized (magic header +
+    UTF-8 body) so the contract is value-checkable; on real media only
+    the synthesis CTE changes.  The sniff is a pure JVM expression on
+    the first bytes (`left(hex(payload), 6)` — no codec, no Python),
+    and the rollup is one combinable aggregate.  At 100 TB the scan
+    reads ONLY payload prefixes if the store supports binary column
+    pruning; nothing shuffles payload bodies — the aggregate carries
+    counts and byte totals."""
+    d = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("FFD8FFE0")))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("89504E47")))
+        .otherwise(F.unhex(F.lit("52494646")))
+    )
+    declared = (
+        F.when(F.col("doc_id") % 4 == 0, "image/jpeg")
+        .when(F.col("doc_id") % 4 == 1, "image/png")
+        .when(F.col("doc_id") % 4 == 2, "audio/wav")
+        .otherwise("image/jpeg")
+    )
+    m = d.select(
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
+        declared.alias("declared_type"),
+    )
+    sig = F.expr("left(hex(payload), 6)")
+    sniffed = (
+        F.when(sig == "FFD8FF", "image/jpeg")
+        .when(sig == "89504E", "image/png")
+        .when(sig == "524946", "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    s = m.select(
+        sniffed.alias("sniffed_type"),
+        "declared_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return s.groupBy("sniffed_type").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.count_if(F.col("sniffed_type") != F.col("declared_type"))
+        .cast("bigint")
+        .alias("n_declared_mismatch"),
+    )
+
+
+def _incremental_probe_oracle() -> str:
+    """The asymmetric probe's result equals the full uncapped pair set
+    filtered to (one-new, one-old) pairs: a pair collides in a bucket
+    regardless of which side is the snapshot."""
+    exact = _lsh_dedup_oracle()
+    return f"""
+    WITH pairs AS ({exact})
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+           CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_old,
+           jaccard
+    FROM pairs
+    WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)
+    """
+
+
+@query("dedup_incremental_probe", oracle=_incremental_probe_oracle())
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the production CDC shape: a NEW
+    batch (doc_id % 10 == 0 stands in for today's crawl) is probed
+    against the existing snapshot WITHOUT re-pairing the snapshot
+    against itself.  The bucket join is new-side × old-side only
+    (extensions/dedup.py::lsh_probe_pairs), so candidate volume is
+    O(|new| × bucket hit rate) — at 100 TB you LSH-hash the daily
+    millions, broadcast-or-shuffle them against the snapshot's bucket
+    table, and never touch old×old.
+
+    Snapshot signatures would be precomputed and stored in production;
+    here both sides derive in-plan from the same table so the contract
+    is self-contained.  Verification is the same candidate-restricted
+    exact-Jaccard as the graded LSH contract."""
+    from .extensions.dedup import lsh_probe_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", distinct=False)
+    sig = minhash_signatures(sh, "doc_id")
+    flagged = sig.withColumn("__is_new", F.col("doc_id") % 10 == 0)
+    cand = lsh_probe_pairs(flagged, "__is_new", "doc_id")
+    cand_ab = cand.select(
+        F.least("doc_new", "doc_old").alias("doc_a"),
+        F.greatest("doc_new", "doc_old").alias("doc_b"),
+    )
+    verified = jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD, candidates=cand_ab)
+    is_new_a = F.col("doc_a") % 10 == 0
+    return verified.select(
+        F.when(is_new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
+        F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_old"),
+        "jaccard",
+    )

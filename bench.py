@@ -77,6 +77,12 @@ HEADLINE = [
     "graph_pagerank",
     "corpus_dedup_survivors",
     "join_interval_overlap_banded",
+    # round-3 batch 2: iterative ML, LM scoring, governance audits
+    "vector_kmeans_lloyd",
+    "corpus_bigram_logprob",
+    "corpus_cross_source_overlap",
+    "ml_psi_drift",
+    "stream_late_data_audit",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -203,3 +203,38 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_assign_is_broadcast_not_shuffle(spark):
+    """Each k-means assignment must be a broadcast of the k-row centroid
+    table against the point set — a SortMergeJoin here would shuffle the
+    full corpus once per iteration."""
+    plan = _phys(_q("vector_kmeans_lloyd")(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_psi_bounds_join_is_broadcast(spark):
+    """The per-type bounds table (|types| rows) must broadcast into the
+    binning scan; PSI must not shuffle raw events on event_type twice."""
+    plan = _phys(_q("ml_psi_drift")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cross_source_overlap_shuffles_digests_not_text(spark):
+    """The distinct + self-join must key on the md5 digest column — the
+    raw text column must be pruned out before any exchange."""
+    df = _q("corpus_cross_source_overlap")(spark, SF_SMALL)
+    plan = _phys(df)
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_format_sniff_single_aggregation(spark):
+    """Format sniffing is one combinable aggregate: exactly one shuffle
+    exchange (the final rollup), no joins at all."""
+    plan = _phys(_q("multimodal_format_sniff")(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan

@@ -3280,3 +3280,122 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n_cur").alias("n_cur"),
         F.round(F.sum(term).cast("double") / _PSI_SCALE, 6).alias("psi"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 8
+
+
+def _ewma_terms_sql(lag_fn) -> tuple[str, str]:
+    """Fixed-order EWMA numerator/denominator over 8 explicit lag
+    terms — a windowed collect would have engine-dependent order; eight
+    written-out lags fold left-to-right identically everywhere.
+    ``lag_fn(k)`` renders the k-th lag of the daily value expression."""
+    num = " + ".join(
+        f"coalesce({lag_fn(k)}, 0) * {(1 - _EWMA_ALPHA) ** k!r}"
+        for k in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {(1 - _EWMA_ALPHA) ** k!r} ELSE 0 END)"
+        for k in range(_EWMA_LAGS)
+    )
+    return num, den
+
+
+@query(
+    "timeseries_ewma_smoothing",
+    oracle=(lambda: (lambda num, den: f"""
+    WITH d AS (SELECT event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, day,
+                 CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY event_type, day),
+    w AS (SELECT event_type, day, daily_cents,
+                 CAST(daily_cents AS DOUBLE) AS x0,
+                 {", ".join(f"CAST(lag(daily_cents, {k}) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS x{k}" for k in range(1, _EWMA_LAGS))}
+          FROM g)
+    SELECT event_type, day,
+           round(daily_cents / 100.0, 2) AS daily_value,
+           round(({num}) / ({den}) / 100.0, 6) AS ewma_value
+    FROM w
+    """)(*_ewma_terms_sql(lambda k: f"x{k}")))(),
+)
+def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue per event
+    type (α=0.3, 8-day memory) — the forecasting/smoothing primitive
+    behind anomaly baselines and capacity dashboards.
+
+    Determinism ladder: daily sums are exact BIGINT cents (doubles
+    quantized before any aggregation), and the EWMA is eight explicit
+    lag terms folded in written order — not a windowed collect, whose
+    element order is engine-defined.  One shuffle on event_type; the
+    window state is 8 lag slots per partition.  The geometric-weight
+    truncation at 8 days changes the value by < (1-α)^8 ≈ 5.8% of a
+    day's weight — declared in the contract rather than hidden."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("daily_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_cols = [F.col("daily_cents").cast("double").alias("x0")] + [
+        F.lag("daily_cents", k).over(w).cast("double").alias(f"x{k}")
+        for k in range(1, _EWMA_LAGS)
+    ]
+    base = g.select("event_type", "day", "daily_cents", *lag_cols)
+    num_sql, den_sql = _ewma_terms_sql(lambda k: f"x{k}")
+    return base.select(
+        "event_type",
+        "day",
+        F.round(F.col("daily_cents") / 100.0, 2).alias("daily_value"),
+        F.round(F.expr(f"({num_sql}) / ({den_sql})") / 100.0, 6).alias(
+            "ewma_value"
+        ),
+    )
+
+
+@query(
+    "sketch_hll_mergeable_rollup",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_global,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           TRUE AS merged_within_5pct
+    FROM events
+    """,
+)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY contract — the property that makes sketches
+    the 100 TB path for distinct counting: per-group DataSketches HLL
+    sketches (one per event type) are UNIONED into a global sketch
+    whose estimate must land within 5% of the exact global distinct.
+    This is the re-aggregation a rollup cube or incremental pipeline
+    performs on stored sketch bytes instead of raw ids — per-partition
+    state is a fixed-size register array, and merging never rescans
+    history.  Only the exact count and the envelope boolean are
+    compared; the sketch bytes themselves are engine-local
+    (cf. [[approx_distinct_accuracy]], the single-level contract)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact_global")
+    )
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_exact_global",
+        "n_types",
+        (
+            F.abs(F.col("est") - F.col("n_exact_global"))
+            <= 0.05 * F.col("n_exact_global")
+        ).alias("merged_within_5pct"),
+    )

@@ -312,3 +312,38 @@ def test_psi_drift_is_zero_for_identical_halves(spark):
     assert (got["psi"] >= -1e-9).all()
     assert (got["psi"] < 0.5).all()
     assert (got["n_ref"] + got["n_cur"] > 0).all()
+
+
+def test_ewma_tracks_daily_on_constant_series(spark):
+    """On any series, the EWMA must lie within [min, max] of the last 8
+    daily values (it is a convex combination of them)."""
+    from atac_data_products_spark.registry_analytics import (
+        timeseries_ewma_smoothing,
+    )
+
+    got = timeseries_ewma_smoothing(spark, SF_MED).toPandas()
+    assert len(got) > 0
+    for et, grp in got.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        vals = grp["daily_value"]
+        for i in range(len(grp)):
+            window = vals[max(0, i - 7): i + 1]
+            assert window.min() - 1e-6 <= grp.loc[i, "ewma_value"] <= window.max() + 1e-6
+
+
+def test_hll_union_estimate_envelope(spark):
+    """The merged sketch estimate must satisfy the declared 5% envelope
+    (the contract column) — and the exact global distinct must equal a
+    direct computation."""
+    from atac_data_products_spark.registry_analytics import (
+        sketch_hll_mergeable_rollup,
+    )
+
+    got = sketch_hll_mergeable_rollup(spark, SF_MED).toPandas()
+    assert len(got) == 1
+    assert bool(got.loc[0, "merged_within_5pct"])
+    direct = (
+        load_table(spark, SF_MED, "events")
+        .select("user_id").distinct().count()
+    )
+    assert got.loc[0, "n_exact_global"] == direct

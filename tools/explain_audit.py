@@ -25,6 +25,12 @@ AUDIT_KEYS = [
     "agg_first_match",
     "dedup_minhash_signature",
     "window_tumbling_agg",
+    # round-3 additions
+    "vector_kmeans_lloyd",
+    "ml_psi_drift",
+    "dedup_incremental_probe",
+    "corpus_cross_source_overlap",
+    "multimodal_format_sniff",
 ]
 
 

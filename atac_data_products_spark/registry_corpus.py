@@ -1821,3 +1821,48 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("n_resampled"),
         F.round(F.any_value("accept_p"), 6).alias("accept_p"),
     )
+
+
+@query(
+    "corpus_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (SELECT lang,
+                      len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                          AS n_words,
+                      len(regexp_extract_all(lower(text),
+                          '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word — the number that decides whether a tokenizer is
+    fair to a language before training on it (fertility ≫ peers means
+    that language pays more sequence length per word; the standard
+    multilingual-tokenizer audit).
+
+    Both counts are JVM regex expressions in one narrow projection; the
+    per-lang rollup divides exact BIGINT sums, so the ratio is
+    fold-order-proof.  Shuffle: one combinable aggregate on lang."""
+    from .extensions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        token_count("text").alias("n_words"),
+        bpe_token_count("text").alias("n_bpe"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )

@@ -211,3 +211,58 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("degree").alias("sum_degree"),
         )
     )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_COPART_CTES},
+    sym AS (SELECT p1 AS s, p2 AS d FROM pairs
+            UNION ALL SELECT p2, p1 FROM pairs),
+    cn AS (SELECT w1.s AS p1, w2.d AS p2,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM sym w1 JOIN sym w2 ON w1.d = w2.s AND w1.s < w2.d
+           GROUP BY w1.s, w2.d),
+    nonedge AS (SELECT cn.p1, cn.p2, cn.n_common
+                FROM cn LEFT JOIN pairs e
+                  ON cn.p1 = e.p1 AND cn.p2 = e.p2
+                WHERE e.p1 IS NULL)
+    SELECT p1, p2, n_common FROM (
+      SELECT p1, p2, n_common,
+             row_number() OVER (ORDER BY n_common DESC, p1, p2) AS rk
+      FROM nonedge) WHERE rk <= 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the top-20 part pairs
+    that are NOT yet co-ordered but share the most co-order neighbors —
+    the classic 'customers who bought X also bought Y' candidate
+    generator, and the graph-feature sibling of
+    [[graph_triangle_count]] (same wedge join, aggregated per open pair
+    instead of closed).
+
+    Wedge generation scales with Σ deg² (bounded by the per-order
+    basket cap), the existing-edge removal is one anti join, and the
+    global top-20 is a TakeOrdered O(k) driver merge, never a full
+    sort.  Ties break on the (p1, p2) total order so the page is
+    deterministic."""
+    e = _copart_edges(spark, sf_dir)
+    sym = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
+        e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+    )
+    w1 = sym.alias("w1")
+    w2 = sym.alias("w2")
+    cn = (
+        w1.join(
+            w2,
+            (F.col("w1.d") == F.col("w2.s")) & (F.col("w1.s") < F.col("w2.d")),
+        )
+        .groupBy(F.col("w1.s").alias("p1"), F.col("w2.d").alias("p2"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    nonedge = cn.join(e, ["p1", "p2"], "left_anti")
+    return (
+        nonedge.orderBy(F.col("n_common").desc(), "p1", "p2")
+        .limit(20)
+        .select("p1", "p2", "n_common")
+    )

@@ -1,0 +1,158 @@
+"""Empirical scale-up probe: synthesize an N-fold larger corpus from
+sf0.1 (id-offset + deterministic text perturbation so near-dup structure
+is preserved per copy instead of collapsing into one giant dup cluster),
+run the heavyweight extension operators at both scales, and print the
+wall-clock ratio next to the data ratio.
+
+A plan whose time ratio tracks the data ratio is shuffle/scan-bound
+(healthy); a super-linear ratio exposes a pair-explosion or a
+single-partition stage before it becomes a 100 TB incident.
+
+Usage: python tools/scale_probe.py [multiplier] [key ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+DEFAULT_KEYS = [
+    "dedup_minhash_lsh",
+    "corpus_dedup_survivors",
+    "vector_kmeans_lloyd",
+    "graph_pagerank",
+    "ml_psi_drift",
+    "corpus_cross_source_overlap",
+    "dedup_incremental_probe",
+    "similarity_topk",
+]
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, mult: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(mult):
+        # perturb each copy by suffixing a copy tag onto every 4th
+        # token: ~3/4 of 3-gram shingles change, so cross-copy Jaccard
+        # falls below the dedup threshold — the scaled corpus has mult×
+        # docs with the SAME per-copy near-dup structure, not one giant
+        # cross-copy dup cluster (which would conflate data scaling
+        # with a semantic change in dup density)
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t, j: F.when(
+                    j % 4 == 0, F.concat(t, F.lit(f"_c{i}"))
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n_docs).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+                F.length(tagged).cast("bigint").alias("n_chars"),
+            )
+        )
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
+    d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = [
+        emb.select(
+            (F.col("vec_id") + i * n_emb).alias("vec_id"),
+            # rotate one dimension deterministically so copies are
+            # distinct points, not coincident ones
+            F.transform(
+                "embedding", lambda x, j: x + (j == F.lit(i % 64)).cast("float") * 0.001
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(mult)
+    ]
+    e = eparts[0]
+    for p in eparts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    n_usr = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    vparts = [
+        ev.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * n_usr).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(mult)
+    ]
+    v = vparts[0]
+    for p in vparts[1:]:
+        v = v.unionByName(p)
+    v.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # remaining tables: symlink-equivalent copies (queries under probe
+    # only touch documents/embeddings/events; the rest stay at sf0.1)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+
+def timed(qs, key, spark, sf_dir, n=2):
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    from atac_data_products_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    keys = sys.argv[2:] or DEFAULT_KEYS
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"/tmp/scale_probe_x{mult}"
+    print(f"building {mult}x corpus at {out_dir} ...", flush=True)
+    build_scaled(spark, mult, out_dir)
+    qs = e.queries()
+    qs["product_cell_count"](spark, BASE).write.format("noop").mode("overwrite").save()
+    print(f"{'key':32} {'1x':>7} {f'{mult}x':>8} {'ratio':>6}  (data x{mult})")
+    for k in keys:
+        t1 = timed(qs, k, spark, BASE)
+        tn = timed(qs, k, spark, out_dir)
+        print(f"{k:32} {t1:7.2f} {tn:8.2f} {tn / t1:6.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

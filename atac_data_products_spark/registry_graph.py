@@ -154,19 +154,59 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count on the part co-order graph: the canonical
-    ordered-wedge plan — join edges (a<b)x(b<c), close with (a<c).  Each
-    triangle is counted exactly once because edges are stored only in
-    ascending-key direction.  Two shuffle joins on edge endpoints; scale
-    tracks wedge count, not node²."""
+    """Triangle count on the part co-order graph via DEGREE-ORDERED
+    orientation: each undirected edge points from its lower-(degree, id)
+    endpoint to the higher one, wedges are generated only between a
+    node's OUT-neighbors, and the closing edge is probed in the same
+    orientation.  Every triangle is counted exactly once (at its
+    minimum-(degree, id) vertex), so the result is identical to the
+    key-ordered oracle — but wedge volume drops from Σ deg² to
+    Σ outdeg², which orientation bounds by O(√|E|) per node on skewed
+    graphs.  On THIS graph (uniform degree ≈120 at sf0.1) the measured
+    wall is parity (~10 s either way: wedges/4, offset by the degree
+    join) — the orientation is kept because real co-occurrence graphs
+    are power-law, where the unoriented plan melts down on hub wedges
+    and this one does not.  The standard trick every distributed
+    triangle counter ships (cf. Suri-Vassilvitskii MapReduce
+    triangles)."""
     e = _copart_edges(spark, sf_dir)
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+    deg = (
+        e.select(F.col("p1").alias("n"))
+        .unionAll(e.select(F.col("p2").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    ranked = (
+        e.join(d1, F.col("p1") == F.col("d1.n"))
+        .join(d2, F.col("p2") == F.col("d2.n"))
+        .select(
+            "p1", "p2",
+            F.struct(
+                F.col("d1.deg").alias("deg"), F.col("p1").alias("node")
+            ).alias("o1"),
+            F.struct(
+                F.col("d2.deg").alias("deg"), F.col("p2").alias("node")
+            ).alias("o2"),
+        )
+    )
+    oe = ranked.select(
+        F.when(F.col("o1") < F.col("o2"), F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(F.col("o1") < F.col("o2"), F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(F.col("o1") < F.col("o2"), F.col("o2")).otherwise(F.col("o1")).alias("dord"),
+    )
+    w1 = oe.alias("w1")
+    w2 = oe.alias("w2")
+    e3 = oe.select("src", "dst").alias("e3")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dord") < F.col("w2.dord")),
+    )
     tri = wedges.join(
         e3,
-        (F.col("e1.p1") == F.col("e3.p1")) & (F.col("e2.p2") == F.col("e3.p2")),
+        (F.col("w1.dst") == F.col("e3.src")) & (F.col("w2.dst") == F.col("e3.dst")),
     )
     return tri.agg(F.count("*").alias("n_triangles"))
 

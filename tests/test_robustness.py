@@ -144,3 +144,70 @@ def test_ml_score_bounds_and_prediction_consistency(spark):
     for r in rows:
         assert abs(r.score) <= bound
         assert r.predicted == (r.score > 0)
+
+
+def test_kmeans_degenerate_identical_points(spark):
+    """All-identical vectors: every point must land in cluster 0 (the
+    init centroid it coincides with, ties broken by cluster id), other
+    clusters drop out, and inertia is exactly zero."""
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.registry_ext import _KM_DIM
+    import atac_data_products_spark.registry_ext as rx
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * _KM_DIM).cast("array<float>").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = rx.vector_kmeans_lloyd(spark, d).toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "cluster_id"] == 0
+    assert got.loc[0, "n_members"] == 40
+    assert got.loc[0, "inertia"] == 0.0
+
+
+def test_importance_resampling_hits_uniform_target(spark):
+    """Accepted counts per lang must approximate the uniform target
+    n_tot/n_langs for over-represented langs (md5-slot acceptance is
+    binomial around accept_p) and keep 100% of under-represented ones."""
+    from atac_data_products_spark.registry_corpus import (
+        corpus_importance_resampling,
+    )
+    from tests.conftest import SF_MED
+
+    got = corpus_importance_resampling(spark, SF_MED).toPandas()
+    target = got["n_orig"].sum() / len(got)
+    for _, r in got.iterrows():
+        if r["accept_p"] >= 1.0:
+            assert r["n_resampled"] == r["n_orig"]
+        else:
+            # binomial(n, p): allow 4 sigma
+            import math
+            n, p = r["n_orig"], r["accept_p"]
+            sigma = math.sqrt(n * p * (1 - p))
+            assert abs(r["n_resampled"] - n * p) <= 4 * sigma + 1
+
+
+def test_incremental_probe_subset_of_full_pairs(spark):
+    """Every probe hit must appear in the full uncapped LSH pair set
+    (with matching jaccard), and no old-old or new-new pair may leak."""
+    from atac_data_products_spark.registry_ext import (
+        dedup_incremental_probe,
+        dedup_minhash_lsh_exact,
+    )
+    from tests.conftest import SF_MED
+
+    probe = dedup_incremental_probe(spark, SF_MED).toPandas()
+    full = dedup_minhash_lsh_exact(spark, SF_MED).toPandas()
+    full_set = {
+        (min(a, b), max(a, b)): j
+        for a, b, j in full.itertuples(index=False)
+    }
+    for dn, do, j in probe.itertuples(index=False):
+        assert dn % 10 == 0 and do % 10 != 0
+        key = (min(dn, do), max(dn, do))
+        assert key in full_set and abs(full_set[key] - j) < 1e-9

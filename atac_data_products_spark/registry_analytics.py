@@ -3399,3 +3399,60 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact_global")
         ).alias("merged_within_5pct"),
     )
+
+
+_DEBOUNCE_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "events_alert_debounce",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_type, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id
+                      ) AS prev_us
+               FROM events WHERE event_type = 'error')
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (
+             WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US}
+           ) AS BIGINT) AS n_emitted,
+           round(1.0 - count(*) FILTER (
+             WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US}
+           ) / CAST(count(*) AS DOUBLE), 6) AS suppression_rate
+    FROM o GROUP BY user_id
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: suppress repeat error events within 10 minutes
+    of the previous one for the same (user, type) — the dedup rule a
+    paging pipeline applies so an error storm emits one alert, not
+    hundreds.  The batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` with a keyed time window
+    (cf. [[stream_late_data_audit]] for the watermark-planning side).
+
+    One shuffle on (user, type); the lag frame holds one timestamp of
+    state per group — the same O(1) state the streaming operator keeps.
+    The error-type filter pushes into the scan."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = ts_us_expr(ev)
+    o = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", ts_us.alias("ts_us"),
+        F.col("ts").alias("__ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__ts", "event_id")
+    o = o.select(
+        "user_id", "ts_us", F.lag("ts_us").over(w).alias("prev_us")
+    )
+    emitted = F.col("prev_us").isNull() | (
+        F.col("ts_us") - F.col("prev_us") >= _DEBOUNCE_US
+    )
+    return o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.count_if(emitted).cast("bigint").alias("n_emitted"),
+        F.round(
+            1.0 - F.count_if(emitted) / F.count("*").cast("double"), 6
+        ).alias("suppression_rate"),
+    )

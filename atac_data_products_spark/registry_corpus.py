@@ -1866,3 +1866,74 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "corpus_heldout_bigram_coverage",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                             AS slot,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, slot,
+                  [t[x] || ' ' || t[x + 1] for x in generate_series(1, len(t) - 1)]
+                      AS bigrams
+           FROM toks),
+    pair AS (SELECT doc_id, slot, unnest(bigrams) AS bigram FROM bg),
+    train AS (SELECT DISTINCT bigram FROM pair WHERE slot < 80),
+    held AS (SELECT p.doc_id, p.bigram,
+                    (t.bigram IS NOT NULL) AS covered
+             FROM pair p LEFT JOIN train t ON p.bigram = t.bigram
+             WHERE p.slot >= 80)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_covered,
+           round(count(*) FILTER (WHERE covered) / CAST(count(*) AS DOUBLE), 6)
+               AS coverage
+    FROM held GROUP BY doc_id
+    """,
+)
+def corpus_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram coverage: for every val/test document (the
+    md5-slot 20%), the fraction of its bigrams that occur anywhere in
+    the train split — the OOV/coverage statistic that predicts LM eval
+    difficulty and catches tokenizer/domain mismatch before a training
+    run (low coverage = the eval set is out-of-distribution, not
+    'hard').
+
+    One bigram derivation feeds both sides (Catalyst reuses the
+    subtree); the train side collapses to a DISTINCT bigram set and
+    the held-out scoring is a left join on the bigram key — at 100 TB
+    both shuffles key on bigram strings, and the per-doc rollup is
+    combinable.  The split rule is the same key-stable md5 slot as
+    [[corpus_split_assign]], so coverage is reproducible under corpus
+    growth."""
+    d = _t(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pair = d.select("doc_id", slot.alias("slot"), t.alias("t")).select(
+        "doc_id", "slot", F.explode(bigrams).alias("bigram")
+    )
+    train = pair.where(F.col("slot") < 80).select("bigram").distinct()
+    held = pair.where(F.col("slot") >= 80).join(
+        train.select(F.col("bigram").alias("t_bigram")),
+        F.col("bigram") == F.col("t_bigram"),
+        "left",
+    )
+    covered = F.col("t_bigram").isNotNull()
+    return held.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.count_if(covered).cast("bigint").alias("n_covered"),
+        F.round(F.count_if(covered) / F.count("*").cast("double"), 6).alias(
+            "coverage"
+        ),
+    )

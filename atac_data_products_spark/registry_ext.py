@@ -2031,3 +2031,48 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_old"),
         "jaccard",
     )
+
+
+RANGE_SEARCH_TAU = 0.25
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)) AS dp,
+                 sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS na,
+                 (SELECT sqrt(list_dot_product(qe, qe)) FROM q) AS nq
+          FROM embeddings e WHERE e.vec_id != 0)
+    SELECT vec_id, round(dp / (na * nq), 6) AS cosine
+    FROM d WHERE round(dp / (na * nq), 6) >= {RANGE_SEARCH_TAU}
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL vectors within cosine ≥ τ
+    of the query — the retrieval mode for 'everything this similar',
+    vs [[similarity_topk]]'s fixed-k page.  The threshold compares the
+    ROUNDED cosine (the rounding-ladder rule), so the boundary decision
+    is bit-identical cross-engine.
+
+    Same scale shape as brute top-k — one scan, per-row fixed-order
+    dot fold, no pairwise blowup — except the output is data-dependent:
+    a production radius search caps the result per query and routes
+    through the LSH buckets ([[similarity_lsh_topk]]) when the corpus
+    no longer scans."""
+    from .extensions.similarity import _as_double, dot, l2_norm
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = math.sqrt(sum(x * x for x in qvec))
+    e = _as_double(F.col("embedding"))
+    cos = F.round(dot(e, q) / (l2_norm(e) * F.lit(qn)), 6)
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= RANGE_SEARCH_TAU)
+    )

@@ -3456,3 +3456,67 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_if(emitted) / F.count("*").cast("double"), 6
         ).alias("suppression_rate"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
+           GROUP BY event_type),
+    ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM du a JOIN du b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY a.event_type, b.event_type)
+    SELECT ov.type_a, ov.type_b, sa.n AS n_a, sb.n AS n_b, ov.n_both,
+           round(ov.n_both / CAST(sa.n + sb.n - ov.n_both AS DOUBLE), 6)
+               AS jaccard
+    FROM ov JOIN sz sa ON ov.type_a = sa.event_type
+            JOIN sz sb ON ov.type_b = sb.event_type
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: the Jaccard of user sets between every
+    pair of event types — the segmentation question ('do purchasers
+    overlap with error-reporters?') behind campaign targeting and
+    funnel design.
+
+    The expensive step is ONE distinct over (type, user); the pair
+    join keys on user_id with fan-out bounded by the type count (the
+    same bounded-fan-out argument as [[corpus_cross_source_overlap]]),
+    and the size dims broadcast back.  At 100 TB, swap exact distinct
+    user sets for the HLL sketches of [[sketch_hll_mergeable_rollup]]
+    and intersect via inclusion-exclusion on unioned sketches — the
+    declared approximate path."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = du.alias("a")
+    b = du.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

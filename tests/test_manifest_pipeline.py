@@ -76,3 +76,42 @@ def test_manifest_tsv_sink_no_index_column(spark, tmp_path):
         "cause_of_death", "race",
     ]  # no 'Unnamed: 0' artifact (§2.11)
     assert back.count() == 3
+
+
+def test_build_manifest_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """tools/build_manifest.py — the make_uuids_tsv.py-equivalent CLI —
+    from hits JSONL on disk to the manifest TSV, with the same filter /
+    last-wins semantics as the library path."""
+    import importlib.util
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    hits = _hits(spark)
+    jsonl = tmp_path / "hits.jsonl"
+    with open(jsonl, "w") as f:
+        for row in hits.toJSON().collect():
+            f.write(row + "\n")
+    out = tmp_path / "manifest.tsv"
+
+    spec = importlib.util.spec_from_file_location(
+        "build_manifest_cli",
+        str(Path(__file__).resolve().parent.parent / "tools" / "build_manifest.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr(
+        _sys, "argv", ["build_manifest.py", str(jsonl), str(out)]
+    )
+    assert cli.main() == 0
+    want = {r.uuid: r for r in build_manifest(hits).collect()}
+    import csv
+
+    # Spark csv sink writes a directory; the manifest coalesces to one part
+    part = next(Path(out).glob("part-*"))
+    with open(part) as f:
+        got = list(csv.DictReader(f, delimiter="\t"))
+    assert {r["uuid"] for r in got} == set(want)
+    by_uuid = {r["uuid"]: r for r in got}
+    assert by_uuid["u1"]["age"] == "41"  # living wins
+    assert by_uuid["u1"]["race"] == "White"

@@ -127,3 +127,51 @@ def test_product_write_to_filesystem_uri(spark, tmp_path):
         assert json.load(f)["cell_count"] == 3
     back = spark.read.parquet(uri + "/x_atac_cell_by_bin")
     assert back.count() == 4
+
+
+def test_build_product_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """tools/build_product.py — the bin/concatenate.py-equivalent CLI —
+    must reproduce the golden product from files on disk (TSV manifest +
+    long-form parquet matrices).  Runs in-process: get_spark's
+    getOrCreate rejoins the test session."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path
+
+    manifest, mats = _fixtures(spark)
+    # manifest as a reference-shaped TSV (with the index artifact)
+    pdf = manifest.toPandas()
+    pdf.insert(0, "Unnamed: 0", range(len(pdf)))
+    tsv = tmp_path / "manifest.tsv"
+    pdf.to_csv(tsv, sep="\t", index=False)
+    matrix_args = []
+    for mod, dfs in mats.items():
+        for i, df in enumerate(dfs):
+            p = tmp_path / f"{mod}_{i}.parquet"
+            df.write.mode("overwrite").parquet(str(p))
+            matrix_args += ["--matrix", f"{mod}={p}"]
+    out = tmp_path / "product_cli"
+
+    spec = importlib.util.spec_from_file_location(
+        "build_product_cli",
+        str(Path(__file__).resolve().parent.parent / "tools" / "build_product.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["build_product.py", str(out), "--manifest", str(tsv),
+         "--tissue", "kidney", "--product-uuid", "p-cli"] + matrix_args,
+    )
+    assert cli.main() == 0
+    assert (out / "product.json").exists()
+    import json as _json
+
+    with open(out / "product.json") as f:
+        meta = _json.load(f)
+    assert meta["cell_count"] == 3
+    assert meta["dataset_uuids"] == ["ds1", "ds2"]
+    obs = spark.read.parquet(str(out / "obs"))
+    assert {r.cell_id for r in obs.collect()} == {
+        "ds1-AAAC", "ds1-GGGT", "ds2-CCCC"
+    }

@@ -2076,3 +2076,124 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cosine"))
         .where(F.col("cosine") >= RANGE_SEARCH_TAU)
     )
+
+
+SIMHASH_HAM_RADIUS = 3
+_SIMHASH_BAND_BITS = 8
+_SIMHASH_BANDS = SIMHASH_BITS // _SIMHASH_BAND_BITS
+
+
+def _simhash_eval_oracle() -> str:
+    fp_sql = _simhash_oracle()
+    truth_sql = ORACLES["dedup_ngram_jaccard"]
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * _SIMHASH_BAND_BITS}) "
+        f"& {(1 << _SIMHASH_BAND_BITS) - 1} AS bv FROM fp"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH fp AS ({fp_sql}),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.doc_a, c.doc_b
+            FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id
+                        JOIN fp fb ON c.doc_b = fb.doc_id
+            WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_HAM_RADIUS}),
+    truth AS (SELECT doc_a, doc_b FROM ({truth_sql})),
+    hit AS (SELECT v.doc_a FROM ver v
+            JOIN truth t ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM ver) AS DOUBLE), 6) AS precision,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall
+    """
+
+
+@query("dedup_simhash_eval", oracle=_simhash_eval_oracle())
+def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-as-dedup EVALUATION contract: banded Hamming-ball pair
+    generation (4×8-bit bands — pigeonhole guarantees recall of every
+    pair within Hamming ≤ 3) verified by bit_count(xor) and scored
+    against the exact n-gram-Jaccard truth set — the method-selection
+    row next to [[similarity_ann_recall_eval]].
+
+    The measured verdict IS the contract: on this corpus 32-bit SimHash
+    at radius 3 recalls the true near-dups but with precision well
+    under 1% (word-salad docs share token distributions, so 32 bits
+    under-discriminates) — standing, driver-checked evidence for why
+    the MinHash-LSH path ([[dedup_minhash_lsh]]) is the production
+    dedup and SimHash is the cheap prefilter.  Scale shape: band
+    equality join (256 buckets/band at 32 bits — widen the fingerprint
+    to widen the bucket space), Hamming verify on 8-byte ints, two
+    scalar counts."""
+    from .extensions.dedup import jaccard_pairs as _jp  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash(docs)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.bv"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ver = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            <= SIMHASH_HAM_RADIUS
+        )
+        .select("doc_a", "doc_b")
+    )
+    truth = jaccard_pairs(
+        shingle_table(docs, "text", "doc_id", distinct=False),
+        "doc_id",
+        JACCARD_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    hit = ver.join(truth, ["doc_a", "doc_b"])
+    nv = ver.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    nh = hit.agg(F.count("*").cast("bigint").alias("n_hit"))
+    return (
+        nv.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates", "n_truth", "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("n_candidates").cast("double"), 6
+            ).alias("precision"),
+            F.round(F.col("n_hit") / F.col("n_truth").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+    )

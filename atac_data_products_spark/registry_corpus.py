@@ -1937,3 +1937,151 @@ def corpus_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFram
             "coverage"
         ),
     )
+
+
+_CONT_DROP_PCT = 15  # drop docs with >= 15% benchmark-shingle overlap
+
+
+def _pipeline_e2e_oracle() -> str:
+    """Gate → LSH-survivor dedup → decontamination → split → manifest,
+    composed from the SAME oracle fragments as the standalone contracts
+    (survivor SQL retargeted at the gated CTE via identifier rewrite;
+    benchmark shingles still read the full corpus view)."""
+    import re as _re
+
+    surv = _re.sub(r"\bdocuments\b", "documents_gated", _survivors_oracle())
+    return f"""
+    WITH documents_gated AS (
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT d.*,
+               round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                     x -> x IN ('the', 'a')))
+                     / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            AS DOUBLE), 6) AS __stop_ratio,
+               round(n_chars / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                                    AS DOUBLE), 6) AS __avg_tok
+        FROM documents d) t
+      WHERE n_chars >= {_QG_MIN_CHARS} AND __stop_ratio >= {_QG_MIN_STOP_RATIO}
+        AND __avg_tok <= {_QG_MAX_AVG_TOK_LEN} AND source <> 'src9'
+    ),
+    surv AS (SELECT doc_id FROM ({surv}) s),
+    {_CORPUS_TOKS_CTE},
+    {_CORPUS_SH_SET_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src9'),
+    cstat AS (SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_sh,
+                     CAST(count(*) FILTER (
+                       WHERE t.shingle IN (SELECT shingle FROM bench)
+                     ) AS BIGINT) AS n_cont
+              FROM sh t JOIN surv USING (doc_id)
+              GROUP BY t.doc_id),
+    clean AS (SELECT doc_id FROM cstat
+              WHERE n_cont * 100 < n_sh * {_CONT_DROP_PCT}),
+    final AS (SELECT g.source,
+                     CAST(len(regexp_split_to_array(trim(lower(g.text)), '\\s+'))
+                          AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 100 AS slot
+              FROM documents_gated g JOIN clean USING (doc_id))
+    SELECT source,
+           CASE WHEN slot < 80 THEN 'train'
+                WHEN slot < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM final GROUP BY 1, 2
+    """
+
+
+@query("corpus_pipeline_e2e", oracle=_pipeline_e2e_oracle())
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full LLM training-data pipeline in one lazy composition —
+    every stage the scale variant of its standalone contract:
+    Gopher-style quality gate ([[corpus_quality_gate]]) → banded
+    MinHash-LSH near-dup survivor selection on the gated set
+    ([[corpus_dedup_survivors]], cap included) → benchmark
+    decontamination dropping docs with ≥15% 3-gram overlap against the
+    held-out source ([[corpus_contamination]]; integer-exact threshold
+    comparison) → key-stable md5-slot split ([[corpus_split_assign]]) →
+    per-(source, split) training manifest.  Its exact-dedup sibling is
+    [[corpus_training_manifest]]; this one runs the near-dup scale
+    path.
+
+    Plan shape: the gate prunes before anything shuffles; the LSH
+    stages shuffle digests and band keys, never text; contamination is
+    a semi-join against the (broadcastable) benchmark shingle set; and
+    the only eager step is connected components' bounded convergence
+    loop (or its driver union-find under the small-graph cap).  At
+    100 TB every stage's story is already audited under its standalone
+    key — composition adds no new shuffle."""
+    from .extensions.dedup import (
+        LSH_MAX_BUCKET,
+        connected_components,
+        minhash_lsh_dedup_pairs,
+    )
+    from .extensions.text import tokens, word_shingles
+    from .registry_ext import JACCARD_THRESHOLD
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    )
+    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    gated = d.where(
+        (F.col("n_chars") >= _QG_MIN_CHARS)
+        & (stop_ratio >= _QG_MIN_STOP_RATIO)
+        & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
+        & (F.col("source") != "src9")
+    )
+    edges = minhash_lsh_dedup_pairs(
+        gated, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
+    ).select("doc_a", "doc_b")
+    cc = connected_components(gated.select("doc_id"), edges)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("text")), F.col("doc_id")
+    )
+    surv = (
+        cc.join(gated.select("doc_id", "text"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    sh = (
+        d.select("doc_id", "source", tokens("text").alias("__toks"))
+        .select(
+            "doc_id", "source",
+            F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    bench = sh.where(F.col("source") == "src9").select("shingle").distinct()
+    train_sh = sh.join(surv, "doc_id").select("doc_id", "shingle")
+    hit = train_sh.join(
+        bench.select(F.col("shingle").alias("b_sh")),
+        train_sh.shingle == F.col("b_sh"),
+        "left",
+    )
+    cstat = hit.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sh"),
+        F.count_if(F.col("b_sh").isNotNull()).cast("bigint").alias("n_cont"),
+    )
+    clean = cstat.where(
+        F.col("n_cont") * 100 < F.col("n_sh") * _CONT_DROP_PCT
+    ).select("doc_id")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    final = gated.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    ).join(clean, "doc_id")
+    return final.select("source", split.alias("split"), "n_tokens").groupBy(
+        "source", "split"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -83,6 +83,8 @@ HEADLINE = [
     "corpus_cross_source_overlap",
     "ml_psi_drift",
     "stream_late_data_audit",
+    # the flagship composition: full LLM pipeline in one plan
+    "corpus_pipeline_e2e",
     # classic decision-support shapes (registry_tpch)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

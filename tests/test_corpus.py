@@ -259,3 +259,42 @@ def test_shard_assign_partition_of_docs_and_size_bound(spark):
     for src, grp in got.groupby("source"):
         ids = sorted(grp["shard_id"])
         assert ids == list(range(len(ids)))
+
+
+def test_pipeline_e2e_stage_consistency(spark):
+    """The composed pipeline must honor each stage's invariant: the
+    benchmark source never appears, per-source doc counts never exceed
+    the gated counts, and every (source, split) label is one of the
+    three split values."""
+    from atac_data_products_spark.registry_corpus import (
+        _QG_MAX_AVG_TOK_LEN,
+        _QG_MIN_CHARS,
+        _QG_MIN_STOP_RATIO,
+        _QG_STOPWORDS,
+        corpus_pipeline_e2e,
+    )
+    from atac_data_products_spark.extensions.text import tokens
+    from atac_data_products_spark.sources.tables import load_table
+
+    got = corpus_pipeline_e2e(spark, SF_MED).toPandas()
+    assert "src9" not in set(got["source"])
+    assert set(got["split"]) <= {"train", "val", "test"}
+    d = load_table(spark, SF_MED, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    )
+    gated_counts = (
+        d.where(
+            (F.col("n_chars") >= _QG_MIN_CHARS)
+            & (stop_ratio >= _QG_MIN_STOP_RATIO)
+            & (F.round(F.col("n_chars") / n_toks, 6) <= _QG_MAX_AVG_TOK_LEN)
+            & (F.col("source") != "src9")
+        )
+        .groupBy("source").count().toPandas().set_index("source")["count"]
+    )
+    per_source = got.groupby("source")["n_docs"].sum()
+    for src, n in per_source.items():
+        assert n <= gated_counts[src]

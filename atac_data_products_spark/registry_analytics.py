@@ -3520,3 +3520,66 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_kpi_daily",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    firstday AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id),
+    daily AS (SELECT day,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+                     CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                     CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                         AS n_errors
+              FROM e GROUP BY day),
+    newu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+             FROM firstday GROUP BY first_day)
+    SELECT d.day, d.n_events, d.dau,
+           round(d.revenue_cents / 100.0, 2) AS revenue,
+           round(d.n_errors / CAST(d.n_events AS DOUBLE), 6) AS error_rate,
+           coalesce(n.new_users, 0) AS new_users
+    FROM daily d LEFT JOIN newu n ON d.day = n.day
+    """,
+)
+def events_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily KPI mart in one pass: events, DAU, revenue, error
+    rate, and new-user count per day — the dashboard table a data
+    product serves, composing the engine's aggregate/distinct/cohort
+    primitives at the day grain (cf. [[events_dau_wau_mau]] for the
+    rolling windows, [[cohort_retention]] for the triangle).
+
+    Revenue sums exact integer cents (the fold-order rule); new-user
+    attribution derives from one min-day-per-user aggregate joined back
+    on day (both sides day-grain, broadcastable).  The distinct-DAU
+    count is the one non-combinable piece — at 100 TB swap it for the
+    HLL sketch of [[sketch_hll_mergeable_rollup]], the declared
+    approximate path."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    firstday = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = e.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("dau"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.count_if(F.col("event_type") == "error").cast("bigint").alias("n_errors"),
+    )
+    newu = firstday.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    return daily.join(F.broadcast(newu), "day", "left").select(
+        "day", "n_events", "dau",
+        F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("n_errors") / F.col("n_events").cast("double"), 6).alias(
+            "error_rate"
+        ),
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )

@@ -3583,3 +3583,91 @@ def events_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("new_users", F.lit(0)).alias("new_users"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_us,
+                 last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+                 first_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+          FROM e)
+    SELECT event_id, user_id, ts_us AS purchase_ts_us,
+           CASE
+             WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+             WHEN next_click IS NULL THEN prev_click
+             WHEN prev_click IS NULL THEN next_click
+             WHEN ts_us - prev_click <= next_click - ts_us THEN prev_click
+             ELSE next_click
+           END AS nearest_click_ts_us,
+           CASE
+             WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+             WHEN next_click IS NULL THEN 'backward'
+             WHEN prev_click IS NULL THEN 'forward'
+             WHEN ts_us - prev_click <= next_click - ts_us THEN 'backward'
+             ELSE 'forward'
+           END AS direction
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each purchase pairs with its
+    temporally CLOSEST click in either direction (ties prefer the
+    prior event — pandas ``merge_asof(direction='nearest')``), the
+    sensor-alignment/attribution variant that completes the as-of
+    family next to backward ([[join_asof_attribution]]) and bounded
+    ([[join_asof_tolerance]]).
+
+    Two mirrored IGNORE-NULLS window frames over the SAME (user_id)
+    sort — one shuffle, one sort, O(1) state per direction — then a
+    pure per-row argmin.  No join, no interval explosion, no second
+    pass."""
+    ev_raw = _t(spark, sf_dir, "events")
+    e = ev_raw.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_click"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_click"),
+    ).where(F.col("event_type") == "purchase")
+    prev_n = F.col("prev_click")
+    next_n = F.col("next_click")
+    back_wins = F.col("ts_us") - prev_n <= next_n - F.col("ts_us")
+    nearest = (
+        F.when(prev_n.isNull() & next_n.isNull(), F.lit(None))
+        .when(next_n.isNull(), prev_n)
+        .when(prev_n.isNull(), next_n)
+        .when(back_wins, prev_n)
+        .otherwise(next_n)
+    )
+    direction = (
+        F.when(prev_n.isNull() & next_n.isNull(), F.lit(None).cast("string"))
+        .when(next_n.isNull(), F.lit("backward"))
+        .when(prev_n.isNull(), F.lit("forward"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return w.select(
+        "event_id", "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        nearest.alias("nearest_click_ts_us"),
+        direction.alias("direction"),
+    )

@@ -2197,3 +2197,90 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _lang_centroid_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(sum(eq[{i}]) AS BIGINT) AS s{i}" for i in range(1, _KM_DIM + 1)
+    )
+    cent = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(1, _KM_DIM + 1))
+    dotqc = " + ".join(f"q.eq[{i}] * c.c[{i}]" for i in range(1, _KM_DIM + 1))
+    nq = " + ".join(f"q.eq[{i}] * q.eq[{i}]" for i in range(1, _KM_DIM + 1))
+    nc = " + ".join(f"c.c[{i}] * c.c[{i}]" for i in range(1, _KM_DIM + 1))
+    return f"""
+    WITH q AS (SELECT e.vec_id, d.lang,
+                      [CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)
+                       for x in e.embedding] AS eq
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, {sums}
+          FROM q GROUP BY lang),
+    c AS (SELECT lang, n, [{cent}] AS c FROM m),
+    s AS (SELECT q.vec_id, q.lang,
+                 CAST(floor(({dotqc}) / (sqrt({nq}) * sqrt({nc})) * 1000000)
+                      AS BIGINT) AS cos_q
+          FROM q JOIN c ON q.lang = c.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(cos_q) AS DOUBLE) / count(*) / 1000000, 6) AS mean_cos,
+           round(CAST(min(cos_q) AS DOUBLE) / 1000000, 6) AS min_cos,
+           CAST(count(*) FILTER (WHERE cos_q < 500000) AS BIGINT) AS n_below_50
+    FROM s GROUP BY lang
+    """
+
+
+@query("vector_lang_centroid_outliers", oracle=_lang_centroid_oracle())
+def vector_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: every document's cosine to its own
+    language's centroid, rolled up per language (mean / min / count
+    below 0.5) — the screen that catches mislabeled-language docs and
+    broken embeddings before they poison ANN routing or semantic dedup
+    (the cross-modal sibling of [[semantic_bucket_purity]]).
+
+    Same determinism recipe as [[vector_kmeans_lloyd]]: inputs
+    quantized to 1e-6 integers so centroid sums are exact under any
+    fold order; the cosine folds in fixed index order; per-doc cosines
+    are floor-quantized before the per-lang mean so even the rollup is
+    integer-exact.  Plan: one (lang) centroid aggregation with 64
+    integer partial sums (map-side combinable), broadcast of the
+    5-row centroid table back, one rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    q = emb.join(docs, "vec_id").select(
+        "vec_id", "lang",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_Q + 0.5).cast("bigint"),
+        ).alias("eq"),
+    )
+    sums = [
+        F.expr(f"cast(sum(eq[{i - 1}]) as bigint) as s{i}")
+        for i in range(1, _KM_DIM + 1)
+    ]
+    m = q.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"), *sums)
+    cent = F.expr(
+        "array("
+        + ", ".join(f"cast(s{i} as double) / n" for i in range(1, _KM_DIM + 1))
+        + ")"
+    )
+    c = m.select("lang", cent.alias("c"))
+    dotqc = F.expr(
+        " + ".join(f"eq[{i}] * c[{i}]" for i in range(_KM_DIM))
+    )
+    nq = F.expr(" + ".join(f"eq[{i}] * eq[{i}]" for i in range(_KM_DIM)))
+    nc = F.expr(" + ".join(f"c[{i}] * c[{i}]" for i in range(_KM_DIM)))
+    s = q.join(F.broadcast(c), "lang").select(
+        "lang",
+        F.floor(dotqc / (F.sqrt(nq) * F.sqrt(nc)) * 1_000_000)
+        .cast("bigint")
+        .alias("cos_q"),
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("cos_q").cast("double") / F.count("*") / 1_000_000, 6).alias(
+            "mean_cos"
+        ),
+        F.round(F.min("cos_q").cast("double") / 1_000_000, 6).alias("min_cos"),
+        F.count_if(F.col("cos_q") < 500_000).cast("bigint").alias("n_below_50"),
+    )

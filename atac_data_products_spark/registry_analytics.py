@@ -3671,3 +3671,104 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_click_ts_us"),
         direction.alias("direction"),
     )
+
+
+@query(
+    "stat_kaplan_meier",
+    oracle="""
+    WITH od AS (SELECT o_custkey,
+                       CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+                            AS BIGINT) AS day
+                FROM orders),
+    mx AS (SELECT max(day) AS max_day FROM od),
+    seq AS (SELECT o_custkey, day,
+                   lead(day) OVER (PARTITION BY o_custkey ORDER BY day) AS next_day
+            FROM (SELECT DISTINCT o_custkey, day FROM od)),
+    dur AS (SELECT CASE WHEN next_day IS NOT NULL THEN next_day - day
+                        ELSE (SELECT max_day FROM mx) - day END AS t,
+                   CASE WHEN next_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM seq),
+    dur2 AS (SELECT t, ev FROM dur WHERE t > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dur2),
+    at_t AS (SELECT t,
+                    CAST(sum(ev) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS removed
+             FROM dur2 GROUP BY t),
+    r AS (SELECT t, d, removed,
+                 CAST(n_total
+                   - coalesce(sum(removed) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+          FROM at_t CROSS JOIN tot),
+    km AS (SELECT t, d, n_risk,
+                  CASE WHEN d = n_risk THEN 0.0
+                       ELSE exp(sum(CASE WHEN d < n_risk
+                                         THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                                    END)
+                                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                  END AS s
+           FROM r WHERE d > 0)
+    SELECT t AS gap_days, n_risk, d AS n_events, round(s, 6) AS survival
+    FROM km
+    """,
+)
+def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer inter-order gaps with RIGHT
+    CENSORING (the time since a customer's last order is an incomplete
+    observation, not an event) — the churn-analysis estimator proper,
+    where naive gap averages are biased by exactly those censored
+    tails.
+
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed as exp of a windowed cumsum
+    of log terms — the running product is order-pinned by the window
+    sort, so the float ladder is deterministic.  The global window runs
+    over DISTINCT gap lengths (bounded by the calendar span in days,
+    like [[interval_coverage_profile]]'s sweep), never over customers;
+    everything per-customer is one (custkey) shuffle for the lead()
+    frame."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    od = o.select("o_custkey", day.alias("day")).distinct()
+    mx = od.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    seq = od.select(
+        "o_custkey", "day", F.lead("day").over(w).alias("next_day")
+    ).crossJoin(F.broadcast(mx))
+    dur = seq.select(
+        F.when(
+            F.col("next_day").isNotNull(), F.col("next_day") - F.col("day")
+        )
+        .otherwise(F.col("max_day") - F.col("day"))
+        .alias("t"),
+        F.when(F.col("next_day").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).where(F.col("t") > 0)
+    tot = dur.agg(F.count("*").cast("bigint").alias("n_total"))
+    at_t = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("removed"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = at_t.crossJoin(F.broadcast(tot)).select(
+        "t", "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(wt), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wk = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1 - F.col("d") / F.col("n_risk").cast("double")),
+    )
+    km = r.where(F.col("d") > 0).select(
+        "t", "d", "n_risk",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(wk)))
+        .alias("s"),
+    )
+    return km.select(
+        F.col("t").alias("gap_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    )

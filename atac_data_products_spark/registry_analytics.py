@@ -3772,3 +3772,58 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         F.round("s", 6).alias("survival"),
     )
+
+
+@query(
+    "stat_lorenz_gini",
+    oracle="""
+    WITH rev AS (SELECT o_custkey,
+                        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                             AS BIGINT) AS cents
+                 FROM orders GROUP BY o_custkey),
+    rk AS (SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                      AS i
+           FROM rev),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total,
+                   CAST(sum(i * cents) AS BIGINT) AS weighted
+            FROM rk)
+    SELECT n AS n_customers,
+           round(total / 100.0, 2) AS total_revenue,
+           round(2.0 * weighted / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def stat_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality number behind 'top X% of customers drive Y% of revenue'
+    (the continuous counterpart of [[abc_pareto_classification]]'s
+    bands).  Computed by the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over ascending revenue ranks.
+
+    Every accumulation is an exact BIGINT (cents, ranks, rank-weighted
+    cents); floats appear only in the final two divisions.  The rank
+    window is global but runs over the CUSTOMER aggregate (dim-sized,
+    like the Pareto banding), never over order rows; ranks tie-break on
+    custkey so the weighting is total-ordered."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = Window.orderBy("cents", "o_custkey")
+    rk = rev.select("cents", F.row_number().over(w).cast("bigint").alias("i"))
+    agg = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("total") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

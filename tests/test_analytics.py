@@ -347,3 +347,17 @@ def test_hll_union_estimate_envelope(spark):
         .select("user_id").distinct().count()
     )
     assert got.loc[0, "n_exact_global"] == direct
+
+
+def test_kaplan_meier_is_a_valid_survival_curve(spark):
+    """S(t) must start at <= 1, be non-increasing over t, stay in
+    [0, 1], and the risk set must shrink monotonically."""
+    from atac_data_products_spark.registry_analytics import stat_kaplan_meier
+
+    got = stat_kaplan_meier(spark, SF_MED).toPandas().sort_values("gap_days")
+    s = got["survival"].to_numpy()
+    assert (s >= 0).all() and (s <= 1).all()
+    assert (s[:-1] - s[1:] >= -1e-9).all()
+    n = got["n_risk"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    assert (got["n_events"] <= got["n_risk"]).all()

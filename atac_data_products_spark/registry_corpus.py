@@ -2085,3 +2085,93 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+_JS_SCALE = 1_000_000_000_000  # 1e-12 fixed point for JS terms
+
+
+@query(
+    "corpus_js_divergence_sources",
+    oracle=rf"""
+    WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS token
+                 FROM documents),
+    tok2 AS (SELECT source, token FROM tok WHERE token != ''),
+    cs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+           FROM tok2 GROUP BY source, token),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cs GROUP BY source),
+    cg AS (SELECT token, CAST(sum(c) AS BIGINT) AS cq FROM cs GROUP BY token),
+    ng AS (SELECT CAST(sum(cq) AS BIGINT) AS n_tot FROM cg),
+    terms AS (SELECT cs.source,
+                     CAST(floor((
+                       0.5 * (cs.c / CAST(ns.n_src AS DOUBLE))
+                           * ln((cs.c / CAST(ns.n_src AS DOUBLE))
+                                / ((cs.c / CAST(ns.n_src AS DOUBLE)
+                                    + cg.cq / CAST(ng.n_tot AS DOUBLE)) / 2))
+                       + 0.5 * (cg.cq / CAST(ng.n_tot AS DOUBLE))
+                           * ln((cg.cq / CAST(ng.n_tot AS DOUBLE))
+                                / ((cs.c / CAST(ns.n_src AS DOUBLE)
+                                    + cg.cq / CAST(ng.n_tot AS DOUBLE)) / 2))
+                     ) * {_JS_SCALE}) AS BIGINT) AS t_q,
+                     cg.cq
+              FROM cs JOIN ns ON cs.source = ns.source
+                      JOIN cg ON cs.token = cg.token
+                      CROSS JOIN ng)
+    SELECT t.source, ns.n_src AS n_tokens,
+           round((CAST(sum(t.t_q) AS DOUBLE) / {_JS_SCALE}
+                  + 0.5 * ln(2)
+                    * (1 - CAST(sum(t.cq) AS DOUBLE) / any_value(ng.n_tot)))
+                 , 6) AS js_divergence
+    FROM terms t JOIN ns ON t.source = ns.source CROSS JOIN ng
+    GROUP BY t.source, ns.n_src
+    """,
+)
+def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token
+    distribution and the whole corpus — the bounded, symmetric content
+    -drift score (0 = identical mix, ln2 = disjoint) that ranks sources
+    by how far they pull the blend, at the TOKEN level where
+    [[corpus_lang_drift_kl]] works at the language level.
+
+    The vocabulary-absent terms are folded into a closed form
+    (Σ over tokens a source lacks of ½·q·ln2 = ½·ln2·(1 − Σ_present
+    q)), so the plan never builds a source × vocab grid — only the
+    observed (source, token) rows join the two count dims.  Per-token
+    terms quantize to 1e-12 fixed point before the per-source sum; the
+    remainder derives from exact BIGINT count ratios."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    cs = tok.groupBy("source", "token").agg(F.count("*").cast("bigint").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_src"))
+    cg = cs.groupBy("token").agg(F.sum("c").cast("bigint").alias("cq"))
+    ng = cg.agg(F.sum("cq").cast("bigint").alias("n_tot"))
+    j = (
+        cs.join(F.broadcast(ns), "source")
+        .join(cg, "token")
+        .crossJoin(F.broadcast(ng))
+    )
+    p = F.col("c") / F.col("n_src").cast("double")
+    q = F.col("cq") / F.col("n_tot").cast("double")
+    m = (p + q) / 2
+    t_q = F.floor((0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)) * _JS_SCALE).cast(
+        "bigint"
+    )
+    terms = j.select("source", t_q.alias("t_q"), "cq", "n_tot")
+    return (
+        terms.join(F.broadcast(ns), "source")
+        .groupBy("source", "n_src")
+        .agg(
+            F.round(
+                F.sum("t_q").cast("double") / _JS_SCALE
+                + 0.5
+                * F.log(F.lit(2.0))
+                * (1 - F.sum("cq").cast("double") / F.any_value("n_tot")),
+                6,
+            ).alias("js_divergence")
+        )
+        .select("source", F.col("n_src").alias("n_tokens"), "js_divergence")
+    )

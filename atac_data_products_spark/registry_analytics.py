@@ -3827,3 +3827,49 @@ def stat_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_BE_SCALE = 1_000_000_000  # 1e-9 fixed point for entropy terms
+
+
+@query(
+    "events_user_entropy",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_tot FROM c GROUP BY user_id),
+    e AS (SELECT c.user_id, t.n_tot,
+                 CAST(floor(-(c.n / CAST(t.n_tot AS DOUBLE))
+                            * ln(c.n / CAST(t.n_tot AS DOUBLE))
+                            * {_BE_SCALE}) AS BIGINT) AS h_q
+          FROM c JOIN t ON c.user_id = t.user_id)
+    SELECT user_id,
+           any_value(n_tot) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(h_q) AS DOUBLE) / {_BE_SCALE}, 6) AS entropy
+    FROM e GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: Shannon entropy of each user's
+    event-type distribution (0 = single-behavior bot-like, ln(5) =
+    uniform across all types) — the segmentation feature that
+    separates power users from single-action drive-bys, built the same
+    fixed-point way as [[corpus_token_entropy]].
+
+    Two combinable aggregates on the (user, type) then (user) grain;
+    per-term quantization to 1e-9 BIGINTs makes the per-user sum exact
+    under any fold order."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("n_tot"))
+    p = F.col("n") / F.col("n_tot").cast("double")
+    h_q = F.floor(-p * F.log(p) * _BE_SCALE).cast("bigint")
+    e = c.join(t, "user_id").select("user_id", "n_tot", h_q.alias("h_q"))
+    return e.groupBy("user_id").agg(
+        F.any_value("n_tot").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.sum("h_q").cast("double") / _BE_SCALE, 6).alias("entropy"),
+    )

@@ -2175,3 +2175,27 @@ def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("n_src").alias("n_tokens"), "js_divergence")
     )
+
+
+@query(
+    "corpus_dedup_cluster_sizes",
+    oracle=f"""
+    WITH surv AS ({{SURV}})
+    SELECT n_members,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n_members * count(*) AS BIGINT) AS n_docs
+    FROM surv GROUP BY n_members
+    """.replace("{{SURV}}", "{SURV}").format(SURV=_survivors_oracle()),
+)
+def corpus_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the data-card histogram
+    ('how much of the corpus is singletons vs 5+-copy boilerplate')
+    read off the survivor table of [[corpus_dedup_survivors]]: one
+    extra combinable aggregate over the already-audited pipeline, and
+    the number that justifies (or retires) the near-dup pass per
+    source refresh."""
+    surv = corpus_dedup_survivors(spark, sf_dir)
+    return surv.groupBy("n_members").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("n_members") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

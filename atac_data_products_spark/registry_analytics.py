@@ -3873,3 +3873,87 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_types"),
         F.round(F.sum("h_q").cast("double") / _BE_SCALE, 6).alias("entropy"),
     )
+
+
+_CHI_SCALE = 1_000_000_000  # 1e-9 fixed point for chi-square terms
+
+
+@query(
+    "stat_chi_square_independence",
+    oracle=f"""
+    WITH o AS (SELECT p_brand, p_type AS cat,
+                      CAST(count(*) AS BIGINT) AS obs
+               FROM part GROUP BY p_brand, p_type),
+    rt AS (SELECT p_brand, CAST(sum(obs) AS BIGINT) AS n_row FROM o GROUP BY p_brand),
+    ct AS (SELECT cat, CAST(sum(obs) AS BIGINT) AS n_col FROM o GROUP BY cat),
+    tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM o),
+    grid AS (SELECT rt.p_brand, ct.cat, rt.n_row, ct.n_col
+             FROM rt CROSS JOIN ct),
+    terms AS (SELECT g.p_brand, g.cat,
+                     coalesce(o.obs, 0) AS obs,
+                     g.n_row * CAST(g.n_col AS DOUBLE) / t.n_tot AS expected
+              FROM grid g LEFT JOIN o
+                ON g.p_brand = o.p_brand AND g.cat = o.cat
+              CROSS JOIN tt t),
+    q AS (SELECT CAST(floor((obs - expected) * (obs - expected) / expected
+                            * {_CHI_SCALE}) AS BIGINT) AS chi_q
+          FROM terms)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_brands,
+           (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_types,
+           ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+               AS dof,
+           round(CAST(sum(chi_q) AS DOUBLE) / {_CHI_SCALE}, 6) AS chi_square
+    FROM q
+    """,
+)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    dimensions (brand × part type) — the association screen that
+    belongs beside [[stat_welch_ttest]] (means), [[stat_corr_matrix]]
+    (numeric), and [[basket_association_rules]] (itemsets) in the
+    statistics battery.
+
+    The contingency grid is dim × dim sized (built by crossing the two
+    marginal tables — never by re-scanning facts), zero cells enter
+    with their full expected-count term via the left join, and each
+    (O−E)²/E term quantizes to 1e-9 fixed point before the exact
+    integer total.  One (brand, type) aggregation shuffle does all the
+    counting; everything after runs on broadcastable marginals."""
+    p = _t(spark, sf_dir, "part")
+    o = p.groupBy(F.col("p_brand"), F.col("p_type").alias("cat")).agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    rt = o.groupBy("p_brand").agg(F.sum("obs").cast("bigint").alias("n_row"))
+    ct = o.groupBy("cat").agg(F.sum("obs").cast("bigint").alias("n_col"))
+    tt = o.agg(F.sum("obs").cast("bigint").alias("n_tot"))
+    grid = rt.crossJoin(F.broadcast(ct))
+    terms = (
+        grid.join(o, ["p_brand", "cat"], "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (
+                F.col("n_row") * F.col("n_col").cast("double") / F.col("n_tot")
+            ).alias("expected"),
+        )
+    )
+    chi_q = F.floor(
+        (F.col("obs") - F.col("expected"))
+        * (F.col("obs") - F.col("expected"))
+        / F.col("expected")
+        * _CHI_SCALE
+    ).cast("bigint")
+    nb = rt.agg(F.count("*").cast("bigint").alias("n_brands"))
+    nt = ct.agg(F.count("*").cast("bigint").alias("n_types"))
+    tot = terms.agg(
+        F.round(F.sum(chi_q).cast("double") / _CHI_SCALE, 6).alias("chi_square")
+    )
+    return (
+        nb.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_brands", "n_types",
+            ((F.col("n_brands") - 1) * (F.col("n_types") - 1)).alias("dof"),
+            "chi_square",
+        )
+    )

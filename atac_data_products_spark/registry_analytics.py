@@ -3957,3 +3957,62 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_square",
         )
     )
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH g AS (SELECT n_chars,
+                      CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+                      CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS c2
+               FROM documents GROUP BY n_chars),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+    cdf AS (SELECT n_chars,
+                   CAST(sum(c1) OVER (ORDER BY n_chars
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+                   CAST(sum(c2) OVER (ORDER BY n_chars
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+            FROM g)
+    SELECT t.n1, t.n2,
+           round(max(abs(cdf.f1 * CAST(t.n2 AS DOUBLE) - cdf.f2 * t.n1))
+                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) AS ks_d
+    FROM cdf CROSS JOIN t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between one source's
+    document-length distribution and the rest of the corpus — the
+    distribution-shape drift test that catches what [[stat_welch_ttest]]
+    (means only) cannot.
+
+    Scale recipe: the empirical CDFs advance only at DISTINCT observed
+    values, so the running-sum window runs over the value-histogram
+    grid (bounded by the n_chars domain, like
+    [[interval_coverage_profile]]'s sweep), never over document rows;
+    D compares exact integer cross-products (f1·n2 vs f2·n1) so the
+    max is decided in exact arithmetic and floats appear only in the
+    final division."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("n_chars").agg(
+        F.count_if(F.col("source") == "src0").cast("bigint").alias("c1"),
+        F.count_if(F.col("source") != "src0").cast("bigint").alias("c2"),
+    )
+    t = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = g.select(
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    j = cdf.crossJoin(F.broadcast(t))
+    diff = F.abs(
+        F.col("f1") * F.col("n2").cast("double") - F.col("f2") * F.col("n1")
+    )
+    return j.groupBy("n1", "n2").agg(
+        F.round(
+            F.max(diff) / (F.col("n1") * F.col("n2").cast("double")), 6
+        ).alias("ks_d")
+    )

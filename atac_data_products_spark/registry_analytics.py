@@ -4016,3 +4016,51 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(diff) / (F.col("n1") * F.col("n2").cast("double")), 6
         ).alias("ks_d")
     )
+
+
+@query(
+    "stat_benford_law",
+    oracle=f"""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                           AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / CAST(t.n_tot AS DOUBLE), 6) AS observed_p,
+           round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford_p,
+           round(abs(c.n / CAST(t.n_tot AS DOUBLE)
+                     - ln(1.0 + 1.0 / c.digit) / ln(10.0)), 6) AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def stat_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit
+    frequencies against log10(1 + 1/d) — the forensic-accounting
+    screen for fabricated or systematically rounded monetary data
+    (synthetic uniform-ish prices will deviate, which is itself the
+    point of publishing the deviation column).
+
+    Leading digit extracted through exact integer/string ops (no
+    float log10 of the value, which misassigns at power-of-ten
+    boundaries); one 9-row aggregate; the expected-p expression is a
+    per-row constant."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n") / F.col("n_tot").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit", "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )

@@ -4064,3 +4064,86 @@ def stat_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(F.abs(obs - benford), 6).alias("abs_dev"),
     )
+
+
+@query(
+    "timeseries_autocorrelation",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS v
+          FROM d GROUP BY event_type, day),
+    l AS (SELECT lag.lag, a.event_type, a.v AS x, b.v AS y
+          FROM (SELECT unnest(generate_series(1, 7)) AS lag) lag
+          JOIN g a ON TRUE
+          JOIN g b ON a.event_type = b.event_type AND b.day = a.day + lag.lag),
+    m AS (SELECT event_type, lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM l GROUP BY event_type, lag)
+    SELECT event_type, lag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS acf
+    FROM m
+    """,
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-7 per event
+    type — the seasonality diagnostic read before picking
+    [[timeseries_ewma_smoothing]]'s memory or a forecast model's
+    period (a weekly cycle shows as an acf(7) spike).
+
+    The lag pairing is an equi-join on (type, day + k) — no window, no
+    sort, co-partitioned on the same key as the daily rollup — and
+    every moment (n, Σx, Σy, Σxy, Σx², Σy²) accumulates as an exact
+    BIGINT over integer cents, so the Pearson ratio is bit-stable
+    under any fold order.  7 lags × |types| output rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("v")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = g.alias("a")
+    b = g.alias("b")
+    l = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"), "lag",
+            F.col("a.v").alias("x"), F.col("b.v").alias("y"),
+        )
+    )
+    m = l.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "event_type", "lag", "n", F.round(num / den, 6).alias("acf")
+    )

@@ -4147,3 +4147,50 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "lag", "n", F.round(num / den, 6).alias("acf")
     )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+    r AS (SELECT p_partkey, p_retailprice, p_size,
+                 max(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS best_size_cheaper
+          FROM p)
+    SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+    FROM r
+    WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize price, maximize size) — the multi-criteria shortlist
+    query (the operator family behind 'cheapest for its size class'),
+    distinct from [[abc_pareto_classification]]'s share bands.
+
+    The classic quadratic dominance self-join collapses to ONE sorted
+    window: walk parts by ascending price and keep a row only when its
+    size beats the running max of everything cheaper.  Single global
+    sort over the dim-sized part table (strict-prior frame, price ties
+    resolved by the partkey total order so equal-priced parts compare
+    against earlier keys only — pinned in the oracle identically).
+    At fact scale you'd pre-aggregate to the candidate dim first; the
+    window never sees fact rows."""
+    p = _t(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = p.select(
+        "p_partkey", "p_retailprice", "p_size",
+        F.max("p_size").over(w).alias("best_size_cheaper"),
+    )
+    return r.where(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        "p_size",
+    )

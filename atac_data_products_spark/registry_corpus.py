@@ -2199,3 +2199,86 @@ def corpus_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         (F.col("n_members") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+_ER_SCALE = 1_000_000_000  # 1e-9 fixed point for entropy-rate terms
+
+
+@query(
+    "corpus_entropy_rate",
+    oracle=rf"""
+    WITH toks AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT source,
+                  unnest([t[x] || ' ' || t[x + 1]
+                          for x in generate_series(1, len(t) - 1)]) AS bigram
+           FROM toks),
+    cb AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY source, bigram),
+    cu AS (SELECT source, split_part(bigram, ' ', 1) AS w1,
+                  CAST(sum(c) AS BIGINT) AS cw
+           FROM cb GROUP BY source, split_part(bigram, ' ', 1)),
+    nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY source),
+    terms AS (SELECT cb.source,
+                     CAST(floor(-(cb.c / CAST(nt.n AS DOUBLE))
+                                * ln(cb.c / CAST(cu.cw AS DOUBLE))
+                                * {_ER_SCALE}) AS BIGINT) AS h_q
+              FROM cb JOIN cu ON cb.source = cu.source
+                             AND split_part(cb.bigram, ' ', 1) = cu.w1
+                      JOIN nt ON cb.source = nt.source)
+    SELECT t.source, nt.n AS n_bigrams,
+           round(CAST(sum(t.h_q) AS DOUBLE) / {_ER_SCALE}, 6) AS entropy_rate
+    FROM terms t JOIN nt ON t.source = nt.source
+    GROUP BY t.source, nt.n
+    """,
+)
+def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy rate H(w₂|w₁) per source — the
+    information-theoretic compressibility/repetitiveness score (low
+    rate = templated or boilerplate text even when unigram entropy
+    looks healthy; the corpus-level counterpart of the per-doc
+    [[corpus_token_entropy]] and the model-free sibling of
+    [[corpus_bigram_logprob]]).
+
+    H = −Σ p(w₁,w₂)·ln p(w₂|w₁) from exact BIGINT bigram and
+    conditioning counts; each term quantizes to 1e-9 fixed point before
+    the per-source sum.  One bigram aggregation feeds both count
+    tables; the join keys on (source, w₁)."""
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = d.select("source", F.explode(bigrams).alias("bigram"))
+    cb = bg.groupBy("source", "bigram").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    cu = cb.groupBy("source", w1.alias("w1")).agg(
+        F.sum("c").cast("bigint").alias("cw")
+    )
+    nt = cb.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    j = (
+        cb.withColumn("w1", w1)
+        .join(cu, ["source", "w1"])
+        .join(F.broadcast(nt), "source")
+    )
+    h_q = F.floor(
+        -(F.col("c") / F.col("n").cast("double"))
+        * F.log(F.col("c") / F.col("cw").cast("double"))
+        * _ER_SCALE
+    ).cast("bigint")
+    return (
+        j.select("source", h_q.alias("h_q"), "n")
+        .groupBy("source", "n")
+        .agg(
+            F.round(F.sum("h_q").cast("double") / _ER_SCALE, 6).alias(
+                "entropy_rate"
+            )
+        )
+        .select("source", F.col("n").alias("n_bigrams"), "entropy_rate")
+    )

@@ -4194,3 +4194,82 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         "p_size",
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH o AS (SELECT o_custkey,
+                      CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+                          AS m,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    cohort AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY o_custkey),
+    j AS (SELECT c.cohort_month,
+                 CAST(datediff('month', c.cohort_month, o.m) AS BIGINT) AS age,
+                 o.cents
+          FROM o JOIN cohort c ON o.o_custkey = c.o_custkey),
+    sz AS (SELECT cohort_month, CAST(count(*) AS BIGINT) AS n_customers
+           FROM cohort GROUP BY cohort_month),
+    g AS (SELECT cohort_month, age, CAST(sum(cents) AS BIGINT) AS rev
+          FROM j GROUP BY cohort_month, age),
+    cum AS (SELECT cohort_month, age,
+                   CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cents
+            FROM g)
+    SELECT CAST(cum.cohort_month AS VARCHAR) AS cohort_month, cum.age,
+           sz.n_customers,
+           round(cum.cum_cents / 100.0, 2) AS cum_revenue,
+           round(cum.cum_cents / 100.0 / sz.n_customers, 6) AS ltv_per_customer
+    FROM cum JOIN sz ON cum.cohort_month = sz.cohort_month
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per acquisition
+    -month cohort by cohort age — the growth-accounting table that
+    prices acquisition spend ([[cohort_retention]] counts who stays;
+    this sums what they pay).
+
+    Revenue accumulates as exact BIGINT cents; the running sum windows
+    over the bounded (cohort × age) month grid, never order rows; the
+    cohort-size dim joins broadcast.  One (custkey) shuffle derives
+    cohorts, one (cohort, age) rollup, one bounded window."""
+    o_raw = _t(spark, sf_dir, "orders")
+    o = o_raw.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    j = o.join(cohort, "o_custkey").select(
+        "cohort_month",
+        F.months_between(F.col("m"), F.col("cohort_month"))
+        .cast("bigint")
+        .alias("age"),
+        "cents",
+    )
+    sz = cohort.groupBy("cohort_month").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    g = j.groupBy("cohort_month", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "cohort_month", "age",
+        F.sum("rev").over(w).cast("bigint").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sz), "cohort_month").select(
+        F.col("cohort_month").cast("string").alias("cohort_month"),
+        "age",
+        "n_customers",
+        F.round(F.col("cum_cents") / 100.0, 2).alias("cum_revenue"),
+        F.round(F.col("cum_cents") / 100.0 / F.col("n_customers"), 6).alias(
+            "ltv_per_customer"
+        ),
+    )

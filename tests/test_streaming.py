@@ -285,3 +285,52 @@ def test_stream_ohlc_equals_batch(spark):
     got = _norm(spark.table("t_ohlc").toPandas())
     want = _norm(timeseries_resample_ohlc(spark, SF_SMALL).toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_join_interval_equals_batch_twin(spark):
+    """The streamed stream-stream interval join, aggregated per purchase,
+    must reproduce the oracle-checked batch twin stream_join_interval
+    (same 10-minute window, same strict upper bound)."""
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.registry_scale import stream_join_interval
+
+    clicks = read_events_stream(spark, f"{SF_SMALL}/events.parquet").filter(
+        "event_type = 'click'"
+    )
+    purchases = read_events_stream(spark, f"{SF_SMALL}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).withWatermark("click_ts", "30 minutes")
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", "30 minutes")
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")
+        ),
+        "inner",
+    ).select("purchase_id", "cents")
+    run_to_memory(joined, "t_ssj_pairs", mode="append")
+    got_pairs = spark.table("t_ssj_pairs").toPandas()
+    agg = (
+        got_pairs.groupby("purchase_id")
+        .agg(n_clicks_10m=("cents", "size"), click_cents_10m=("cents", "sum"))
+        .reset_index()
+    )
+    want = stream_join_interval(spark, SF_SMALL).toPandas()
+    want_nonzero = want[want.n_clicks_10m > 0].rename(
+        columns={"purchase_id": "purchase_id"}
+    )
+    got = _norm(agg.astype({"n_clicks_10m": "int64", "click_cents_10m": "int64"}))
+    pd.testing.assert_frame_equal(got, _norm(want_nonzero))

@@ -772,10 +772,13 @@ def spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_MAX_HOPS = 3
 BFS_SEED_MOD = 97  # seeds: p_partkey % 97 == 0 — deterministic, data-free
 
-_BFS_EDGES_CTE = """
+BFS_BULK_QTY = 45  # edge = two bulk lines co-ordered; keeps the graph sparse
+
+_BFS_EDGES_CTE = f"""
     pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
               FROM lineitem a JOIN lineitem b
-                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_quantity > {BFS_BULK_QTY} AND b.l_quantity > {BFS_BULK_QTY}),
     edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
               UNION ALL SELECT p2, p1 FROM pairs)"""
 
@@ -807,22 +810,33 @@ def _bfs_oracle() -> str:
 @query("graph_bfs_hops", oracle=_bfs_oracle())
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-source BFS: shortest hop distance (≤ {h} hops) from
-    a seed part set over the part co-order graph — the reachability /
+    a seed part set over the bulk co-order part graph (edges where both
+    lines exceed {q} units — the selective edge set, sparse enough that
+    hops 1-3 carry real information; the unfiltered co-order graph
+    saturates every reachable node by hop 2) — the reachability /
     blast-radius primitive (recall campaigns, contamination spread,
     dependency impact).
 
-    Unrolled frontier expansion as ONE lazy plan: hop-k frontier =
-    (hop-(k-1) frontier ⋈ edges) minus everything already reached
-    (left-anti join) — no driver loop, no checkpoint, every level
-    visible to Catalyst.  Frontier sets only ever shrink relative to the
-    reached set, and each level is one equi-join on node id; at 100 TB
-    the same unroll holds for any FIXED hop budget, while unbounded
-    diameters switch to the Pregel loop (connected_components) — the
-    same bounded-unroll vs iterate tradeoff documented at
-    hierarchy_ancestor_paths.  Reference has no graph surface at all
+    Unrolled as ONE lazy plan with INDEPENDENT per-level branches:
+    level-k reach = seeds ⋈ edges^k (deduped at the branch end), then
+    min(hop) per node over the union — BFS distance = shortest walk.
+    Why not frontier-minus-reached? That anti-join cascade makes every
+    level's subtree an input of TWO downstream branches, and the lazy
+    unroll recomputes level k 2^(H−k) times — measured 16.7 s at sf0.01
+    vs ~3 s for this shape (persisting each frontier recovered only part
+    of it: the cache fills add their own stages).  Walk counts, not node
+    counts, bound the intermediate rows here — fine on a hub-capped /
+    selective edge set like this one; for dense graphs or large H the
+    anti-join frontier (with localCheckpoint, see connected_components)
+    is the fallback, and the tradeoff is recorded in
+    docs/PLAN_AUDIT.md.  Reference has no graph surface at all
     (SURVEY §2.6 'absent').
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > BFS_BULK_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -833,33 +847,46 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
     )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    frontier = (
+    from pyspark import StorageLevel
+
+    # `edges` feeds all H branches; persist so the co-order self-join
+    # runs once (lazy — the cache fills on the driver's first action)
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_partkey") % BFS_SEED_MOD == 0)
         .select(F.col("p_partkey").alias("node"))
         .distinct()
-        .withColumn("hop", F.lit(0))
     )
-    reached = frontier
+    levels = [seeds.withColumn("hop", F.lit(0))]
+    walk = seeds
     for k in range(1, BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(reached.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(k))
+        # no per-level distinct: the seed set is small, so every level
+        # stays broadcast-side and each branch compiles to a SHUFFLE-FREE
+        # chain of broadcast hash joins (the only shuffles in the whole
+        # plan are the edge build and the final min-hop aggregate, which
+        # also absorbs the walk dedup).  When seeds are a large fraction
+        # of the graph, reinstate distinct-per-level to bound walk
+        # counts by node counts — measured tradeoff in docs/PLAN_AUDIT.md.
+        walk = walk.join(edges, walk.node == edges.src).select(
+            F.col("dst").alias("node")
         )
-        reached = reached.unionByName(nxt)
-        frontier = nxt
-    return reached.select("node", "hop").select(
-        F.col("node").alias("p_partkey"), F.col("hop").cast("bigint").alias("hop")
+        levels.append(walk.withColumn("hop", F.lit(k)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.min("hop").cast("bigint").alias("hop")).select(
+        F.col("node").alias("p_partkey"), "hop"
     )
 
 
-graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(h=BFS_MAX_HOPS)
+graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(
+    h=BFS_MAX_HOPS, q=BFS_BULK_QTY
+)
 
 
 # ---------------------------------------------------------------------------

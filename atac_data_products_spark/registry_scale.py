@@ -1152,3 +1152,335 @@ def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_common_substring.__doc__ = dedup_common_substring.__doc__.format(
     m=SUBSTR_MIN_SPAN, n=SUBSTR_GRAM
 )
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — score-binned calibration curve
+# ---------------------------------------------------------------------------
+
+CALIB_BIN_CENTS = 1_000  # fixed $10 score bins
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM events)
+    SELECT cents // {CALIB_BIN_CENTS} AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate,
+           round(CAST(sum(cents) AS BIGINT) / (count(*) * 100.0), 6)
+               AS mean_score
+    FROM s GROUP BY cents // {CALIB_BIN_CENTS}
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the same score/label pair as ml_roc_auc:
+    fixed-width score bins × observed positive rate — AUC says the score
+    RANKS well, calibration says whether its MAGNITUDE can be read as a
+    probability (the reliability-diagram primitive behind threshold
+    picking and expected-calibration-error).
+
+    Fixed-width integer bins, not quantile bins, on purpose: the bin id
+    is a pure projection (bin = cents DIV width), so the whole curve is
+    ONE combinable aggregation — quantile binning needs a percentile
+    pass first and makes bins data-dependent across reruns.  Counts and
+    cent-sums stay BIGINT; the two divisions happen once per bin row.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return (
+        s.groupBy(
+            F.expr(f"cents DIV {CALIB_BIN_CENTS}").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.round(F.sum("pos").cast("double") / F.count("*"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.sum("cents").cast("bigint") / (F.count("*") * 100.0), 6
+            ).alias("mean_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_sen — robust median-slope trend over daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_theil_sen",
+    oracle="""
+    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY day),
+    slopes AS (SELECT (b.daily_cents - a.daily_cents)
+                      / CAST(b.day - a.day AS DOUBLE) AS slope
+               FROM g a JOIN g b ON b.day > a.day),
+    m AS (SELECT round(quantile_cont(slope, 0.5), 6) AS slope_cents
+          FROM slopes),
+    ic AS (SELECT round(quantile_cont(g.daily_cents - m.slope_cents * g.day, 0.5), 6)
+                  AS intercept_cents
+           FROM g, m)
+    SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs,
+           round(m.slope_cents / 100.0, 6) AS slope_per_day,
+           round(ic.intercept_cents / 100.0, 6) AS intercept
+    FROM m, ic
+    """,
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN over all
+    pairwise slopes (y_j − y_i)/(x_j − x_i), with the matching median
+    intercept — the outlier-immune alternative to the least-squares fits
+    in stat_zipf_regression / stat_grouped_regression (one wild day
+    moves OLS arbitrarily; it moves a median by one rank).
+
+    The pairwise join is over the DAILY grid, not rows: n_pairs =
+    span·(span−1)/2 is calendar-bounded (a decade ≈ 6.7M pairs) at any
+    corpus size — the distributed work is the daily cents aggregation;
+    the pair median runs over a bounded set, same acceptance as
+    stat_ks_two_sample's grid.  Ladder: slopes are exact-integer deltas
+    divided once; the intercept reuses the ROUNDED median slope so both
+    engines subtract identical doubles before the second median.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
+    a = g.select(F.col("day").alias("xa"), F.col("daily_cents").alias("ya"))
+    b = g.select(F.col("day").alias("xb"), F.col("daily_cents").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya"))
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope")
+        )
+    )
+    m = slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope_cents"),
+    )
+    ic = (
+        g.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("slope_cents").alias("slope_cents"),
+            F.count("*").alias("n_days"),
+            F.round(
+                F.expr("percentile(daily_cents - slope_cents * day, 0.5)"), 6
+            ).alias("intercept_cents"),
+        )
+    )
+    return ic.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("slope_cents") / 100.0, 6).alias("slope_per_day"),
+        F.round(F.col("intercept_cents") / 100.0, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity — sensitive-attribute diversity per QI class
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY_MIN = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           count(DISTINCT c_mktsegment) < {L_DIVERSITY_MIN} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, floor(c_acctbal / 1000)
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can be
+    large (k-anonymous) yet expose everyone in it because they all share
+    ONE sensitive value (homogeneity attack).  Per quasi-identifier
+    class (nation × coarse balance band), the distinct count of the
+    sensitive attribute (market segment); classes with fewer than
+    l={l} distinct values need generalization before release.
+
+    Companion to [[privacy_k_anonymity]] (class sizes) and
+    [[privacy_dp_counts]] (noised release).  One shuffle; the distinct-
+    count is per-group (partial distinct aggregation), never global.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_distinct"),
+        (F.countDistinct("c_mktsegment") < L_DIVERSITY_MIN).alias("at_risk"),
+    )
+
+
+privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.format(l=L_DIVERSITY_MIN)
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake — RAKE keyword extraction over the corpus
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 20
+
+
+def _rake_oracle() -> str:
+    from .extensions.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok, u.pos
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest([{{'pos': i, 'tok': t[i]}} FOR i IN range(1, len(t) + 1)]) AS u(u)
+    ),
+    content AS (
+      SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM toks WHERE tok NOT IN ({stoplist}) AND tok <> ''
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM content GROUP BY doc_id, island
+    ),
+    word_stats AS (
+      SELECT c.tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM content c JOIN phrases p
+        ON p.doc_id = c.doc_id AND p.island = c.island
+      GROUP BY c.tok
+    ),
+    word_scores AS (
+      SELECT tok,
+             CAST(round(deg / CAST(freq AS DOUBLE) * 1000000) AS BIGINT)
+                 AS score_us
+      FROM word_stats
+    ),
+    phrase_occ AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM phrases
+      GROUP BY phrase
+    ),
+    phrase_scores AS (
+      SELECT po.phrase, po.n_occ,
+             CAST(sum(ws.score_us) AS BIGINT) AS score_us
+      FROM phrase_occ po,
+           unnest(string_split(po.phrase, ' ')) AS w(tok)
+      JOIN word_scores ws ON ws.tok = w.tok
+      GROUP BY po.phrase, po.n_occ
+    ),
+    ranked AS (
+      SELECT phrase, n_occ, score_us,
+             row_number() OVER (ORDER BY score_us DESC, phrase) AS rk
+      FROM phrase_scores
+    )
+    SELECT phrase, n_occ, round(score_us / 1000000.0, 6) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {RAKE_TOP_K}
+    """
+
+
+@query("text_keyword_rake", oracle=_rake_oracle())
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public algorithm) over
+    the whole corpus: candidate phrases are maximal stopword-free token
+    runs; each word scores deg/freq (deg = summed length of the phrases
+    its occurrences sit in — co-occurrence degree; freq = occurrence
+    count); a phrase scores the sum of its words' scores.  Top-{k}
+    phrases corpus-wide — the vocabulary-free keyword primitive
+    complementing tf-idf ([[corpus_tfidf_topk]]) and PMI
+    ([[text_pmi_bigrams]]).
+
+    Plan: phrase segmentation is the gaps-and-islands trick (position −
+    row_number over content tokens) — one per-doc window, no joins;
+    word stats are ONE combinable aggregation over (content token ⋈
+    its phrase length); phrase scores re-split the distinct phrase
+    strings and sum exact integer micro-unit word scores (fold-order-
+    proof).  The only unbounded-cardinality step is the final top-k,
+    the standard two-phase per-partition-k + merge at scale.  Word
+    score has exactly one float division, quantized before any sum.
+    """
+    from .extensions.text import STOPWORDS, ensure_min_partitions, tokens
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    content = (
+        toks.where(~F.col("tok").isin([s for s in STOPWORDS]) & (F.col("tok") != ""))
+        .withColumn(
+            "island",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    phrases = content.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    word_stats = (
+        content.join(phrases.select("doc_id", "island", "plen"), ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    word_scores = word_stats.select(
+        "tok",
+        F.round(F.col("deg") / F.col("freq").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("score_us"),
+    )
+    phrase_occ = phrases.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    phrase_scores = (
+        phrase_occ.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("tok"))
+        .join(word_scores, "tok")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("score_us").cast("bigint").alias("score_us"))
+    )
+    w = Window.orderBy(F.col("score_us").desc(), "phrase")
+    return (
+        phrase_scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= RAKE_TOP_K)
+        .select(
+            "phrase",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.round(F.col("score_us") / 1_000_000.0, 6).alias("score"),
+            "rk",
+        )
+    )
+
+
+text_keyword_rake.__doc__ = text_keyword_rake.__doc__.format(k=RAKE_TOP_K)

@@ -1484,3 +1484,235 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_keyword_rake.__doc__ = text_keyword_rake.__doc__.format(k=RAKE_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# join_salted_skew — hot-key fact⋈dim join with explicit salting
+# ---------------------------------------------------------------------------
+
+JOIN_SALT_R = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH e AS (SELECT event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_day,
+                     CAST(sum(cents) AS BIGINT) AS cents_day
+              FROM e GROUP BY day)
+    SELECT e.event_id, e.day, d.n_day, d.cents_day,
+           round(e.cents / CAST(d.cents_day AS DOUBLE), 6) AS day_share
+    FROM e JOIN daily d ON d.day = e.day
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side hot-key join under EXPLICIT salting: enrich every event
+    with its calendar day's totals, where the join key (day) is
+    intrinsically hot — one day holds thousands of fact rows, and in a
+    big-big sort-merge join a single reducer would sort an entire day.
+
+    The salted plan: the DIM side replicates ×{r} (one row per salt),
+    the fact side computes salt = event_id % {r}, and the join runs on
+    (day, salt) — each hot day's fact rows spread over {r} reducers.
+    Replication cost is bounded by dim cardinality (calendar days), not
+    fact rows, which is exactly when salting beats AQE skew-split: AQE
+    splits by partition BYTES after the fact, salting prevents the
+    pile-up by construction and also covers the aggregate-free
+    broadcast-too-big case.  The ORACLE is the plain unsalted join —
+    salting must be a pure physical rewrite with zero semantic drift.
+    Companion to agg_salted_skew (the aggregation form).
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("day").agg(
+        F.count("*").alias("n_day"),
+        F.sum("cents").cast("bigint").alias("cents_day"),
+    )
+    r = JOIN_SALT_R
+    dim_salted = daily.select(
+        "day", "n_day", "cents_day", F.explode(F.expr(f"sequence(0, {r - 1})")).alias("__salt")
+    )
+    fact_salted = e.withColumn("__salt", (F.col("event_id") % r).cast("int"))
+    return (
+        fact_salted.join(dim_salted, ["day", "__salt"])
+        .select(
+            "event_id",
+            "day",
+            "n_day",
+            "cents_day",
+            F.round(
+                F.col("cents") / F.col("cents_day").cast("double"), 6
+            ).alias("day_share"),
+        )
+    )
+
+
+join_salted_skew.__doc__ = join_salted_skew.__doc__.format(r=JOIN_SALT_R)
+
+
+# ---------------------------------------------------------------------------
+# timeseries_ohlc_downsample — weekly OHLC bars from daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_ohlc_downsample",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY event_type, day)
+    SELECT event_type, day // 7 AS week,
+           round(arg_min(daily_cents, day) / 100.0, 2) AS open,
+           round(max(daily_cents) / 100.0, 2) AS high,
+           round(min(daily_cents) / 100.0, 2) AS low,
+           round(arg_max(daily_cents, day) / 100.0, 2) AS close,
+           round(sum(daily_cents) / 100.0, 2) AS volume,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY event_type, day // 7
+    """,
+)
+def timeseries_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC (open/high/low/close + volume) bars per event type —
+    the lossless-enough downsampling every monitoring/charting stack
+    applies before plotting a year of per-day (or per-second) points.
+
+    Two combinable aggregations and nothing else: daily exact-cents
+    sums, then per-week min_by/max_by (open/close = value at the
+    earliest/latest day — argmin/argmax with a UNIQUE ordering key, so
+    no tie ambiguity) alongside plain min/max/sum.  min_by/max_by are
+    ordinary partial-aggregates — the whole downsample is one shuffle
+    past the daily rollup and never materializes an ordered series,
+    unlike window-based first/last which would force a sort.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("daily_cents")
+    )
+    return g.groupBy(
+        "event_type", F.expr("day DIV 7").alias("week")
+    ).agg(
+        F.round(F.expr("min_by(daily_cents, day)") / 100.0, 2).alias("open"),
+        F.round(F.max("daily_cents") / 100.0, 2).alias("high"),
+        F.round(F.min("daily_cents") / 100.0, 2).alias("low"),
+        F.round(F.expr("max_by(daily_cents, day)") / 100.0, 2).alias("close"),
+        F.round(F.sum("daily_cents") / 100.0, 2).alias("volume"),
+        F.count("*").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — 2-round deterministic community detection
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"""
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for k in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""
+    v{k} AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+             FROM edges e JOIN l{k - 1} l ON l.node = e.src
+             GROUP BY e.dst, l.label),
+    l{k} AS (SELECT node, label FROM
+             (SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY cnt DESC, label) AS rk
+              FROM v{k}) WHERE rk = 1)""")
+    return (
+        f"WITH {_BFS_EDGES_CTE}, "
+        + ",".join(ctes)
+        + f"""
+    SELECT l.label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(l.node) AS BIGINT) AS min_member
+    FROM l{LPA_ROUNDS} l GROUP BY l.label"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation ({r} rounds)
+    on the bulk co-order part graph: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — the determinism pin
+    that makes distributed LPA value-checkable (asynchronous/random-tie
+    LPA, the textbook form, is run-order-dependent by construction).
+    Output: communities with member counts after round {r}.
+
+    Per round: one edge⋈label join (co-partitioned on node id), one
+    (node, label) count aggregation, one per-node arg-max window —
+    all keys are node-grained so every stage shuffles O(E) rows max.
+    Fixed small round count is the same bounded-unroll contract as
+    graph_bfs_hops; convergence-loop LPA reuses the Pregel pattern
+    (connected_components) with localCheckpoint per generation.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > BFS_BULK_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("n").orderBy(F.col("cnt").desc(), "label")
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("n").alias("node"), "label")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    r=LPA_ROUNDS
+)

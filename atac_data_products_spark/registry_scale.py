@@ -1716,3 +1716,347 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     r=LPA_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join — runtime-filter pattern: bloom prefilter + exact verify
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = ("bf1", "bf2", "bf3")
+BLOOM_DIM_MIN_BAL = 9_000.0  # selective supplier subset
+
+
+@query(
+    "bloom_semi_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal > {BLOOM_DIM_MIN_BAL})
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pattern, written out explicitly: revenue of
+    lineitems supplied by high-balance suppliers, where the fact scan is
+    PREFILTERED by a Bloom filter built from the dim keys ({m} bits,
+    {k} hashes) and then EXACTLY verified by the real semi-join — the
+    oracle is the plain semi-join because bloom + verify is lossless
+    (the filter only admits false POSITIVES, which the verify removes).
+
+    This is what Spark's own runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter) does inside the engine,
+    surfaced as an explicit, portable plan: the bit-position set is ONE
+    tiny aggregate of the dim (≤ k·|dim| positions), broadcast as a
+    single array row; the fact side tests k array_contains per row
+    BEFORE any shuffle, so at 100 TB the shuffle carries only rows that
+    pass the bloom — with |dim| ≪ m the pass-through rate approaches
+    the true selectivity, and the verify semi-join does the rest.
+    """
+    m = BLOOM_BITS
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > BLOOM_DIM_MIN_BAL)
+        .select("s_suppkey")
+    )
+    pos_cols = [
+        (hash59(F.concat(F.lit(s), F.col("s_suppkey").cast("string"))) % m)
+        for s in BLOOM_HASHES
+    ]
+    bloom = (
+        sup.select(F.explode(F.array(*pos_cols)).alias("bit"))
+        .agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    tests = [
+        F.array_contains(
+            F.col("bits"),
+            hash59(F.concat(F.lit(s), F.col("l_suppkey").cast("string"))) % m,
+        )
+        for s in BLOOM_HASHES
+    ]
+    passed = (
+        li.crossJoin(F.broadcast(bloom))
+        .where(tests[0] & tests[1] & tests[2])
+        .drop("bits")
+    )
+    verified = passed.join(F.broadcast(sup), passed.l_suppkey == sup.s_suppkey, "left_semi")
+    return verified.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+bloom_semi_join.__doc__ = bloom_semi_join.__doc__.format(
+    m=BLOOM_BITS, k=len(BLOOM_HASHES)
+)
+
+
+# ---------------------------------------------------------------------------
+# orders_backlog_snapshot — daily open-order backlog via sweep/difference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_snapshot",
+    oracle="""
+    WITH o AS (SELECT o_orderkey,
+                      epoch_us(o_orderdate) // 86400000000 AS open_day
+               FROM orders),
+    ship AS (SELECT l_orderkey,
+                    max(epoch_us(l_shipdate) // 86400000000) AS close_day
+             FROM lineitem GROUP BY l_orderkey),
+    deltas AS (
+      SELECT open_day AS day, 1 AS d FROM o
+      UNION ALL
+      SELECT s.close_day + 1, -1
+      FROM o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    ),
+    byday AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY day),
+    spine AS (SELECT unnest(range((SELECT min(day) FROM byday),
+                                  (SELECT max(day) FROM byday) + 1)) AS day)
+    SELECT sp.day,
+           CAST(sum(coalesce(b.delta, 0))
+                OVER (ORDER BY sp.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM spine sp LEFT JOIN byday b ON b.day = sp.day
+    """,
+)
+def orders_backlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: for every calendar day, how many orders
+    have been placed but not yet fully shipped — the operations
+    dashboard number behind staffing and SLA decisions.
+
+    The naive form is an interval×day-grid theta join (every order
+    overlaps many days); this plan is the SWEEP / difference-array
+    rewrite proven on interval_coverage_profile: +1 on the order day,
+    −1 the day after the LAST line ships (per-order max, one combinable
+    aggregate), summed per day, then one cumulative window over the
+    calendar spine.  Work scales with orders + span, never orders×span;
+    the single-partition cumulative window is bounded by calendar days.
+    Orders with no lineitems never close — they stay in the backlog,
+    which is the honest semantics for a malformed order.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+            "open_day"
+        ),
+    )
+    ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+            ).alias("close_day")
+        )
+    )
+    deltas = o.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).unionByName(
+        o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+            (F.col("close_day") + 1).alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    byday = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    bounds = byday.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(byday, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .withColumn("open_orders", F.sum("delta").over(w).cast("bigint"))
+        .select("day", "open_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal — anomaly flags on the seasonal-decompose residual
+# ---------------------------------------------------------------------------
+
+ANOM_MAD_MULT = 3
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle=f"""
+    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY day),
+    w AS (SELECT day, daily_cents,
+                 CAST(sum(daily_cents) OVER fr AS BIGINT) AS fr_sum,
+                 CAST(count(*) OVER fr AS BIGINT) AS fr_n
+          FROM g
+          WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (SELECT day, day % 7 AS dow, daily_cents,
+                 CAST(round((daily_cents / 100.0
+                             - round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6))
+                            * 1000000) AS BIGINT) AS det_us
+          FROM w WHERE fr_n = 7),
+    se AS (SELECT day, daily_cents, det_us,
+                  CAST(round((CAST(sum(det_us) OVER (PARTITION BY dow) AS DOUBLE)
+                              / count(*) OVER (PARTITION BY dow))) AS BIGINT)
+                      AS seas_us
+           FROM t),
+    res AS (SELECT day, daily_cents, det_us - seas_us AS res_us FROM se),
+    st AS (SELECT CAST(round(quantile_cont(res_us, 0.5)) AS BIGINT) AS med_us
+           FROM res),
+    md AS (SELECT CAST(round(quantile_cont(abs(res_us - st.med_us), 0.5)) AS BIGINT)
+                      AS mad_us
+           FROM res, st)
+    SELECT r.day,
+           round(r.daily_cents / 100.0, 2) AS daily_value,
+           round(r.res_us / 1000000.0, 6) AS residual,
+           abs(r.res_us - st.med_us) > {ANOM_MAD_MULT} * md.mad_us AS is_anomaly
+    FROM res r, st, md
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: days whose seasonal-decompose
+    residual (trend and weekly cycle removed — the
+    [[timeseries_seasonal_decompose]] pipeline) deviates from the median
+    residual by more than {m}× the MAD — robust anomaly detection that
+    does NOT fire on ordinary weekly rhythm, unlike the raw-value MAD
+    screen ([[events_anomaly_mad]]) it complements.
+
+    Everything after the daily rollup runs on the calendar-bounded day
+    table; residuals are integer micro-units end-to-end (the seasonal
+    mean is an exact integer sum divided once, then rounded back to
+    integer µ-units), and the median/MAD thresholds are rounded to
+    integers BEFORE the comparison, so the anomaly flag is a pure
+    integer predicate — no float boundary can disagree between engines.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
+    fr = Window.orderBy("day").rowsBetween(-3, 3)
+    w = g.select(
+        "day",
+        "daily_cents",
+        F.sum("daily_cents").over(fr).cast("bigint").alias("fr_sum"),
+        F.count("*").over(fr).cast("bigint").alias("fr_n"),
+    ).where(F.col("fr_n") == 7)
+    trend = F.round((F.col("fr_sum").cast("double") / F.col("fr_n")) / 100.0, 6)
+    t = w.select(
+        "day",
+        (F.col("day") % 7).alias("dow"),
+        "daily_cents",
+        F.round((F.col("daily_cents") / 100.0 - trend) * 1_000_000)
+        .cast("bigint")
+        .alias("det_us"),
+    )
+    dw = Window.partitionBy("dow")
+    se = t.withColumn(
+        "seas_us",
+        F.round(
+            F.sum("det_us").over(dw).cast("double") / F.count("*").over(dw)
+        ).cast("bigint"),
+    )
+    res = se.select(
+        "day", "daily_cents", (F.col("det_us") - F.col("seas_us")).alias("res_us")
+    )
+    st = res.agg(
+        F.round(F.expr("percentile(res_us, 0.5)")).cast("bigint").alias("med_us")
+    )
+    md = (
+        res.crossJoin(F.broadcast(st))
+        .agg(
+            F.max("med_us").alias("med_us"),
+            F.round(F.expr("percentile(abs(res_us - med_us), 0.5)"))
+            .cast("bigint")
+            .alias("mad_us"),
+        )
+    )
+    return res.crossJoin(F.broadcast(md)).select(
+        "day",
+        F.round(F.col("daily_cents") / 100.0, 2).alias("daily_value"),
+        F.round(F.col("res_us") / 1_000_000.0, 6).alias("residual"),
+        (
+            F.abs(F.col("res_us") - F.col("med_us"))
+            > ANOM_MAD_MULT * F.col("mad_us")
+        ).alias("is_anomaly"),
+    )
+
+
+events_anomaly_seasonal.__doc__ = events_anomaly_seasonal.__doc__.format(
+    m=ANOM_MAD_MULT
+)
+
+
+# ---------------------------------------------------------------------------
+# scan_fixed_width — fixed-width (mainframe/COBOL-style) text source
+# ---------------------------------------------------------------------------
+
+# layout: nationkey cols 1-4 (right-just), name cols 5-24 (left-just),
+# regionkey cols 25-28 (right-just)
+_FW_LAYOUT = (("n_nationkey", 1, 4), ("n_name", 5, 20), ("n_regionkey", 25, 4))
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/COBOL copybook layout that
+    still feeds many enterprise lakes and that Spark has no native
+    reader for.  Round trip: format the nation dim into padded
+    fixed-width lines (Spark text sink), then parse it back with a
+    column-layout spec compiled to substring+trim projections over
+    ``spark.read.text`` — scan-time schema application, one narrow
+    projection, no UDFs; the oracle is the original table (identity).
+
+    At 100 TB the same plan holds: text files split by line, each
+    partition parses independently, and because the layout is a pure
+    expression the parse inlines into whole-stage codegen — column
+    pruning even works (an unused field's substring is dropped by
+    Catalyst).  Rigid layouts (no delimiter ambiguity) are why this
+    format survives; the spec tuple is the engine's 'copybook'.
+    """
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuidlib
+
+    out = _os.path.join(
+        _tempfile.gettempdir(), f"adp_fixed_width_{_uuidlib.uuid4().hex[:8]}"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 4, " "),
+        F.rpad(F.col("n_name"), 20, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 4, " "),
+    )
+    nat.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, width)).alias(name)
+        for name, start, width in _FW_LAYOUT
+    ]
+    parsed = raw.select(*cols)
+    return parsed.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )

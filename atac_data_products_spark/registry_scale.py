@@ -2060,3 +2060,288 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pii_scan — PII pattern audit per document
+# ---------------------------------------------------------------------------
+
+# public-shape PII regexes (email / NANP phone / SSN-shaped / IPv4),
+# written to be byte-identical between Spark (Java regex) and DuckDB (RE2):
+# no lookarounds, no \\b (RE2 lacks it in older builds) — anchor by
+# character class instead
+_PII_PATTERNS = (
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+)
+
+
+def _pii_count_sql(name: str, pat: str) -> str:
+    # literal pre-gate: the email pattern's unanchored [class]+ prefix is
+    # O(len·wordlen) backtracking per doc in Java regex (measured 4.2 s vs
+    # 0.3 s for the other patterns at sf0.01); every PII pattern contains a
+    # mandatory literal, so gate the regex behind a cheap contains() scan
+    lit = {"email": "@", "phone": "-", "ssn": "-", "ipv4": "."}[name]
+    return (
+        f"CASE WHEN contains(lower(text), '{lit}') "
+        f"THEN len(regexp_extract_all(lower(text), '{pat}')) ELSE 0 END"
+    )
+
+
+def _pii_oracle() -> str:
+    cols = ", ".join(
+        f"CAST({_pii_count_sql(name, pat)} AS BIGINT) AS n_{name}"
+        for name, pat in _PII_PATTERNS
+    )
+    any_pred = " + ".join(_pii_count_sql(name, pat) for name, pat in _PII_PATTERNS)
+    return f"""
+    SELECT doc_id, {cols}, ({any_pred}) > 0 AS has_pii
+    FROM documents
+    """
+
+
+@query("corpus_pii_scan", oracle=_pii_oracle())
+def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern audit: per document, match counts for email / phone /
+    SSN-shaped / IPv4 patterns and an aggregate has_pii flag — the scan
+    a training-data pipeline runs BEFORE release, feeding either the
+    redaction pass ([[corpus_normalize_redact]] is the digit-redaction
+    form) or a drop rule in the quality gate ([[corpus_quality_gate]]).
+
+    Pure JVM regexp_count projections — shuffle-free, whole-stage
+    codegen, embarrassingly parallel at any scale; patterns avoid
+    lookarounds and word-boundary escapes so Java regex and RE2 agree
+    byte-for-byte (the same dialect-portability discipline as
+    regex_extract_battery).  A model-based NER redactor slots in at the
+    mapInPandas seam (ml_score_batch) when patterns aren't enough.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lits = {"email": "@", "phone": "-", "ssn": "-", "ipv4": "."}
+    count_cols = [
+        F.expr(
+            # literal pre-gate before the regex — see _pii_count_sql
+            f"CAST(CASE WHEN contains(lower(text), '{lits[name]}') "
+            f"THEN regexp_count(lower(text), '{pat}') ELSE 0 END AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat in _PII_PATTERNS
+    ]
+    out = d.select("doc_id", *count_cols)
+    total = None
+    for name, _ in _PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+# ---------------------------------------------------------------------------
+# corpus_code_detection — code-vs-prose heuristic classifier
+# ---------------------------------------------------------------------------
+
+CODE_SCORE_THRESHOLD_US = 30_000  # 0.03 in integer micro-units
+
+
+@query(
+    "corpus_code_detection",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[{{}}();=\\[\\]]')) AS BIGINT)
+                 AS n_symbols,
+             CAST(len(regexp_extract_all(text,
+                  '(def |class |import |return |function |var |const )'))
+                 AS BIGINT) AS n_keywords,
+             CAST(len(text) AS BIGINT) AS n_chars
+      FROM documents WHERE len(text) > 0)
+    SELECT doc_id, n_symbols, n_keywords,
+           CAST(round((n_symbols + 10 * n_keywords)
+                      / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+               AS code_score_us,
+           CAST(round((n_symbols + 10 * n_keywords)
+                      / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+               > {CODE_SCORE_THRESHOLD_US} AS is_code
+    FROM f
+    """,
+)
+def corpus_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic: symbol density ({{}}();=[]) plus weighted
+    programming-keyword hits, normalized by length — the cheap signal an
+    LLM corpus pipeline uses to ROUTE documents (code to the code
+    pipeline with its own dedup/quality rules, prose to the text one)
+    before any model-based classifier is affordable at 100 TB.
+
+    Shuffle-free regexp-count projection (same scale argument as
+    corpus_pii_scan); the score is quantized to integer micro-units
+    BEFORE thresholding so the is_code flag is an integer predicate.
+    Weights and threshold are declared contract constants — this is a
+    routing heuristic with pinned semantics, not a trained model (that
+    slots in at the ml_score_batch Arrow seam).
+    """
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_sym = F.expr("CAST(regexp_count(text, '[{}();=\\\\[\\\\]]') AS BIGINT)")
+    n_kw = F.expr(
+        "CAST(regexp_count(text, "
+        "'(def |class |import |return |function |var |const )') AS BIGINT)"
+    )
+    f = d.select(
+        "doc_id",
+        n_sym.alias("n_symbols"),
+        n_kw.alias("n_keywords"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    score = F.round(
+        (F.col("n_symbols") + 10 * F.col("n_keywords"))
+        / F.col("n_chars").cast("double")
+        * 1_000_000
+    ).cast("bigint")
+    return f.select(
+        "doc_id",
+        "n_symbols",
+        "n_keywords",
+        score.alias("code_score_us"),
+        (score > CODE_SCORE_THRESHOLD_US).alias("is_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_duplicate_payment_audit — structured near-duplicate detection
+# ---------------------------------------------------------------------------
+
+DUP_PAY_WINDOW_DAYS = 7
+DUP_PAY_TOL_BP = 100  # amount tolerance: 100 basis points = 1%
+
+
+@query(
+    "orders_duplicate_payment_audit",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      epoch_us(o_orderdate) // 86400000000 AS day
+               FROM orders)
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey AS o_custkey,
+           CAST(b.day - a.day AS BIGINT) AS day_gap,
+           CAST(abs(b.cents - a.cents) AS BIGINT) AS cents_diff
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND b.day - a.day BETWEEN -{DUP_PAY_WINDOW_DAYS} AND {DUP_PAY_WINDOW_DAYS}
+     AND abs(b.cents - a.cents) * 10000 <= {DUP_PAY_TOL_BP} * a.cents
+    """,
+)
+def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: order pairs from the SAME customer within
+    ±{d} days whose totals differ by ≤ {bp} basis points — the
+    structured-data near-duplicate shape (double billing, double-submit,
+    replayed invoices) that every finance/ops team runs; the
+    STRUCTURED counterpart of the text near-dup family.
+
+    Blocked self-join: the equi-key is the customer (per-customer order
+    counts are small and bounded — the fan-out argument of
+    basket_association_rules), with the day window and the
+    INTEGER-ARITHMETIC amount tolerance (|Δcents|·10⁴ ≤ bp·cents —
+    no float division) as in-block predicates.  At 100 TB the block key
+    becomes (customer, week-band) exactly like stream_join_interval if
+    per-customer history grows unbounded.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    gap = F.col("b.day") - F.col("a.day")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (gap >= -DUP_PAY_WINDOW_DAYS)
+            & (gap <= DUP_PAY_WINDOW_DAYS)
+            & (
+                F.abs(F.col("b.cents") - F.col("a.cents")) * 10000
+                <= DUP_PAY_TOL_BP * F.col("a.cents")
+            ),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            gap.cast("bigint").alias("day_gap"),
+            F.abs(F.col("b.cents") - F.col("a.cents"))
+            .cast("bigint")
+            .alias("cents_diff"),
+        )
+    )
+
+
+orders_duplicate_payment_audit.__doc__ = orders_duplicate_payment_audit.__doc__.format(
+    d=DUP_PAY_WINDOW_DAYS, bp=DUP_PAY_TOL_BP
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_lang_confusion — declared vs predicted language cross-tabulation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_lang_confusion",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','on','for'], x)))
+                     AS n_stop,
+                 len(t) AS n
+          FROM toks),
+    p AS (SELECT lang AS declared_lang,
+                 CASE WHEN n_stop / CAST(n AS DOUBLE) >= 0.02
+                      THEN 'en' ELSE 'unknown' END AS pred_lang
+          FROM s)
+    SELECT declared_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY declared_lang, pred_lang
+    """,
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus's DECLARED language labels against
+    the engine's heuristic language ID ([[text_lang_id]]) — the metadata
+    trust audit: a corpus whose declared labels disagree with even a
+    crude content signal has a labeling pipeline problem upstream, and
+    mixture weights keyed on those labels ([[corpus_mixture_sample]],
+    [[corpus_lang_drift_kl]]) inherit it.
+
+    One narrow projection (the same stopword-density signal as the LID
+    contract) and one combinable aggregation — the cross-tab is
+    |langs|² cells regardless of corpus size.
+    """
+    from .extensions.text import STOPWORDS, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens("text").alias("t"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    s = toks.select(
+        "lang",
+        F.size(
+            F.filter(F.col("t"), lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+        F.size("t").alias("n"),
+    )
+    p = s.select(
+        F.col("lang").alias("declared_lang"),
+        F.when(
+            F.col("n_stop") / F.col("n").cast("double") >= 0.02, "en"
+        )
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+    return p.groupBy("declared_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )

@@ -2345,3 +2345,270 @@ def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("declared_lang", "pred_lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_mmr_rerank — Maximal Marginal Relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    ctes = [f"""
+    eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM eb WHERE vec_id = 0),
+    pool AS (SELECT vec_id, v,
+                    round(list_dot_product(v, (SELECT qv FROM q)) /
+                          (sqrt(list_dot_product(v, v)) *
+                           (SELECT sqrt(list_dot_product(qv, qv)) FROM q)), 6)
+                        AS qcos
+             FROM eb WHERE vec_id != 0
+             ORDER BY qcos DESC, vec_id LIMIT {MMR_POOL}),
+    pc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+           FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, qcos, 1 AS rk FROM pool
+           ORDER BY qcos DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT * FROM s1)"""]
+    for r in range(2, MMR_K + 1):
+        ctes.append(f"""
+    m{r} AS (SELECT p.vec_id, p.qcos,
+                    round({lam} * p.qcos - {mu} * max(pc.cos), 6) AS score
+             FROM pool p JOIN pc ON pc.ia = p.vec_id
+              AND pc.ib IN (SELECT vec_id FROM sel{r - 1})
+             WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+             GROUP BY p.vec_id, p.qcos),
+    s{r} AS (SELECT vec_id, qcos, {r} AS rk FROM m{r}
+             ORDER BY score DESC, vec_id LIMIT 1),
+    sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f" SELECT CAST(rk AS BIGINT) AS rk, vec_id, qcos FROM sel{MMR_K}"
+    )
+
+
+@query("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public
+    algorithm) diversified top-{k}: greedily pick the candidate
+    maximizing λ·cos(q,d) − (1−λ)·max_{{s∈S}} cos(d,s) — the re-ranker
+    every RAG/search stack runs so the top results aren't {k} copies of
+    the same passage.
+
+    Scale split: the DISTRIBUTED stage is the relevance top-{p} pool
+    (one scan, scalar top-k — similarity_topk's plan); the greedy
+    selection is inherently sequential but runs over the POOL, whose
+    size is a constant — pool×pool pairwise cosines ({p}²) and {k}
+    unrolled argmax rounds cost O(p²) regardless of corpus size.  This
+    relevance-pool-then-rerank split is exactly how production ANN
+    re-ranking deploys.  All cosines round to 6 before any ordering;
+    ties break on vec_id — the greedy trace is fully pinned.
+    """
+    from .extensions.similarity import cosine_topk
+
+    from pyspark import StorageLevel
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    # the greedy rounds reference the pool and the pairwise table once
+    # per round — persist both (p and p² rows) or the lazy unroll
+    # re-runs the corpus top-k scan per round (measured 21.6 s → 9 s
+    # at sf0.01)
+    pool_ids = (
+        cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=MMR_POOL)
+        .select("vec_id", F.col("cosine").alias("qcos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pool = pool_ids.join(emb.select("vec_id", "embedding"), "vec_id")
+    e = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+
+    def cos(a, b):
+        d = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        n = lambda v: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        return F.round(d / (n(a) * n(b)), 6)
+
+    a = pool.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = pool.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pc = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cos(e(F.col("va")), e(F.col("vb"))).alias("cos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sel = (
+        pool_ids.orderBy(F.desc("qcos"), "vec_id")
+        .limit(1)
+        .select("vec_id", "qcos", F.lit(1).alias("rk"))
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    for r in range(2, MMR_K + 1):
+        sel_ids = sel.select(F.col("vec_id").alias("ib"))
+        msim = (
+            pc.join(F.broadcast(sel_ids), "ib")
+            .groupBy(F.col("ia").alias("vec_id"))
+            .agg(F.max("cos").alias("msim"))
+        )
+        nxt = (
+            pool_ids.join(
+                F.broadcast(sel.select("vec_id")), "vec_id", "left_anti"
+            )
+            .join(msim, "vec_id")
+            .select(
+                "vec_id",
+                "qcos",
+                F.round(lam * F.col("qcos") - mu * F.col("msim"), 6).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .select("vec_id", "qcos", F.lit(r).alias("rk"))
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
+
+
+similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.format(
+    k=MMR_K, p=MMR_POOL
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_band_sweep — banding operating curve (recall/precision per config)
+# ---------------------------------------------------------------------------
+
+SWEEP_CONFIGS = ((16, 2), (8, 4), (4, 8))  # (bands, rows) with k = 32 fixed
+SWEEP_THRESHOLD = 0.2
+
+
+def _sweep_oracle() -> str:
+    from .extensions.dedup import MINHASH_K, _perm_params
+    from .functions.hashes import hash59_sql
+
+    _P = (1 << 61) - 1
+    mask_m = (1 << 40)
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_params(MINHASH_K))
+    )
+    toks = (
+        "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+        "FROM documents)"
+    )
+    shingles = (
+        "shingles AS (SELECT DISTINCT doc_id, "
+        "unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingle "
+        "FROM toks WHERE len(t) >= 3)"
+    )
+    h40 = f"((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {mask_m})"
+    parts = [f"""{toks}, {shingles},
+    h AS (SELECT doc_id, {h40} AS h FROM shingles),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes za ON za.doc_id = doc_a
+              JOIN sizes zb ON zb.doc_id = doc_b
+              WHERE round(CAST(n_inter AS DOUBLE)
+                          / (za.n_sh + zb.n_sh - n_inter), 6) >= {SWEEP_THRESHOLD})"""]
+    selects = []
+    for bands, rows in SWEEP_CONFIGS:
+        structs = []
+        for bi in range(bands):
+            concat = " || '_' || ".join(
+                f"mh_{bi * rows + r}::VARCHAR" for r in range(rows)
+            )
+            structs.append(f"{{'band': {bi}, 'sig': {hash59_sql(concat)}}}")
+        tag = f"b{bands}r{rows}"
+        parts.append(f"""
+    bk_{tag} AS (SELECT doc_id, u.band AS band, u.sig AS sig
+                 FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS u FROM sig)),
+    cand_{tag} AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+                   FROM bk_{tag} b1 JOIN bk_{tag} b2 USING (band, sig)
+                   WHERE b1.doc_id < b2.doc_id)""")
+        selects.append(f"""
+    SELECT {bands} AS bands, {rows} AS rows_per_band,
+           CAST((SELECT count(*) FROM cand_{tag}) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM cand_{tag} c
+                 JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           round((SELECT count(*) FROM cand_{tag} c
+                  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           round((SELECT count(*) FROM cand_{tag} c
+                  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                 / CAST((SELECT count(*) FROM cand_{tag}) AS DOUBLE), 6)
+               AS precision""")
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@query("dedup_lsh_band_sweep", oracle=_sweep_oracle())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding operating curve: candidate volume, recall, and precision
+    of the MinHash-LSH candidate stage at three (bands × rows) splits of
+    the SAME k=32 signature — 16×2 (high recall, many candidates), 8×4
+    (the production default), 4×8 (high precision, low recall) — against
+    exact-Jaccard ground truth at t={t}.  The S-curve threshold
+    (1/b)^(1/r) moves from ~0.25 to ~0.84 across these; this sweep is
+    the measurement that justifies the default before anyone trusts it
+    at corpus scale, the same eval discipline as dedup_simhash_eval and
+    similarity_ann_recall_eval.
+
+    One signature aggregation is SHARED by all three configs (banding
+    re-hashes the same 32 minhashes); each config adds one bucket
+    self-join.  Ground truth is the inverted-index exact join — corpus-
+    bounded here, replaced by a sampled-pair estimate at 100 TB (the
+    declared eval-at-scale path).
+    """
+    from .extensions.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures
+    from .extensions.text import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh_multi = shingle_table(docs, distinct=False)
+    sh_set = shingle_table(docs, distinct=True)
+    sig = minhash_signatures(sh_multi)
+    truth = jaccard_pairs(sh_set, threshold=SWEEP_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    outs = []
+    for bands, rows in SWEEP_CONFIGS:
+        cand = lsh_candidate_pairs(sig, bands=bands, rows=rows)
+        stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
+            cand.join(truth, ["doc_a", "doc_b"]).agg(
+                F.count("*").alias("n_hits")
+            )
+        ).crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        outs.append(
+            stats.select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.col("n_candidates").cast("bigint"),
+                F.col("n_hits").cast("bigint"),
+                F.col("n_truth").cast("bigint"),
+                F.round(
+                    F.col("n_hits") / F.col("n_truth").cast("double"), 6
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hits") / F.col("n_candidates").cast("double"), 6
+                ).alias("precision"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

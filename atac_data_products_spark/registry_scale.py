@@ -2612,3 +2612,326 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_disc — discrete-percentile semantics battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_disc(value, 0.5), 6) AS p50_disc,
+           round(quantile_disc(value, 0.95), 6) AS p95_disc,
+           round(quantile_cont(value, 0.5), 6) AS p50_cont
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT semantics, pinned cross-engine:
+    the discrete form returns an ACTUAL data value (the smallest value
+    whose cumulative fraction ≥ p — SQL:2008 definition), the continuous
+    form interpolates between neighbors.  SLA reporting wants disc (a
+    latency that actually happened); dashboards usually get cont —
+    engines silently differ on defaults, which is why the battery pins
+    both ([[agg_percentiles]] covers the cont-only surface).
+
+    Spark has no percentile_disc function; the SQL:2008 definition is
+    expressed directly: sort each group's values, take element
+    ceil(p·n).  Both percentile forms are one sorted pass per group
+    (Spark's percentile() sorts internally too); at 100 TB both swap to
+    sketches ([[approx_percentile_accuracy]] is the error contract).
+    """
+    ev = _t(spark, sf_dir, "events")
+    vals = F.array_sort(F.collect_list("value"))
+    disc = lambda p: F.round(  # noqa: E731
+        F.element_at(
+            vals,
+            F.greatest(
+                F.lit(1), F.ceil(F.lit(p) * F.count("*")).cast("int")
+            ),
+        ),
+        6,
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        disc(0.5).alias("p50_disc"),
+        disc(0.95).alias("p95_disc"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_cont"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_bot_cadence_score — automation detection via cadence regularity
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 20
+BOT_CV_THRESHOLD_US = 500_000  # cv quantized to 1e-6: flag cv < 0.5
+
+
+@query(
+    "events_bot_cadence_score",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    g AS (SELECT user_id, us,
+                 us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+          FROM e),
+    s AS (SELECT user_id,
+                 CAST(count(gap) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS sum_gap,
+                 CAST(sum(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0))
+                     AS sum_gap2
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id
+          HAVING count(gap) >= {BOT_MIN_EVENTS}),
+    c AS (SELECT user_id, n_gaps,
+                 CAST(sum_gap AS DOUBLE) / n_gaps AS mean_gap,
+                 sqrt(greatest(
+                   (CAST(sum_gap2 AS DOUBLE)
+                    - CAST(sum_gap AS DOUBLE) * sum_gap / n_gaps)
+                   / n_gaps, 0)) AS std_gap
+          FROM s)
+    SELECT user_id, n_gaps,
+           round(mean_gap / 1000000.0, 6) AS mean_gap_s,
+           CAST(round(std_gap / mean_gap * 1000000) AS BIGINT) AS cv_us,
+           CAST(round(std_gap / mean_gap * 1000000) AS BIGINT)
+               < {BOT_CV_THRESHOLD_US} AS is_bot_cadence
+    FROM c
+    """,
+)
+def events_bot_cadence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot screen by cadence REGULARITY: users with ≥ {n}
+    inter-event gaps whose coefficient of variation (σ/μ of the gap) is
+    under {t} — humans are bursty (cv ≳ 1), schedulers are metronomes
+    (cv → 0).  The behavioral-abuse counterpart of
+    [[events_interarrival_stats]] (which profiles; this one flags).
+
+    One window for the lag gaps (per-user shuffle shared with every
+    other user-grained frame), one combinable aggregation: Σgap as
+    BIGINT and Σgap² as DECIMAL(38,0) — microsecond gaps square to
+    ~10²⁴, past BIGINT, so the second moment rides the decimal lane
+    (exact, fold-order-proof), with floats only in the final σ/μ.  The
+    cv is quantized to integer micro-units BEFORE thresholding.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_us_expr(ev).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    g = e.withColumn("gap", F.col("us") - F.lag("us").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sum_gap"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)") * F.col("gap")
+            ).alias("sum_gap2"),
+        )
+        .where(F.col("n_gaps") >= BOT_MIN_EVENTS)
+    )
+    mean_gap = F.col("sum_gap").cast("double") / F.col("n_gaps")
+    var = (
+        F.col("sum_gap2").cast("double")
+        - F.col("sum_gap").cast("double") * F.col("sum_gap") / F.col("n_gaps")
+    ) / F.col("n_gaps")
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cv_us = F.round(std / mean_gap * 1_000_000).cast("bigint")
+    return s.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mean_gap / 1_000_000.0, 6).alias("mean_gap_s"),
+        cv_us.alias("cv_us"),
+        (cv_us < BOT_CV_THRESHOLD_US).alias("is_bot_cadence"),
+    )
+
+
+events_bot_cadence_score.__doc__ = events_bot_cadence_score.__doc__.format(
+    n=BOT_MIN_EVENTS, t=BOT_CV_THRESHOLD_US / 1_000_000
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_percentile_gate — data-dependent quality threshold
+# ---------------------------------------------------------------------------
+
+QGATE_KEEP_FRACTION = 0.8
+
+
+@query(
+    "corpus_quality_percentile_gate",
+    oracle=f"""
+    WITH f AS (SELECT doc_id,
+                      len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                          AS n_tokens,
+                      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                          AS n_punct,
+                      CAST(len(text) AS BIGINT) AS n_chars
+               FROM documents WHERE len(text) > 0),
+    sc AS (SELECT doc_id,
+                  CAST(round((n_punct + 1) / CAST(n_tokens + 1 AS DOUBLE)
+                             * 1000000) AS BIGINT)
+                      + n_tokens AS q_score
+           FROM f),
+    thr AS (SELECT CAST(round(quantile_cont(q_score, {1 - QGATE_KEEP_FRACTION}))
+                        AS BIGINT) AS cut
+            FROM sc)
+    SELECT s.doc_id, s.q_score, s.q_score >= thr.cut AS keep
+    FROM sc s, thr
+    """,
+)
+def corpus_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: keep the top {p:.0%} of documents by a
+    composite quality score — the DATA-DEPENDENT threshold form, vs the
+    fixed-rule Gopher gate ([[corpus_quality_gate]]).  Production
+    pipelines use both: fixed rules for hard floors, a percentile cut to
+    hit a target kept-volume regardless of corpus drift.
+
+    Two passes by necessity (the cut depends on the score
+    distribution): one narrow score projection, one percentile
+    aggregate broadcast back as a single-row threshold — the same
+    broadcast-scalar shape as agg_winsorize.  The score is integerized
+    (token count + µ-unit punct density) BEFORE the percentile, and the
+    cut rounds to an integer, so keep/drop is an integer comparison.
+    At 100 TB the exact percentile swaps for the t-digest sketch with
+    the approx_percentile_accuracy error contract.
+    """
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    from .extensions.text import tokens
+
+    f = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.expr("CAST(regexp_count(text, '[.,;:!?]') AS BIGINT)").alias("n_punct"),
+    )
+    sc = f.select(
+        "doc_id",
+        (
+            F.round(
+                (F.col("n_punct") + 1)
+                / (F.col("n_tokens") + 1).cast("double")
+                * 1_000_000
+            ).cast("bigint")
+            + F.col("n_tokens")
+        ).alias("q_score"),
+    )
+    thr = sc.agg(
+        F.round(F.expr(f"percentile(q_score, {1 - QGATE_KEEP_FRACTION})"))
+        .cast("bigint")
+        .alias("cut")
+    )
+    return sc.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "q_score", (F.col("q_score") >= F.col("cut")).alias("keep")
+    )
+
+
+corpus_quality_percentile_gate.__doc__ = corpus_quality_percentile_gate.__doc__.format(
+    p=QGATE_KEEP_FRACTION
+)
+
+
+# ---------------------------------------------------------------------------
+# supplier_scorecard_composite — z-scored multi-KPI composite ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_scorecard_composite",
+    oracle="""
+    WITH k AS (SELECT l_suppkey,
+                      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev_cents,
+                      CAST(count(*) AS BIGINT) AS n_lines,
+                      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+               FROM lineitem GROUP BY l_suppkey),
+    st AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS s_rev,
+                  CAST(sum(CAST(rev_cents AS DECIMAL(38,0)) * rev_cents)
+                       AS DECIMAL(38,0)) AS s_rev2,
+                  CAST(sum(n_orders) AS BIGINT) AS s_ord,
+                  CAST(sum(CAST(n_orders AS DECIMAL(38,0)) * n_orders)
+                       AS DECIMAL(38,0)) AS s_ord2,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM k),
+    z AS (SELECT k.l_suppkey, k.rev_cents, k.n_orders,
+                 (k.rev_cents - CAST(st.s_rev AS DOUBLE) / st.n)
+                 / sqrt((CAST(st.s_rev2 AS DOUBLE)
+                         - CAST(st.s_rev AS DOUBLE) * st.s_rev / st.n)
+                        / (st.n - 1)) AS z_rev,
+                 (k.n_orders - CAST(st.s_ord AS DOUBLE) / st.n)
+                 / sqrt((CAST(st.s_ord2 AS DOUBLE)
+                         - CAST(st.s_ord AS DOUBLE) * st.s_ord / st.n)
+                        / (st.n - 1)) AS z_ord
+          FROM k, st)
+    SELECT l_suppkey, rev_cents, n_orders,
+           round(z_rev, 6) AS z_revenue,
+           round(z_ord, 6) AS z_orders,
+           round(0.6 * round(z_rev, 6) + 0.4 * round(z_ord, 6), 6)
+               AS composite_score
+    FROM z
+    """,
+)
+def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: revenue and order-breadth KPIs standardized to
+    z-scores against the population and combined 60/40 into one
+    composite — the normalize-then-weight pattern behind every vendor /
+    store / model-version ranking dashboard (raw KPIs aren't comparable;
+    z-scores are).
+
+    One combinable KPI aggregation (exact cents; second moments on the
+    DECIMAL(38,0) lane since cents² overflows BIGINT), one single-row
+    stats aggregate broadcast back — the same shape as
+    normalize_zscore_group but with POPULATION stats feeding multiple
+    standardized columns at once.  Weights apply to the ROUNDED
+    z-scores so the composite is reproducible from the published
+    scorecard columns themselves.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+    st = k.agg(
+        F.sum("rev_cents").cast("bigint").alias("s_rev"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)") * F.col("rev_cents")).alias(
+            "s_rev2"
+        ),
+        F.sum("n_orders").cast("bigint").alias("s_ord"),
+        F.sum(F.col("n_orders").cast("decimal(38,0)") * F.col("n_orders")).alias(
+            "s_ord2"
+        ),
+        F.count("*").alias("n"),
+    )
+    z = k.crossJoin(F.broadcast(st))
+    mean_rev = F.col("s_rev").cast("double") / F.col("n")
+    sd_rev = F.sqrt(
+        (
+            F.col("s_rev2").cast("double")
+            - F.col("s_rev").cast("double") * F.col("s_rev") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    mean_ord = F.col("s_ord").cast("double") / F.col("n")
+    sd_ord = F.sqrt(
+        (
+            F.col("s_ord2").cast("double")
+            - F.col("s_ord").cast("double") * F.col("s_ord") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    z_rev = F.round((F.col("rev_cents") - mean_rev) / sd_rev, 6)
+    z_ord = F.round((F.col("n_orders") - mean_ord) / sd_ord, 6)
+    return z.select(
+        "l_suppkey",
+        "rev_cents",
+        "n_orders",
+        z_rev.alias("z_revenue"),
+        z_ord.alias("z_orders"),
+        F.round(0.6 * z_rev + 0.4 * z_ord, 6).alias("composite_score"),
+    )

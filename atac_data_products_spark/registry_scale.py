@@ -2935,3 +2935,74 @@ def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_ord.alias("z_orders"),
         F.round(0.6 * z_rev + 0.4 * z_ord, 6).alias("composite_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nested_json_roundtrip_flatten — deep semi-structured shred/unshred
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_json_roundtrip_flatten",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_no,
+           l_partkey,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def nested_json_roundtrip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested-JSON shred/unshred: order documents are ASSEMBLED as
+    real nested JSON text (order → array of line structs, the
+    API-payload shape), then parsed back with an explicit nested schema
+    (from_json with array<struct>), exploded, and flattened — the
+    oracle is the original flat table, so the whole semi-structured
+    round trip must be lossless.  This covers the from_json /
+    explode-nested-array / dotted-field surface that
+    [[json_extract_battery]]'s string-path extraction does not
+    (documents-as-payloads vs fields-as-strings).
+
+    Assembly is collect_list(struct) per order (one combinable-input
+    shuffle on the natural key) + to_json; parsing is a pure projection
+    with an EXPLICIT schema — no schema inference job, the
+    production-critical difference at 100 TB where inference means an
+    extra full scan.  Line arrays are sorted by line number before
+    serialization so the JSON text itself is deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.col("l_orderkey").alias("order"),
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_linenumber").alias("line_no"),
+                                F.col("l_partkey").alias("part"),
+                                F.round(F.col("l_quantity") * 100)
+                                .cast("bigint")
+                                .alias("qty_cents"),
+                            )
+                        )
+                    ).alias("lines"),
+                )
+            ).alias("doc")
+        )
+    )
+    schema = (
+        "STRUCT<`order`: BIGINT, "
+        "lines: ARRAY<STRUCT<line_no: INT, part: BIGINT, qty_cents: BIGINT>>>"
+    )
+    parsed = docs.select(F.from_json("doc", schema).alias("o"))
+    return (
+        parsed.select(F.col("o.order").alias("l_orderkey"), F.explode("o.lines").alias("ln"))
+        .select(
+            "l_orderkey",
+            F.col("ln.line_no").cast("bigint").alias("line_no"),
+            F.col("ln.part").alias("l_partkey"),
+            F.col("ln.qty_cents").alias("qty_cents"),
+        )
+    )

@@ -3006,3 +3006,57 @@ def nested_json_roundtrip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("ln.qty_cents").alias("qty_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_api_recursive_cte — WITH RECURSIVE through the SQL front end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_api_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(key, anc, depth) AS (
+      SELECT c_custkey, c_custkey // 10, 1 FROM customer WHERE c_custkey > 0
+      UNION ALL
+      SELECT w.key, w.anc // 10, w.depth + 1
+      FROM walk w WHERE w.anc > 0
+    )
+    SELECT key AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_ancestors,
+           CAST(max(depth) AS BIGINT) AS chain_depth
+    FROM walk GROUP BY key
+    """,
+)
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``WITH RECURSIVE`` executed natively by Spark's SQL front end
+    (new in Spark 4) — the same ancestor-closure semantics that
+    [[hierarchy_ancestor_paths]] builds by bounded unrolling, now as a
+    TRUE fixpoint recursion the planner drives (UnionLoop iterates until
+    the recursive branch is empty), checked against DuckDB's recursive
+    CTE evaluator on nearly identical SQL text.
+
+    The unroll vs recursion tradeoff is now a real choice inside one
+    engine: unrolled plans give Catalyst full visibility (per-level
+    reuse, a fixed stage count) but need a depth bound; the recursive
+    form handles unbounded depth with the loop scheduled by the engine.
+    Keeping both contracts green pins that they agree.
+    """
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(key, anc, depth) AS (
+          SELECT c_custkey, CAST(c_custkey / 10 AS BIGINT) AS anc, 1 AS depth
+          FROM customer WHERE c_custkey > 0
+          UNION ALL
+          SELECT w.key, CAST(w.anc / 10 AS BIGINT), w.depth + 1
+          FROM walk w WHERE w.anc > 0
+        )
+        SELECT key AS c_custkey,
+               CAST(count(*) AS BIGINT) AS n_ancestors,
+               CAST(max(depth) AS BIGINT) AS chain_depth
+        FROM walk GROUP BY key
+        """
+    )

@@ -149,3 +149,102 @@ def finalize_and_write(result: ProductResult, manifest: DataFrame, out_dir: str)
     }
     write_product(out_dir, result.obs, result.modalities, metadata)
     return metadata
+
+
+def append_dataset_to_product(
+    spark,
+    product_dir: str,
+    manifest: DataFrame,
+    dataset: str,
+    new_matrices_by_modality: dict[str, DataFrame],
+    tissue: str | None = None,
+) -> dict:
+    """INCREMENTAL product maintenance: add (or re-add) one dataset to an
+    existing product directory without recomputing the rest — the
+    capability the reference structurally cannot have (it re-reads and
+    re-concatenates every dataset on every run, bin/concatenate.py:128-139).
+
+    Correctness rests on a decomposition argument: every pipeline step is
+    DATASET-LOCAL — cell ids are dataset-prefixed (annotate_matrix), so
+    the modality intersection (J1) never links cells across datasets,
+    and the donor join (J2) is keyed per dataset — hence
+    ``product(all datasets) == union over datasets of product({ds})``,
+    and appending ds is exactly building its mini-product and merging.
+    (The golden test asserts this equality against a full rebuild.)
+
+    Physical merge, per table:
+      - ``x_<modality>``: DYNAMIC partition overwrite — only the new
+        dataset's partition is replaced, making re-runs IDEMPOTENT (a
+        crashed append re-executes safely; a plain append mode would
+        duplicate rows).  Existing partitions are untouched bytes.
+      - ``obs``: small (cell metadata); rewritten as (old minus this
+        dataset) ∪ new, with the lineage broken by localCheckpoint
+        before overwriting the path being read.
+      - ``var_<modality>``: distinct union, same rewrite.
+      - ``product.json``: counts updated incrementally (old total minus
+        the dataset's previous contribution plus the new one).
+    """
+    from ..sinks.writers import _join_uri, _write_text_uri
+    import json as _json
+
+    row = manifest.where(F.col("uuid") == dataset)
+    mini = build_product(
+        row,
+        {mod: [df] for mod, df in new_matrices_by_modality.items()},
+        tissue=tissue,
+    )
+
+    old_obs = spark.read.parquet(_join_uri(product_dir, "obs"))
+    obs_kept = old_obs.where(F.col("dataset") != dataset)
+    removed = old_obs.where(F.col("dataset") == dataset).count()
+    new_obs = mini.obs
+    added = new_obs.count()
+    merged_obs = obs_kept.unionByName(new_obs).localCheckpoint()
+
+    prev_meta = _json.loads(
+        spark.read.text(_join_uri(product_dir, "product.json"))
+        .agg(F.concat_ws("\n", F.collect_list("value")))
+        .first()[0]
+    )
+
+    dyn_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(dyn_key, "static")
+    spark.conf.set(dyn_key, "dynamic")
+    try:
+        for mod, (x, var) in mini.modalities.items():
+            (
+                x.sortWithinPartitions("dataset", "cell_id")
+                .write.mode("overwrite")
+                .partitionBy("dataset")
+                .parquet(_join_uri(product_dir, f"x_{mod}"))
+            )
+            old_var = spark.read.parquet(_join_uri(product_dir, f"var_{mod}"))
+            merged_var = old_var.unionByName(var).distinct().localCheckpoint()
+            merged_var.write.mode("overwrite").parquet(
+                _join_uri(product_dir, f"var_{mod}")
+            )
+    finally:
+        spark.conf.set(dyn_key, prev_mode)
+    merged_obs.write.mode("overwrite").parquet(_join_uri(product_dir, "obs"))
+
+    lists = manifest.agg(
+        F.sort_array(F.collect_list("uuid")).alias("uuids"),
+        F.sort_array(F.collect_list("hubmap_id")).alias("hbmids"),
+    ).first()
+    metadata = {
+        **prev_meta,
+        "cell_count": int(prev_meta["cell_count"]) - removed + added,
+        "dataset_uuids": list(lists.uuids),
+        "dataset_hbmids": list(lists.hbmids),
+        "dataset_count": int(
+            prev_meta.get("dataset_count", 0)
+        )
+        - (1 if removed else 0)
+        + (1 if added else 0),
+    }
+    _write_text_uri(
+        spark,
+        _join_uri(product_dir, "product.json"),
+        _json.dumps(metadata, indent=2, sort_keys=True),
+    )
+    return metadata

@@ -3060,3 +3060,366 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY key
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_welch_ttest — two-sample Welch t-test from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_welch_ttest",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE event_type IN ('click', 'view')),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s1,
+                 CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+                     AS s2
+          FROM s GROUP BY event_type),
+    v AS (SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / n AS mean,
+                 (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+                     AS var
+          FROM m),
+    a AS (SELECT * FROM v WHERE event_type = 'click'),
+    b AS (SELECT * FROM v WHERE event_type = 'view')
+    SELECT a.n AS n_click, b.n AS n_view,
+           round((a.mean - b.mean) / 100.0, 6) AS mean_diff,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+               AS t_stat,
+           round(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1)), 6) AS df_welch
+    FROM a, b
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test (unequal variances) between click and view
+    event values — the A/B-test primitive completing the inferential
+    battery ([[stat_ks_two_sample]] distribution-free,
+    [[stat_chi_square_independence]] categorical, this one means).
+
+    All moments are exact integers (cents sums in BIGINT, squared sums
+    on the DECIMAL(38,0) lane — cents² exceeds BIGINT at corpus scale);
+    the t statistic and Welch-Satterthwaite df are a fixed float
+    formula over those integers, applied once in a one-row frame —
+    fold order cannot move the rounded values.  One combinable shuffle
+    of two groups; everything after is broadcast-sized.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    m = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    v = m.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    a = v.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = v.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("va") / F.col("n_click") + F.col("vb") / F.col("n_view")
+    return j.select(
+        "n_click",
+        "n_view",
+        F.round((F.col("ma") - F.col("mb")) / 100.0, 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("n_click"), 2) / (F.col("n_click") - 1)
+                + F.pow(F.col("vb") / F.col("n_view"), 2) / (F.col("n_view") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_bootstrap_poisson_ci — deterministic Poisson-bootstrap CI
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+# Poisson(1) CDF thresholds (public constants, 9 dp): weight = #thresholds < u
+_POIS1_CDF = (
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+)
+
+
+def _boot_weight_sql(u: str) -> str:
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {u} > {t} THEN 1 ELSE 0 END" for t in _POIS1_CDF)
+        + ")"
+    )
+
+
+@query(
+    "stat_bootstrap_poisson_ci",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    rep AS (SELECT o.o_orderkey, o.cents, r.b,
+                   (({hash59_sql("'bs' || CAST(r.b AS VARCHAR) || '_' || CAST(o.o_orderkey AS VARCHAR)")}) + 1)
+                   / 576460752303423488.0 AS u
+            FROM o, (SELECT unnest(range(0, {BOOT_B})) AS b) r),
+    w AS (SELECT b, cents, {_boot_weight_sql("u")} AS wt FROM rep),
+    means AS (SELECT b,
+                     CAST(sum(wt * cents) AS BIGINT) AS wsum,
+                     CAST(sum(wt) AS BIGINT) AS wn
+              FROM w GROUP BY b),
+    rm AS (SELECT b, CAST(wsum AS DOUBLE) / wn / 100.0 AS rmean FROM means),
+    pt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n FROM o)
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           round(CAST(pt.tot AS DOUBLE) / pt.n / 100.0, 6) AS point_mean,
+           round((SELECT quantile_cont(rmean, 0.025) FROM rm), 6) AS ci_lo,
+           round((SELECT quantile_cont(rmean, 0.975) FROM rm), 6) AS ci_hi
+    FROM pt
+    """,
+)
+def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value via the POISSON
+    bootstrap — the distributed-systems form (each row draws an
+    independent Poisson(1) multiplicity per replicate, so no replicate
+    ever needs a global sample of fixed size n, which is impossible to
+    coordinate across partitions).  B={b} replicates in ONE pass: the
+    row×replicate expansion is a projection + explode, each replicate's
+    weighted mean is exact-integer (Σw·cents / Σw), and the CI is the
+    2.5/97.5 percentile of the {b} replicate means.
+
+    Determinism: multiplicities come from inverse-CDF lookup of a
+    key-stable md5 uniform against literal Poisson(1) CDF constants —
+    the same derandomized-sampling discipline as privacy_dp_counts'
+    Laplace draw.  At 100 TB: the expansion is map-side (×{b} rows but
+    combinable immediately), the shuffle carries B partial sums.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        hash59(
+            F.concat(
+                F.lit("bs"),
+                F.col("b").cast("string"),
+                F.lit("_"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        + 1
+    ) / F.lit(float(1 << 59))
+    wt = None
+    for t in _POIS1_CDF:
+        c = F.when(u > t, 1).otherwise(0)
+        wt = c if wt is None else wt + c
+    w = rep.select("b", "cents", wt.alias("wt"))
+    means = w.groupBy("b").agg(
+        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("wsum"),
+        F.sum("wt").cast("bigint").alias("wn"),
+    )
+    rm = means.select(
+        (F.col("wsum").cast("double") / F.col("wn") / 100.0).alias("rmean")
+    )
+    ci = rm.agg(
+        F.round(F.expr("percentile(rmean, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(rmean, 0.975)"), 6).alias("ci_hi"),
+    )
+    pt = o.agg(
+        F.round(
+            F.sum("cents").cast("double") / F.count("*") / 100.0, 6
+        ).alias("point_mean")
+    )
+    return (
+        pt.crossJoin(F.broadcast(ci))
+        .select(
+            F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+stat_bootstrap_poisson_ci.__doc__ = stat_bootstrap_poisson_ci.__doc__.format(b=BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness — sensitive-distribution distance per QI class
+# ---------------------------------------------------------------------------
+
+T_CLOSE_THRESHOLD_US = 400_000  # flag classes with TV distance > 0.4
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH cls AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb,
+                        c_mktsegment AS seg,
+                        count(*) AS n_cs
+                 FROM customer GROUP BY 1, 2, 3),
+    cn AS (SELECT nk, bb, CAST(sum(n_cs) AS BIGINT) AS n_c FROM cls GROUP BY nk, bb),
+    gs AS (SELECT seg, CAST(sum(n_cs) AS BIGINT) AS n_s FROM cls GROUP BY seg),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM gs),
+    grid AS (SELECT cn.nk, cn.bb, cn.n_c, gs.seg, gs.n_s,
+                    coalesce(c2.n_cs, 0) AS n_cs
+             FROM cn CROSS JOIN gs
+             LEFT JOIN cls c2 ON c2.nk = cn.nk AND c2.bb = cn.bb AND c2.seg = gs.seg),
+    tv AS (SELECT nk, bb, max(n_c) AS n_c,
+                  CAST(sum(abs(n_cs * (SELECT n FROM tot) - n_s * n_c)) AS BIGINT)
+                      AS num
+           FROM grid GROUP BY nk, bb)
+    SELECT nk AS c_nationkey, bb AS bal_band, CAST(n_c AS BIGINT) AS n,
+           CAST(round(CAST(num AS DOUBLE)
+                      / (2.0 * n_c * (SELECT n FROM tot)) * 1000000) AS BIGINT)
+               AS tv_us,
+           CAST(round(CAST(num AS DOUBLE)
+                      / (2.0 * n_c * (SELECT n FROM tot)) * 1000000) AS BIGINT)
+               > {T_CLOSE_THRESHOLD_US} AS at_risk
+    FROM tv
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity misses: a class can
+    have many DISTINCT sensitive values yet a wildly skewed distribution
+    (99% one segment), still leaking information.  Per QI class, the
+    total-variation distance between the class's sensitive-attribute
+    distribution and the global one; classes over t={t} need merging.
+    Completes the release-audit ladder: [[privacy_k_anonymity]] (size) →
+    [[privacy_l_diversity]] (variety) → t-closeness (distribution) →
+    [[privacy_dp_counts]] (noised publication).
+
+    Exact-arithmetic core: TV = Σ|n_cs·N − n_s·n_c| / (2·n_c·N) — the
+    numerator is pure BIGINT cross-multiplication (no per-cell float
+    division), the single division happens once per class and rounds to
+    integer µ-units before thresholding.  The class×segment grid is
+    built from a broadcast of the |segments|-row global table, so
+    absent cells (n_cs = 0) are represented — dropping them understates
+    the distance.  At population scale the cross-products ride the
+    DECIMAL(38,0) lane.
+    """
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bb"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("n_cs"))
+    cn = cls.groupBy("nk", "bb").agg(F.sum("n_cs").cast("bigint").alias("n_c"))
+    gs = cls.groupBy("seg").agg(F.sum("n_cs").cast("bigint").alias("n_s"))
+    tot = gs.agg(F.sum("n_s").cast("bigint").alias("n"))
+    grid = (
+        cn.crossJoin(F.broadcast(gs))
+        .join(cls, ["nk", "bb", "seg"], "left")
+        .select(
+            "nk",
+            "bb",
+            "n_c",
+            "n_s",
+            F.coalesce("n_cs", F.lit(0)).alias("n_cs"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    tv = grid.groupBy("nk", "bb").agg(
+        F.max("n_c").alias("n_c"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("n_c"))
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    tv_us = F.round(
+        F.col("num").cast("double") / (2.0 * F.col("n_c") * F.col("n")) * 1_000_000
+    ).cast("bigint")
+    return tv.select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("bb").alias("bal_band"),
+        F.col("n_c").cast("bigint").alias("n"),
+        tv_us.alias("tv_us"),
+        (tv_us > T_CLOSE_THRESHOLD_US).alias("at_risk"),
+    )
+
+
+privacy_t_closeness.__doc__ = privacy_t_closeness.__doc__.format(
+    t=T_CLOSE_THRESHOLD_US / 1_000_000
+)
+
+
+# ---------------------------------------------------------------------------
+# events_outage_gaps — silent-period detection over the event stream
+# ---------------------------------------------------------------------------
+
+OUTAGE_GAP_S = 60
+
+
+@query(
+    "events_outage_gaps",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+               FROM events),
+    g AS (SELECT sec,
+                 lag(sec) OVER (ORDER BY sec) AS prev_sec
+          FROM s)
+    SELECT prev_sec AS gap_start_sec,
+           sec AS gap_end_sec,
+           CAST(sec - prev_sec AS BIGINT) AS gap_s
+    FROM g WHERE sec - prev_sec > {OUTAGE_GAP_S}
+    """,
+)
+def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silent-period (outage) detection: gaps longer than {g}s between
+    consecutive ACTIVE SECONDS of the event stream — the monitoring
+    question 'when did ingestion stop?'.
+
+    The scale trick is aggregating to the distinct-second grid FIRST
+    (one combinable distinct, cardinality bounded by wall-clock seconds
+    in the window — a year is 31M rows regardless of event volume), so
+    the consecutive-gap window runs over the bounded grid, never over
+    raw events.  Lag-over-raw-events would order the full corpus; this
+    is the same grid-bounding acceptance as stat_ks_two_sample and the
+    day spines.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        (ts_us_expr(ev) / F.lit(1_000_000)).cast("bigint").alias("sec")
+    ).distinct()
+    w = Window.orderBy("sec")
+    g = s.withColumn("prev_sec", F.lag("sec").over(w))
+    return (
+        g.where(F.col("sec") - F.col("prev_sec") > OUTAGE_GAP_S)
+        .select(
+            F.col("prev_sec").alias("gap_start_sec"),
+            F.col("sec").alias("gap_end_sec"),
+            (F.col("sec") - F.col("prev_sec")).cast("bigint").alias("gap_s"),
+        )
+    )
+
+
+events_outage_gaps.__doc__ = events_outage_gaps.__doc__.format(g=OUTAGE_GAP_S)

@@ -144,6 +144,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            # drop every block the query persisted: (a) iterations stay
+            # COLD — plan-identical reruns would otherwise hit the
+            # CacheManager and min-of-N would report cache latency, not
+            # plan cost; (b) iterative operators' internal persists
+            # (pagerank, survivors, k-means, BFS) otherwise accumulate
+            # across the whole bench and the leaked blocks GC-throttle
+            # every later query (measured: k-means 13.9 s late in a full
+            # run vs 4.5 s isolated)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
 

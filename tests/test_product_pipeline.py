@@ -175,3 +175,64 @@ def test_build_product_cli_end_to_end(spark, tmp_path, monkeypatch):
     assert {r.cell_id for r in obs.collect()} == {
         "ds1-AAAC", "ds1-GGGT", "ds2-CCCC"
     }
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """append_dataset_to_product(ds2) onto a ds1-only product must equal
+    the full two-dataset rebuild (the dataset-local decomposition
+    argument), and re-running the append must be idempotent (dynamic
+    partition overwrite)."""
+    from atac_data_products_spark.plans.product import append_dataset_to_product
+
+    manifest, mats = _fixtures(spark)
+
+    # full rebuild (ground truth)
+    full_dir = str(tmp_path / "full")
+    finalize_and_write(
+        build_product(manifest, mats, tissue="kidney", product_uuid="p-full"),
+        manifest,
+        full_dir,
+    )
+
+    # ds1-only product, then append ds2 incrementally
+    inc_dir = str(tmp_path / "inc")
+    m1 = manifest.where(F.col("uuid") == "ds1")
+    mats1 = {
+        mod: [df.where(F.col("dataset").isin("ds1")) for df in dfs]
+        for mod, dfs in mats.items()
+    }
+    finalize_and_write(
+        build_product(m1, mats1, tissue="kidney", product_uuid="p-inc"),
+        m1,
+        inc_dir,
+    )
+    new_mats = {
+        mod: dfs[0].sparkSession.createDataFrame(
+            [r for df in dfs for r in df.where(F.col("dataset") == "ds2").collect()],
+            dfs[0].schema,
+        )
+        for mod, dfs in mats.items()
+    }
+    meta1 = append_dataset_to_product(
+        spark, inc_dir, manifest, "ds2", new_mats, tissue="kidney"
+    )
+    # idempotency: append the same dataset again
+    meta2 = append_dataset_to_product(
+        spark, inc_dir, manifest, "ds2", new_mats, tissue="kidney"
+    )
+    assert meta1["cell_count"] == meta2["cell_count"]
+
+    import pandas as pd
+
+    def table(base, name):
+        pdf = spark.read.parquet(f"{base}/{name}").toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+    for name in ["obs", "x_atac_cell_by_bin", "x_atac_cell_by_gene",
+                 "var_atac_cell_by_bin", "var_atac_cell_by_gene"]:
+        pd.testing.assert_frame_equal(table(inc_dir, name), table(full_dir, name))
+
+    full_meta = json.loads(open(os.path.join(full_dir, "product.json")).read())
+    assert meta2["cell_count"] == full_meta["cell_count"]
+    assert meta2["dataset_uuids"] == full_meta["dataset_uuids"]

@@ -3423,3 +3423,301 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_outage_gaps.__doc__ = events_outage_gaps.__doc__.format(g=OUTAGE_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# events_slo_burn_rate — multi-window error-budget burn (SRE alerting rule)
+# ---------------------------------------------------------------------------
+
+SLO_TARGET_PPM = 250_000  # error budget: 25% of events may be errors
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+               FROM events),
+    h AS (SELECT hour,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(is_err) AS BIGINT) AS n_err
+          FROM e GROUP BY hour),
+    w AS (SELECT hour, n, n_err,
+                 CAST(sum(n) OVER fr AS BIGINT) AS n_6h,
+                 CAST(sum(n_err) OVER fr AS BIGINT) AS err_6h
+          FROM h
+          WINDOW fr AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hour,
+           CAST(round(n_err * 1000000.0 / n) AS BIGINT) AS rate_1h_ppm,
+           CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT) AS rate_6h_ppm,
+           round(CAST(round(n_err * 1000000.0 / n) AS BIGINT)
+                 / {SLO_TARGET_PPM}.0, 6) AS burn_1h,
+           round(CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT)
+                 / {SLO_TARGET_PPM}.0, 6) AS burn_6h,
+           CAST(round(n_err * 1000000.0 / n) AS BIGINT) > {SLO_TARGET_PPM}
+             AND CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT)
+                 > {SLO_TARGET_PPM} AS page
+    FROM w
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn (the Google SRE alerting rule,
+    public practice): per hour, the 1-hour and trailing-6-hour error
+    rates against a declared budget — a page fires only when BOTH
+    windows burn above 1× (the short window gives reaction speed, the
+    long one suppresses blips).
+
+    The hourly rollup is one combinable shuffle; the 6-hour trailing
+    frame runs on the wall-clock-bounded hour grid (the spine
+    acceptance).  Rates are quantized to integer ppm BEFORE the burn
+    ratio and the page predicate compares integers against the literal
+    budget — no float boundary can disagree.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (ts_us_expr(ev) / F.lit(3_600_000_000)).cast("bigint").alias("hour"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    h = e.groupBy("hour").agg(
+        F.count("*").alias("n"), F.sum("is_err").cast("bigint").alias("n_err")
+    )
+    fr = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = h.select(
+        "hour",
+        "n",
+        "n_err",
+        F.sum("n").over(fr).cast("bigint").alias("n_6h"),
+        F.sum("n_err").over(fr).cast("bigint").alias("err_6h"),
+    )
+    r1 = F.round(F.col("n_err") * 1_000_000.0 / F.col("n")).cast("bigint")
+    r6 = F.round(F.col("err_6h") * 1_000_000.0 / F.col("n_6h")).cast("bigint")
+    return w.select(
+        "hour",
+        r1.alias("rate_1h_ppm"),
+        r6.alias("rate_6h_ppm"),
+        F.round(r1 / float(SLO_TARGET_PPM), 6).alias("burn_1h"),
+        F.round(r6 / float(SLO_TARGET_PPM), 6).alias("burn_6h"),
+        ((r1 > SLO_TARGET_PPM) & (r6 > SLO_TARGET_PPM)).alias("page"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_matryoshka_prefix_eval — prefix-dimension ranking fidelity
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_PREFIX = 16
+MATRYOSHKA_K = 10
+
+
+@query(
+    "similarity_matryoshka_prefix_eval",
+    oracle=f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM eb WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, v FROM eb WHERE vec_id % 50 <> 0),
+    full_d AS (SELECT q.q_id, c.vec_id,
+                      round(list_dot_product(c.v, q.qv) /
+                            (sqrt(list_dot_product(c.v, c.v)) *
+                             sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+               FROM c CROSS JOIN q),
+    full_r AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cosine DESC, vec_id) AS rk
+                 FROM full_d) WHERE rk <= {MATRYOSHKA_K}),
+    pre_d AS (SELECT q.q_id, c.vec_id,
+                     round(list_dot_product(c.v[1:{MATRYOSHKA_PREFIX}],
+                                            q.qv[1:{MATRYOSHKA_PREFIX}]) /
+                           (sqrt(list_dot_product(c.v[1:{MATRYOSHKA_PREFIX}],
+                                                  c.v[1:{MATRYOSHKA_PREFIX}])) *
+                            sqrt(list_dot_product(q.qv[1:{MATRYOSHKA_PREFIX}],
+                                                  q.qv[1:{MATRYOSHKA_PREFIX}]))), 6)
+                         AS cosine
+              FROM c CROSS JOIN q),
+    pre_r AS (SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cosine DESC, vec_id) AS rk
+                FROM pre_d) WHERE rk <= {MATRYOSHKA_K}),
+    hits AS (SELECT f.q_id, count(*) AS n_overlap
+             FROM full_r f JOIN pre_r p
+               ON p.q_id = f.q_id AND p.vec_id = f.vec_id
+             GROUP BY f.q_id)
+    SELECT q.q_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.n_overlap, 0) / {MATRYOSHKA_K}.0, 6)
+               AS overlap_at_k
+    FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+    """,
+)
+def similarity_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension evaluation: top-{k} retrieval
+    agreement between the full {d}-dim embedding and its first-{p}
+    dimensions — the measurement behind 'can we search the short prefix
+    and re-rank with the full vector?' (truncation cuts index memory
+    and bandwidth ~{d}/{p}× if agreement holds; MRL-trained embeddings
+    are built for exactly this, public technique).
+
+    Same broadcast m×n + per-query-window shape as
+    [[similarity_knn_join]], run at BOTH dimensionalities in one plan;
+    the prefix is a slice() projection, so the short-dim pass reads no
+    extra data.  Overlap joins the two top-k sets per query — k-sized
+    per query, broadcast-friendly.  Companion to
+    [[similarity_ann_recall_eval]] (bucket-pruning recall; this one
+    measures dimension-pruning fidelity).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    eb = emb.select("vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    q = eb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = eb.where(F.col("vec_id") % 50 != 0)
+    p = MATRYOSHKA_PREFIX
+
+    def cos(a, b):
+        d = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        n = lambda vv: F.sqrt(  # noqa: E731
+            F.aggregate(F.transform(vv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        return F.round(d / (n(a) * n(b)), 6)
+
+    def topk(scored):
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= MATRYOSHKA_K)
+            .select("q_id", "vec_id")
+        )
+
+    joined = c.crossJoin(F.broadcast(q))
+    full_r = topk(joined.select("q_id", "vec_id", cos(F.col("v"), F.col("qv")).alias("cosine")))
+    pre_r = topk(
+        joined.select(
+            "q_id",
+            "vec_id",
+            cos(
+                F.slice(F.col("v"), 1, p), F.slice(F.col("qv"), 1, p)
+            ).alias("cosine"),
+        )
+    )
+    hits = full_r.join(pre_r, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / float(MATRYOSHKA_K), 6
+            ).alias("overlap_at_k"),
+        )
+    )
+
+
+similarity_matryoshka_prefix_eval.__doc__ = (
+    similarity_matryoshka_prefix_eval.__doc__.format(
+        k=MATRYOSHKA_K, p=MATRYOSHKA_PREFIX, d=64
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sketch_bloom_fpr_eval — measured vs theoretical Bloom false-positive rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_bloom_fpr_eval",
+    oracle=f"""
+    WITH members AS (SELECT s_suppkey AS k FROM supplier
+                     WHERE s_acctbal > {BLOOM_DIM_MIN_BAL}),
+    bits AS (SELECT DISTINCT b FROM (
+      SELECT unnest([
+        {hash59_sql("'bf1' || CAST(k AS VARCHAR)")} % {BLOOM_BITS},
+        {hash59_sql("'bf2' || CAST(k AS VARCHAR)")} % {BLOOM_BITS},
+        {hash59_sql("'bf3' || CAST(k AS VARCHAR)")} % {BLOOM_BITS}]) AS b
+      FROM members)),
+    tests AS (SELECT DISTINCT l_suppkey AS k FROM lineitem
+              WHERE l_suppkey NOT IN (SELECT k FROM members)),
+    passed AS (SELECT k FROM tests
+               WHERE ({hash59_sql("'bf1' || CAST(k AS VARCHAR)")} % {BLOOM_BITS})
+                       IN (SELECT b FROM bits)
+                 AND ({hash59_sql("'bf2' || CAST(k AS VARCHAR)")} % {BLOOM_BITS})
+                       IN (SELECT b FROM bits)
+                 AND ({hash59_sql("'bf3' || CAST(k AS VARCHAR)")} % {BLOOM_BITS})
+                       IN (SELECT b FROM bits))
+    SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM tests) AS BIGINT) AS n_nonmembers,
+           CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_false_pos,
+           round((SELECT count(*) FROM passed)
+                 / CAST((SELECT count(*) FROM tests) AS DOUBLE), 6) AS fpr,
+           round(pow(1 - exp(-3.0 * (SELECT count(*) FROM members)
+                             / {BLOOM_BITS}), 3), 6) AS fpr_theory
+    """,
+)
+def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical false-positive rate of the Bloom filter
+    behind [[bloom_semi_join]]: every NON-member supplier key is tested
+    against the bit set; the measured pass rate must sit near the
+    classic (1 − e^(−kn/m))^k estimate — the calibration that tells an
+    operator whether m={m} bits still fits the dim before the verify
+    join starts eating the savings.  Same eval discipline as
+    dedup_lsh_band_sweep / similarity_ann_recall_eval: approximate
+    structures ship with their measured operating point.
+
+    The bit set and both membership probes are identical expressions to
+    the production join's; the test population is a distinct-key
+    aggregate, so the whole eval costs two tiny aggregates + one
+    broadcast membership check.
+    """
+    m = BLOOM_BITS
+    members = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > BLOOM_DIM_MIN_BAL)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+    pos_cols = [
+        (hash59(F.concat(F.lit(s), F.col("k").cast("string"))) % m)
+        for s in BLOOM_HASHES
+    ]
+    bloom = members.select(F.explode(F.array(*pos_cols)).alias("bit")).agg(
+        F.array_sort(F.collect_set("bit")).alias("bits")
+    )
+    tests = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .join(members, "k", "left_anti")
+    )
+    checks = [
+        F.array_contains(
+            F.col("bits"), hash59(F.concat(F.lit(s), F.col("k").cast("string"))) % m
+        )
+        for s in BLOOM_HASHES
+    ]
+    passed = tests.crossJoin(F.broadcast(bloom)).where(
+        checks[0] & checks[1] & checks[2]
+    )
+    stats = (
+        members.agg(F.count("*").alias("n_members"))
+        .crossJoin(tests.agg(F.count("*").alias("n_nonmembers")))
+        .crossJoin(passed.agg(F.count("*").alias("n_false_pos")))
+    )
+    k = float(len(BLOOM_HASHES))
+    return stats.select(
+        F.col("n_members").cast("bigint"),
+        F.col("n_nonmembers").cast("bigint"),
+        F.col("n_false_pos").cast("bigint"),
+        F.round(
+            F.col("n_false_pos") / F.col("n_nonmembers").cast("double"), 6
+        ).alias("fpr"),
+        F.round(
+            F.pow(1 - F.exp(-k * F.col("n_members") / F.lit(float(m))), k), 6
+        ).alias("fpr_theory"),
+    )

@@ -3721,3 +3721,220 @@ def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(1 - F.exp(-k * F.col("n_members") / F.lit(float(m))), k), 6
         ).alias("fpr_theory"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile — one-pass table profiling report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+    WITH o AS (SELECT * FROM orders)
+    SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_v,
+           CAST(max(o_custkey) AS VARCHAR) AS max_v
+    FROM o
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM o
+    UNION ALL
+    SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM o
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the orders table: per column, row /
+    non-null / distinct counts and min/max surfaced as canonical strings
+    — the dbt-docs / Deequ-style profile every onboarding and
+    contract-check pipeline runs before trusting a feed.  Complements
+    [[dq_constraint_report]] (asserts) and [[dq_skew_profile]] (join
+    keys): this one DESCRIBES.
+
+    All four column profiles fold into ONE scan-side pass per column
+    family (Catalyst merges the unioned aggregates over the shared
+    scan); distinct counts are per-column partial aggregations.  Values
+    canonicalize through the fixed-point ladder (cents, never float
+    strings) so min/max text is engine-portable.  At 100 TB the exact
+    distincts swap for HLL sketches per the mergeable-rollup contract.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col_name: str, expr, src):
+        return src.agg(
+            F.lit(col_name).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(expr).alias("n_nonnull"),
+            F.countDistinct(expr).cast("bigint").alias("n_distinct"),
+            F.min(expr).cast("string").alias("min_v"),
+            F.max(expr).cast("string").alias("max_v"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    out = prof("o_custkey", F.col("o_custkey"), o)
+    for name, e in [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice_cents", cents),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]:
+        out = out.unionByName(prof(name, e, o))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events_peak_concurrency — max simultaneous sessions via interval sweep
+# ---------------------------------------------------------------------------
+
+PEAK_SESSION_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    g AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                           > {PEAK_SESSION_GAP_US}
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    iv AS (SELECT user_id, sid,
+                  CAST(min(us) AS BIGINT) AS s_start,
+                  CAST(max(us) AS BIGINT) AS s_end
+           FROM s GROUP BY user_id, sid),
+    deltas AS (SELECT s_start AS us, 1 AS d FROM iv
+               UNION ALL SELECT s_end + 1, -1 FROM iv),
+    sweep AS (SELECT us, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY us),
+    run AS (SELECT us,
+                   CAST(sum(delta) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS concurrent
+            FROM sweep)
+    SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN concurrent = (SELECT max(concurrent) FROM run)
+                         THEN us END) AS BIGINT) AS peak_at_us
+    FROM run
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the capacity-planning number: sessions
+    are 30-min-gap islands per user ([[window_session_agg]] semantics),
+    swept as +1/−1 interval deltas with a running sum; the max of the
+    running level is the peak, reported with its first occurrence time.
+
+    Three shuffle stages, all combinable or grid-bounded: the per-user
+    session window (one user-keyed shuffle), the delta aggregation
+    (keyed by timestamp, ≤ 2 rows per session), and the running-sum
+    window over DISTINCT delta timestamps — bounded by session-boundary
+    cardinality, not event volume.  The quadratic alternative (count
+    overlapping sessions per session) is exactly the theta join the
+    sweep pattern exists to kill (interval_coverage_profile,
+    orders_backlog_snapshot).
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_us_expr(ev).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > PEAK_SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("us").cast("bigint").alias("s_start"),
+        F.max("us").cast("bigint").alias("s_end"),
+    )
+    deltas = iv.select(F.col("s_start").alias("us"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("s_end") + 1).alias("us"), F.lit(-1).alias("d"))
+    )
+    sweep = deltas.groupBy("us").agg(F.sum("d").cast("bigint").alias("delta"))
+    rw = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    run = sweep.withColumn("concurrent", F.sum("delta").over(rw).cast("bigint"))
+    mx = run.agg(F.max("concurrent").alias("m"))
+    peak = (
+        run.crossJoin(F.broadcast(mx))
+        .where(F.col("concurrent") == F.col("m"))
+        .agg(
+            F.max("m").cast("bigint").alias("peak_concurrency"),
+            F.min("us").cast("bigint").alias("peak_at_us"),
+        )
+    )
+    return (
+        iv.agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .crossJoin(F.broadcast(peak))
+        .select("n_sessions", "peak_concurrency", "peak_at_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_api_lateral_subquery — correlated LATERAL through the SQL front end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_api_lateral_subquery",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.cents, CAST(t.rk AS BIGINT) AS rk
+    FROM customer c, LATERAL (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def sql_api_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front end: top-2
+    orders per (sampled) customer written as the ANSI lateral join —
+    the forEach-row-run-a-subquery surface ORMs and migration tools
+    emit.  Catalyst DECORRELATES it into the same per-group window plan
+    window_topk_per_group builds by hand (DecorrelateInnerQuery) — the
+    contract pins that the sugar and the hand-built plan agree, on both
+    engines' lateral evaluators.
+    """
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.cents, CAST(t.rk AS BIGINT) AS rk
+        FROM customer c, LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rk
+          FROM orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey % 10 = 0
+        """
+    )

@@ -3938,3 +3938,125 @@ def sql_api_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# vector_pca_power_iteration — top principal direction via power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+PCA_V0_Q = 125_000_000  # 1/8 in 1e-9 fixed point: unit L2 norm for 64 dims
+PCA_SCALE = 1_000_000_000
+
+
+def _pca_oracle() -> str:
+    from .registry import ORACLES
+
+    gram = ORACLES["vector_gram_int8"]
+    ctes = [
+        f"gut AS ({gram})",
+        """g AS (SELECT i, j, g FROM gut
+             UNION ALL SELECT j AS i, i AS j, g FROM gut WHERE i < j)""",
+        f"""v0 AS (SELECT i AS j, CAST({PCA_V0_Q} AS BIGINT) AS vq
+              FROM (SELECT DISTINCT i FROM g))""",
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        ctes.append(f"""
+    w{r} AS (SELECT g.i,
+                    CAST(CAST(sum(CAST(g.g AS DECIMAL(38,0)) * v.vq)
+                              AS DECIMAL(38,0)) AS DOUBLE)
+                    / {PCA_SCALE}.0 AS wd
+             FROM g JOIN v{r - 1} v ON v.j = g.j GROUP BY g.i),
+    n{r} AS (SELECT sqrt(list_reduce(list(wd * wd ORDER BY i),
+                                     (a, b) -> a + b)) AS nrm FROM w{r}),
+    v{r} AS (SELECT w.i AS j,
+                    CAST(round(w.wd / n.nrm * {PCA_SCALE}) AS BIGINT) AS vq
+             FROM w{r} w, n{r} n)""")
+    last = PCA_ITERS
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT v.j AS dim,
+           round(v.vq / {PCA_SCALE}.0, 6) AS loading,
+           round(n.nrm, 6) AS eigenvalue
+    FROM v{last} v, n{last} n"""
+    )
+
+
+@query("vector_pca_power_iteration", oracle=_pca_oracle())
+def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    ({r} rounds) on the exact-integer Gram matrix — distributed PCA the
+    scale-correct way: the corpus-sized work is the one-pass k×k Gram
+    ([[vector_gram_int8]], combinable integer sums); the iteration then
+    runs on the k×k aggregate, so its cost is independent of corpus
+    size.  This is the split (sufficient statistics distributed,
+    solver on the aggregate) that classical distributed ML uses for
+    PCA/linear regression/whitening.
+
+    Determinism ladder for the iteration: matrix-vector products are
+    exact — DECIMAL(38,0) sums of (integer gram entry × fixed-point
+    vector component), since g·vq terms overflow BIGINT — and the only
+    float reductions are the 64-term norm folds, executed in PINNED
+    dimension order (sorted-array fold on both engines).  The vector
+    re-quantizes to 1e-9 fixed point between rounds, so each round
+    starts from identical integers.  Output: the unit loading vector
+    and the Rayleigh eigenvalue estimate ‖Gv‖.
+    """
+    from pyspark import StorageLevel
+
+    from .registry import QUERIES
+
+    gut = QUERIES["vector_gram_int8"](spark, sf_dir)
+    g = gut.unionByName(
+        gut.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    v = g.select(F.col("i").alias("j")).distinct().select(
+        "j", F.lit(PCA_V0_Q).cast("bigint").alias("vq")
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        w = (
+            g.join(v, "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(F.col("g").cast("decimal(38,0)") * F.col("vq"))
+                    .cast("decimal(38,0)")
+                    .cast("double")
+                    / float(PCA_SCALE)
+                ).alias("wd")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "wd"))),
+                        lambda s: s.getField("wd") * s.getField("wd"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("wd") / F.col("nrm") * PCA_SCALE)
+            .cast("bigint")
+            .alias("vq"),
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("j").alias("dim"),
+        F.round(F.col("vq") / float(PCA_SCALE), 6).alias("loading"),
+        F.round(F.col("nrm"), 6).alias("eigenvalue"),
+    )
+
+
+vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
+    r=PCA_ITERS
+)

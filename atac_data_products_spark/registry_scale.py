@@ -4060,3 +4060,83 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
     r=PCA_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_forecast_backtest — rolling-origin baseline-forecast evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_forecast_backtest",
+    oracle="""
+    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM d GROUP BY day),
+    l AS (SELECT day, y,
+                 lag(y, 1) OVER (ORDER BY day) AS naive,
+                 lag(y, 7) OVER (ORDER BY day) AS snaive
+          FROM g),
+    e AS (SELECT day, y, naive, snaive FROM l
+          WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(abs(y - naive)) AS BIGINT) / count(*) / 100.0, 6)
+               AS mae_naive,
+           round(CAST(sum(abs(y - snaive)) AS BIGINT) / count(*) / 100.0, 6)
+               AS mae_seasonal_naive,
+           round(CAST(sum(abs(y - snaive)) AS DOUBLE)
+                 / sum(abs(y - naive)), 6) AS skill_vs_naive
+    FROM e
+    """,
+)
+def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two baseline forecasters every
+    model must beat: naive (yesterday's value) and seasonal-naive (same
+    weekday last week), evaluated as MAE over every day with full
+    history, plus the skill ratio (< 1 means weekly seasonality carries
+    real signal — the go/no-go before fitting anything fancier, and the
+    denominator M4/forecasting practice normalizes against).
+
+    The backtest is two lag frames over the calendar-bounded daily
+    grid and ONE aggregation of exact-integer absolute errors — no
+    per-origin refitting loop, because baselines have no parameters;
+    model forecasters slot their per-day predictions into the same
+    error aggregation ([[timeseries_holt_forecast]] produces them).
+    Floats appear only in the three final divisions.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("y"))
+    w = Window.orderBy("day")
+    l = g.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 7).over(w).alias("snaive"),
+    ).where(F.col("naive").isNotNull() & F.col("snaive").isNotNull())
+    return l.agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("naive"))).cast("bigint")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("mae_naive"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("snaive"))).cast("bigint")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("mae_seasonal_naive"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("snaive"))).cast("double")
+            / F.sum(F.abs(F.col("y") - F.col("naive"))),
+            6,
+        ).alias("skill_vs_naive"),
+    )

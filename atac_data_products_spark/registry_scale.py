@@ -4140,3 +4140,138 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skill_vs_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_experiment_srm_check — sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+SRM_CHI2_95 = 3.841459  # chi-square 1-df critical value at α=0.05
+
+
+@query(
+    "events_experiment_srm_check",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (SELECT user_id,
+                    ({hash59_sql("'exp1' || CAST(user_id AS VARCHAR)")}) % 2 AS arm
+             FROM u),
+    c AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM arms)
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+               AS chi2,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+               > {SRM_CHI2_95} AS srm_detected
+    FROM c
+    """,
+)
+def events_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 experiment: users are
+    assigned to arms by the key-stable hash split every A/B system uses
+    ([[corpus_split_assign]]'s md5-slot discipline), and the observed
+    arm counts are chi-square-tested against the declared ratio — the
+    FIRST check run on any experiment, because a mismatched ratio means
+    the assignment or logging is broken and every downstream metric
+    ([[stat_welch_ttest]]) is invalid.
+
+    For 50/50 the 1-df statistic reduces to (n_a − n_b)²/(n_a + n_b) —
+    pure integers until one division.  One distinct-user aggregate; the
+    hash assignment is a projection.
+    """
+    u = _t(spark, sf_dir, "events").select("user_id").distinct()
+    arm = (hash59(F.concat(F.lit("exp1"), F.col("user_id").cast("string"))) % 2).alias(
+        "arm"
+    )
+    c = u.select(arm).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    chi2 = F.round(
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast("double")
+        / (F.col("n_a") + F.col("n_b")),
+        6,
+    )
+    return c.select(
+        "n_a", "n_b", chi2.alias("chi2"), (chi2 > SRM_CHI2_95).alias("srm_detected")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_parquet_rowgroup_stats — storage-layout introspection as a query
+# ---------------------------------------------------------------------------
+
+# committed multi-row-group fixture: the contract is FOOTER-PARSER
+# AGREEMENT on a pinned artifact (3 row groups x 3 columns), so the
+# oracle can carry a literal path (oracle SQL cannot see sf_dir)
+_RG_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "..", "tests", "fixtures", "rowgroups.parquet",
+)
+_RG_FIXTURE = __import__("os").path.normpath(_RG_FIXTURE)
+
+
+@query(
+    "scan_parquet_rowgroup_stats",
+    oracle=f"""
+    SELECT CAST(row_group_id AS BIGINT) AS rg_id,
+           path_in_schema AS col,
+           CAST(num_values AS BIGINT) AS n_values,
+           stats_min_value AS min_v,
+           stats_max_value AS max_v
+    FROM parquet_metadata('{_RG_FIXTURE}')
+    """,
+)
+def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group statistics surfaced as a TABLE — the
+    introspection behind every skipping decision this engine relies on
+    (predicate pushdown prunes row groups by exactly these footer
+    min/max values; the z-order evidence in tests/test_analytics.py
+    reads them the same way).  Per (row group x column): value count
+    and min/max, from a COMMITTED multi-row-group fixture — the
+    contract pins that two independent footer parsers (pyarrow on the
+    Spark side, DuckDB's parquet_metadata as the oracle) agree on the
+    same bytes; it is deliberately sf-independent, like the other
+    fixture-anchored scan contracts.
+
+    Spark side: mapInPandas over the FILE LISTING (one row per file,
+    never file contents) opens each footer with pyarrow — metadata-only
+    I/O, a few KB per file regardless of data size, embarrassingly
+    parallel over a 100 TB lake's file census.  Values surface as
+    canonical strings (footers store typed stats; strings are
+    engine-portable).
+    """
+    import pandas as pd
+
+    files = spark.createDataFrame([(_RG_FIXTURE,)], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        st = c.statistics
+                        out.append(
+                            (
+                                rg,
+                                c.path_in_schema,
+                                c.num_values,
+                                str(st.min),
+                                str(st.max),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["rg_id", "col", "n_values", "min_v", "max_v"]
+            )
+
+    return files.mapInPandas(
+        read_footers,
+        "rg_id bigint, col string, n_values bigint, min_v string, max_v string",
+    )

@@ -3068,7 +3068,7 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stat_welch_ttest",
+    "stat_welch_ttest_ab",
     oracle="""
     WITH s AS (SELECT event_type,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -3096,11 +3096,13 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a, b
     """,
 )
-def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stat_welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Welch t-test (unequal variances) between click and view
     event values — the A/B-test primitive completing the inferential
     battery ([[stat_ks_two_sample]] distribution-free,
-    [[stat_chi_square_independence]] categorical, this one means).
+    [[stat_chi_square_independence]] categorical, this one means);
+    the _ab suffix distinguishes the two-ARM form from the one-vs-rest
+    source drift screen [[stat_welch_ttest]].
 
     All moments are exact integers (cents sums in BIGINT, squared sums
     on the DECIMAL(38,0) lane — cents² exceeds BIGINT at corpus scale);

@@ -38,6 +38,14 @@ ORACLES: dict[str, str] = {}
 
 def query(key: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            # fail LOUD at import: a duplicate key would silently shadow
+            # the earlier contract (latest import wins) and the driver
+            # would grade the wrong query under the old name
+            raise ValueError(
+                f"duplicate registry key {key!r}: already registered as "
+                f"{QUERIES[key].__module__}.{QUERIES[key].__qualname__}"
+            )
         QUERIES[key] = fn
         if oracle is not None:
             ORACLES[key] = oracle

@@ -4277,3 +4277,207 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_footers,
         "rg_id bigint, col string, n_values bigint, min_v string, max_v string",
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_concentration_hhi — Herfindahl-Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH r AS (SELECT l_suppkey,
+                      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS rev
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+                 CAST(sum(rev) AS BIGINT) AS tot,
+                 CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS DECIMAL(38,0))
+                     AS sq
+          FROM r)
+    SELECT n_suppliers,
+           CAST(round(CAST(sq AS DOUBLE)
+                      / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
+               AS hhi_points,
+           round(1.0 / n_suppliers * 10000, 6) AS hhi_floor_points,
+           CAST(round(CAST(sq AS DOUBLE)
+                      / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
+               > 2500 AS concentrated
+    FROM t
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue — the
+    supply-risk / antitrust number: HHI = Σ share² in basis points
+    (10000 = monopoly; > 2500 = 'highly concentrated' per the published
+    DOJ/FTC banding), with the 1/n floor for context.
+
+    Two combinable aggregations: per-supplier exact cents, then Σrev and
+    Σrev² — the squares ride DECIMAL(38,0) (cents² overflows BIGINT),
+    and the single float division happens on the one-row aggregate.
+    The share vector itself never materializes: Σ(rev_i/tot)² =
+    Σrev²/tot², so no per-row division and no fold-order float sums.
+    Same family as [[stat_lorenz_gini]] (inequality) and
+    [[abc_pareto_classification]] (banding); HHI is the square-weighted
+    summary regulators actually quote.
+    """
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    t = r.agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("tot"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("sq"),
+    )
+    hhi = F.round(
+        F.col("sq").cast("double") / (F.col("tot").cast("double") * F.col("tot")) * 10000
+    ).cast("bigint")
+    return t.select(
+        F.col("n_suppliers").cast("bigint"),
+        hhi.alias("hhi_points"),
+        F.round(1.0 / F.col("n_suppliers") * 10000, 6).alias("hhi_floor_points"),
+        (hhi > 2500).alias("concentrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_powerlaw_mle — power-law exponent fit for user activity
+# ---------------------------------------------------------------------------
+
+PL_XMIN = 5  # fit the tail: users with ≥ xmin events
+
+
+@query(
+    "stat_powerlaw_mle",
+    oracle=f"""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+               FROM events GROUP BY user_id),
+    tail AS (SELECT k,
+                    CAST(round(ln(CAST(k AS DOUBLE) / {PL_XMIN}) * 1000000000)
+                         AS BIGINT) AS lnr_ns
+             FROM u WHERE k >= {PL_XMIN}),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                 CAST(sum(lnr_ns) AS BIGINT) AS sum_ln_ns
+          FROM tail)
+    SELECT n_tail,
+           round(1.0 + n_tail / (sum_ln_ns / 1000000000.0), 6) AS alpha_mle,
+           round((round(1.0 + n_tail / (sum_ln_ns / 1000000000.0), 6) - 1)
+                 / sqrt(n_tail), 6) AS alpha_stderr
+    FROM s
+    """,
+)
+def stat_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of per-user activity by the Hill/Clauset MLE
+    (public estimator): α = 1 + n / Σ ln(k_i / x_min) over the tail
+    (k ≥ {x}), with the asymptotic standard error (α−1)/√n — the
+    heavy-tail check behind capacity planning and skew expectations
+    (a fitted α < 2 means the top user dominates totals and every
+    per-user shuffle needs the salting ladder).
+
+    Pattern: one combinable per-user count, then the log-ratio terms
+    quantized to 1e-9 fixed-point BIGINTs BEFORE the distributive sum —
+    the corpus_unigram_logprob discipline, so the MLE input is exact
+    under any fold order.  Complements [[stat_zipf_regression]] (rank
+    regression over the top-k page); the MLE uses every tail point
+    without materializing ranks.
+    """
+    u = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("k")
+    )
+    tail = u.where(F.col("k") >= PL_XMIN).select(
+        F.round(
+            F.log(F.col("k").cast("double") / PL_XMIN) * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("lnr_ns")
+    )
+    s = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.sum("lnr_ns").cast("bigint").alias("sum_ln_ns"),
+    )
+    alpha = F.round(
+        1.0 + F.col("n_tail") / (F.col("sum_ln_ns") / 1_000_000_000.0), 6
+    )
+    return s.select(
+        F.col("n_tail").cast("bigint"),
+        alpha.alias("alpha_mle"),
+        F.round((alpha - 1) / F.sqrt(F.col("n_tail")), 6).alias("alpha_stderr"),
+    )
+
+
+stat_powerlaw_mle.__doc__ = stat_powerlaw_mle.__doc__.format(x=PL_XMIN)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_temperature — temperature-scaled multilingual sampling
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA_NUM, TEMP_ALPHA_DEN = 1, 2  # α = 0.5: p_i^α re-weighting
+
+
+@query(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+               GROUP BY lang),
+    t AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+    z AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS wsum
+          FROM t)
+    SELECT t.lang, t.n,
+           round(t.n / CAST(z.tot AS DOUBLE), 6) AS p_natural,
+           round(t.w / z.wsum, 6) AS p_temperature,
+           CAST(round(t.w / z.wsum * z.tot) AS BIGINT) AS target_docs
+    FROM t, z
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (α = {num}/{den}, i.e.
+    p_i^α / Σ p_j^α — the multilingual re-balancing mBERT/XLM-R
+    popularized, public technique): natural share, tempered share, and
+    the per-language document TARGET a sampler should draw — tempering
+    up-weights tail languages without the uniform target's overshoot
+    ([[corpus_importance_resampling]] is the acceptance-sampling
+    executor this table parameterizes).
+
+    One combinable count per language; α = 1/2 makes the re-weighting
+    an exact sqrt per GROUP (|langs| rows), and the only unpinned-order
+    reduction — the Σ√n normalizer — is folded in PINNED lang order on
+    both engines (list fold), not a distributive float sum.
+    """
+    c = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+    t = c.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("w"))
+    z = t.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "w"))),
+                lambda s: s.getField("w"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("wsum"),
+    )
+    return t.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n",
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("p_natural"),
+        F.round(F.col("w") / F.col("wsum"), 6).alias("p_temperature"),
+        F.round(F.col("w") / F.col("wsum") * F.col("tot"))
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+
+
+corpus_mixture_temperature.__doc__ = corpus_mixture_temperature.__doc__.format(
+    num=TEMP_ALPHA_NUM, den=TEMP_ALPHA_DEN
+)

@@ -4481,3 +4481,271 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_mixture_temperature.__doc__ = corpus_mixture_temperature.__doc__.format(
     num=TEMP_ALPHA_NUM, den=TEMP_ALPHA_DEN
 )
+
+
+# ---------------------------------------------------------------------------
+# stat_two_proportion_ztest — conversion-rate experiment readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_two_proportion_ztest",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      ({hash59_sql("'exp1' || CAST(user_id AS VARCHAR)")}) % 2
+                          AS arm,
+                      CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) >= 14
+                           THEN 1 ELSE 0 END AS converted
+               FROM events GROUP BY user_id),
+    c AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+                     AS x_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+                     AS x_b
+          FROM u)
+    SELECT n_a, x_a, n_b, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM c
+    """,
+)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion between the same
+    hash-split arms as [[events_experiment_srm_check]] — the RATE
+    readout (did arm A convert more users?), complementing the MEAN
+    readout ([[stat_welch_ttest_ab]]): conversion experiments are
+    binomial, and the pooled-variance z statistic is their standard
+    test.
+
+    One per-user aggregation (conversion = the user's purchase count
+    reaching a declared threshold — combinable; a has-any-purchase
+    definition saturates at 100% on this corpus and degenerates the
+    pooled variance to zero), one 4-counter rollup; the z formula runs once on the
+    single-row frame from exact integers.  A user's arm is a pure
+    projection of their id, so the whole readout is rerun-stable.
+    """
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            (
+                hash59(F.concat(F.lit("exp1"), F.col("user_id").cast("string"))) % 2
+            ).alias("arm"),
+            "converted",
+        )
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    ra = F.col("x_a").cast("double") / F.col("n_a")
+    rb = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_vwap_daily — volume-weighted average price per part family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_vwap_daily",
+    oracle="""
+    WITH l AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+                      l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_cents,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+               FROM lineitem)
+    SELECT day, l_returnflag,
+           CAST(sum(qty_c) AS BIGINT) AS qty_centi,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+           CAST((sum(rev_cents) * 1000000 + sum(qty_c) // 2) // sum(qty_c)
+                AS BIGINT) AS vwap_micro
+    FROM l GROUP BY day, l_returnflag
+    """,
+)
+def orders_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price per return-flag segment —
+    VWAP, the execution-quality benchmark: Σ(price·qty)/Σqty, where a
+    plain average-of-prices would weight a 1-unit line equal to a
+    50-unit line.
+
+    ONE combinable aggregation: revenue and quantity accumulate as
+    exact integer cents/centi-units (already price×qty per line in
+    l_extendedprice) and the final per-row division is pure BIGINT with
+    explicit half-up rounding to micro-units — the textbook
+    ratio-of-sums vs sum-of-ratios distinction, taken all the way down
+    the integer ladder (a float quotient can land on a half-ulp .5
+    boundary where engines' round() legitimately disagree).
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_cents"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    return l.groupBy("day", "l_returnflag").agg(
+        F.sum("qty_c").cast("bigint").alias("qty_centi"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        # pure-BIGINT rounded division: (a*1e6 + b/2) DIV b — a float
+        # quotient landed on a half-ulp .5 boundary at sf0.001 and the
+        # engines' round() disagreed by 1e-6; integer arithmetic cannot
+        F.expr(
+            "CAST((sum(rev_cents) * 1000000 + sum(qty_c) DIV 2)"
+            " DIV sum(qty_c) AS BIGINT)"
+        ).alias("vwap_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_revenue_bridge — period-over-period price/volume decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_revenue_bridge",
+    oracle="""
+    WITH l AS (SELECT l_partkey,
+                      epoch_us(l_shipdate) // 86400000000 // 30 AS period,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS rev,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qty
+               FROM lineitem),
+    b AS (SELECT period, min(period) OVER () AS p1, max(period) OVER () AS p2
+          FROM l),
+    g AS (SELECT l_partkey, period,
+                 CAST(sum(rev) AS BIGINT) AS rev, CAST(sum(qty) AS BIGINT) AS qty
+          FROM l WHERE period IN (SELECT min(period) FROM l)
+                    OR period IN (SELECT max(period) FROM l)
+          GROUP BY l_partkey, period),
+    p1 AS (SELECT l_partkey, rev AS rev1, qty AS qty1 FROM g
+           WHERE period = (SELECT min(period) FROM l)),
+    p2 AS (SELECT l_partkey, rev AS rev2, qty AS qty2 FROM g
+           WHERE period = (SELECT max(period) FROM l)),
+    j AS (SELECT coalesce(p1.l_partkey, p2.l_partkey) AS l_partkey,
+                 p1.rev1, p1.qty1, p2.rev2, p2.qty2
+          FROM p1 FULL OUTER JOIN p2 ON p1.l_partkey = p2.l_partkey),
+    eff AS (SELECT
+      CAST(sum(CASE WHEN rev1 IS NOT NULL AND rev2 IS NOT NULL
+                    THEN CAST(round(CAST(rev1 AS DOUBLE) * (qty2 - qty1) / qty1)
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS volume_effect,
+      CAST(sum(CASE WHEN rev1 IS NOT NULL AND rev2 IS NOT NULL
+                    THEN rev2 - rev1
+                         - CAST(round(CAST(rev1 AS DOUBLE) * (qty2 - qty1) / qty1)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS price_mix_effect,
+      CAST(sum(CASE WHEN rev1 IS NULL THEN rev2 ELSE 0 END) AS BIGINT)
+          AS new_parts_effect,
+      CAST(sum(CASE WHEN rev2 IS NULL THEN -rev1 ELSE 0 END) AS BIGINT)
+          AS discontinued_effect,
+      CAST(sum(coalesce(rev1, 0)) AS BIGINT) AS rev_p1,
+      CAST(sum(coalesce(rev2, 0)) AS BIGINT) AS rev_p2
+      FROM j)
+    SELECT rev_p1, rev_p2,
+           CAST(rev_p2 - rev_p1 AS BIGINT) AS delta,
+           volume_effect, price_mix_effect, new_parts_effect,
+           discontinued_effect
+    FROM eff
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (waterfall) between the first and last 30-day
+    period: the period-over-period delta decomposed into VOLUME effect
+    (quantity change at old realized price), PRICE/MIX effect (the
+    remainder on continuing parts), NEW-part and DISCONTINUED-part
+    effects — the finance explanation of 'why did revenue move', and
+    by construction the four effects sum EXACTLY to the delta (price/
+    mix is defined as the residual on continuing parts, so rounding
+    cannot leak).
+
+    Per-part period aggregates (one combinable shuffle), a full-outer
+    self-alignment on part, and one rollup.  Cents stay integers; the
+    only float is the volume-effect ratio rev1·Δqty/qty1, rounded to
+    cents per part BEFORE the distributive sum.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 DIV 30"
+        ).alias("period"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+    )
+    bounds = l.agg(F.min("period").alias("p1"), F.max("period").alias("p2"))
+    lb = l.crossJoin(F.broadcast(bounds))
+    g = (
+        lb.where((F.col("period") == F.col("p1")) | (F.col("period") == F.col("p2")))
+        .groupBy("l_partkey", "period", "p1", "p2")
+        .agg(F.sum("rev").cast("bigint").alias("rev"), F.sum("qty").cast("bigint").alias("qty"))
+    )
+    a = g.where(F.col("period") == F.col("p1")).select(
+        "l_partkey", F.col("rev").alias("rev1"), F.col("qty").alias("qty1")
+    )
+    b = g.where(F.col("period") == F.col("p2")).select(
+        F.col("l_partkey").alias("pk2"), F.col("rev").alias("rev2"), F.col("qty").alias("qty2")
+    )
+    j = a.join(b, a.l_partkey == b.pk2, "full_outer")
+    both = F.col("rev1").isNotNull() & F.col("rev2").isNotNull()
+    vol = F.round(
+        F.col("rev1").cast("double") * (F.col("qty2") - F.col("qty1")) / F.col("qty1")
+    ).cast("bigint")
+    eff = j.agg(
+        F.sum(F.when(both, vol).otherwise(0)).cast("bigint").alias("volume_effect"),
+        F.sum(F.when(both, F.col("rev2") - F.col("rev1") - vol).otherwise(0))
+        .cast("bigint")
+        .alias("price_mix_effect"),
+        F.sum(F.when(F.col("rev1").isNull(), F.col("rev2")).otherwise(0))
+        .cast("bigint")
+        .alias("new_parts_effect"),
+        F.sum(F.when(F.col("rev2").isNull(), -F.col("rev1")).otherwise(0))
+        .cast("bigint")
+        .alias("discontinued_effect"),
+        F.sum(F.coalesce("rev1", F.lit(0))).cast("bigint").alias("rev_p1"),
+        F.sum(F.coalesce("rev2", F.lit(0))).cast("bigint").alias("rev_p2"),
+    )
+    return eff.select(
+        "rev_p1",
+        "rev_p2",
+        (F.col("rev_p2") - F.col("rev_p1")).cast("bigint").alias("delta"),
+        "volume_effect",
+        "price_mix_effect",
+        "new_parts_effect",
+        "discontinued_effect",
+    )

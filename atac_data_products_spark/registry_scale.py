@@ -4749,3 +4749,174 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_parts_effect",
         "discontinued_effect",
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_packing_efficiency — fill-rate audit of the sequence packer
+# ---------------------------------------------------------------------------
+
+
+def _packing_eff_oracle() -> str:
+    from .registry import ORACLES
+
+    packing = ORACLES["corpus_seq_packing"]
+    from .registry_corpus import _PACK_CAP
+
+    return f"""
+    WITH bins AS ({packing})
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(CAST(sum(total_tokens) AS DOUBLE)
+                 / (count(*) * {_PACK_CAP}), 6) AS fill_rate,
+           CAST(sum(CASE WHEN total_tokens < {_PACK_CAP} / 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_underfilled
+    FROM bins
+    """
+
+
+@query("corpus_packing_efficiency", oracle=_packing_eff_oracle())
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate audit of the sequence packer ([[corpus_seq_packing]]):
+    bins, packed tokens, overall fill rate against the bin capacity, and
+    the count of under-half-full bins — the padding-waste number that
+    decides whether the packing strategy (or the shard grain) needs
+    changing: every unfilled token position is paid GPU time at
+    training.  One extra one-row rollup on top of the registered
+    packing plan, composed from the same spec (identifier-shadowing CTE
+    reuse, the corpus_pipeline_e2e discipline).
+    """
+    from .registry import QUERIES
+    from .registry_corpus import _PACK_CAP
+
+    bins = QUERIES["corpus_seq_packing"](spark, sf_dir)
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("total_tokens").cast("double") / (F.count("*") * _PACK_CAP), 6
+        ).alias("fill_rate"),
+        F.sum(F.when(F.col("total_tokens") < _PACK_CAP / 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_underfilled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_rate — vocabulary richness per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_hapax_rate",
+    oracle="""
+    WITH toks AS (SELECT source,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                             AS tok
+                  FROM documents),
+    tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+           FROM toks WHERE tok <> '' GROUP BY source, tok)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS type_token_ratio,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_share
+    FROM tc GROUP BY source
+    """,
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: type/token ratio and the share of
+    hapax legomena (once-occurring types) — the corpus-health signals
+    that flag both template spam (TTR collapses: few types repeated) and
+    OCR/gibberish noise (hapax share explodes: every error is a new
+    type).  Rounds out the vocabulary battery
+    ([[corpus_vocab_coverage]] head mass, [[corpus_token_entropy]]
+    per-doc, this one per-source tail shape).
+
+    Two combinable aggregations on (source, token) then (source) — the
+    hapax count is a conditional sum over per-type counts, so nothing
+    materializes per token occurrence past the first rollup.
+    """
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(F.count("*").cast("double") / F.sum("n"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_apdex_score — Apdex satisfaction index per event type
+# ---------------------------------------------------------------------------
+
+APDEX_T_CENTS = 2_500  # "satisfied" threshold on value (proxy latency)
+
+
+@query(
+    "events_apdex_score",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN cents <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_satisfied,
+           CAST(sum(CASE WHEN cents > {APDEX_T_CENTS}
+                          AND cents <= {4 * APDEX_T_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tolerating,
+           round((sum(CASE WHEN cents <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN cents > {APDEX_T_CENTS}
+                              AND cents <= {4 * APDEX_T_CENTS}
+                             THEN 1 ELSE 0 END) / 2.0)
+                 / count(*), 6) AS apdex
+    FROM e GROUP BY event_type
+    """,
+)
+def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index, public industry standard):
+    (satisfied + tolerating/2) / total per event type, with the
+    tolerating band at the conventional [T, 4T] — the single-number
+    UX summary that a bare mean latency misrepresents (one 60 s outlier
+    moves a mean; it moves Apdex by 1/n).
+
+    One conditional aggregation; thresholds compare integer cents, the
+    half-weight division happens once per output row.  Companion to
+    the percentile SLO views ([[agg_percentiles]],
+    [[events_slo_burn_rate]]) — Apdex is what lands on the exec
+    dashboard, burn rate is what pages.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    t = APDEX_T_CENTS
+    sat = F.sum(F.when(F.col("cents") <= t, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("cents") > t) & (F.col("cents") <= 4 * t), 1).otherwise(0)
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        F.round((sat + tol / 2.0) / F.count("*"), 6).alias("apdex"),
+    )

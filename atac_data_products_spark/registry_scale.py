@@ -4920,3 +4920,302 @@ def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol.cast("bigint").alias("n_tolerating"),
         F.round((sat + tol / 2.0) / F.count("*"), 6).alias("apdex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree assortativity of the bulk co-order graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_BFS_EDGES_CTE},
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (SELECT da.d AS x, db.d AS y
+           FROM edges e
+           JOIN deg da ON da.node = e.src
+           JOIN deg db ON db.node = e.dst),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM ed)
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r, public measure) of the bulk
+    co-order part graph: the Pearson correlation of endpoint degrees
+    over all directed edges — positive means hubs prefer hubs (social-
+    style), negative means hub-and-spoke (infrastructure-style).  The
+    number decides which graph-algorithm hazards apply: disassortative
+    graphs concentrate wedge volume on hubs (why graph_common_neighbors
+    caps them), assortative ones deepen communities (why
+    [[graph_label_propagation]] needs more rounds).
+
+    One degree aggregation, two edge⋈degree joins (co-partitioned on
+    node), and a single five-moment rollup — all BIGINT until the one
+    closing Pearson formula.  Both edge directions are present, so x/y
+    marginals are symmetric, matching the undirected definition.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > BFS_BULK_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    dx = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    dy = F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / (dx * dy), 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_spearman_rank_corr — rank correlation with tie midranks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_spearman_rank_corr",
+    oracle="""
+    WITH l AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                      CAST(round(l_discount * 10000) AS BIGINT) AS d
+               FROM lineitem),
+    rq AS (SELECT q, avg(rn) AS r FROM (
+             SELECT q, row_number() OVER (ORDER BY q) AS rn FROM l) GROUP BY q),
+    rd AS (SELECT d, avg(rn) AS r FROM (
+             SELECT d, row_number() OVER (ORDER BY d) AS rn FROM l) GROUP BY d),
+    x AS (SELECT rq.r AS rx, rd.r AS ry
+          FROM l JOIN rq USING (q) JOIN rd USING (d)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          FROM x)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS spearman_rho
+    FROM m
+    """,
+)
+def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount — the
+    monotone-association measure that Pearson ([[agg_stats_battery]])
+    misses when the relationship is nonlinear: ρ = Pearson over MIDRANKS
+    (tied values share the mean of their rank range, the standard tie
+    treatment).
+
+    Midranks come per DISTINCT value, not per row: row_number over the
+    distinct grid then avg per value — so ranking cost is bounded by
+    value cardinality (integer cents/basis points quantization keeps it
+    finite), the stat_ks_two_sample grid acceptance, and the join back
+    to rows is an equi-join on the value.  Midranks are exact .0/.5
+    halves (average of consecutive integers), so the moment sums are
+    exact in doubles up to 2^53 — fold-order-safe at this scale, with
+    the DECIMAL ladder as the declared growth path.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+
+    def midranks(col):
+        w = Window.orderBy(col)
+        return (
+            l.select(col)
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy(col)
+            .agg(F.avg("rn").alias("r"))
+        )
+
+    rq = midranks("q").select("q", F.col("r").alias("rx"))
+    rd = midranks("d").select("d", F.col("r").alias("ry"))
+    x = l.join(rq, "q").join(rd, "d").select("rx", "ry")
+    m = x.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_abc_xyz_matrix — value × variability inventory classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_abc_xyz_matrix",
+    oracle="""
+    WITH l AS (SELECT l_partkey,
+                      epoch_us(l_shipdate) // 86400000000 // 7 AS wk,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS rev,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qty
+               FROM lineitem),
+    pw AS (SELECT l_partkey, wk,
+                  CAST(sum(rev) AS BIGINT) AS rev,
+                  CAST(sum(qty) AS BIGINT) AS qty
+           FROM l GROUP BY l_partkey, wk),
+    p AS (SELECT l_partkey,
+                 CAST(sum(rev) AS BIGINT) AS rev,
+                 CAST(count(*) AS BIGINT) AS n_wk,
+                 CAST(sum(qty) AS BIGINT) AS sq,
+                 CAST(sum(qty * qty) AS BIGINT) AS sq2
+          FROM pw GROUP BY l_partkey),
+    r AS (SELECT l_partkey, rev, n_wk, sq, sq2,
+                 sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(rev) OVER () AS tot
+          FROM p),
+    cls AS (SELECT l_partkey,
+                   CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                        WHEN cum * 100 <= tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE WHEN n_wk < 3 THEN 'Z'
+                        WHEN CAST(round(
+                               sqrt(greatest((CAST(sq2 AS DOUBLE)
+                                              - CAST(sq AS DOUBLE) * sq / n_wk)
+                                             / n_wk, 0))
+                               / (CAST(sq AS DOUBLE) / n_wk) * 1000000)
+                             AS BIGINT) < 500000 THEN 'X'
+                        WHEN CAST(round(
+                               sqrt(greatest((CAST(sq2 AS DOUBLE)
+                                              - CAST(sq AS DOUBLE) * sq / n_wk)
+                                             / n_wk, 0))
+                               / (CAST(sq AS DOUBLE) / n_wk) * 1000000)
+                             AS BIGINT) < 1000000 THEN 'Y'
+                        ELSE 'Z' END AS xyz
+            FROM r)
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls GROUP BY abc, xyz
+    """,
+)
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification matrix — the supply-chain
+    segmentation: ABC bands parts by cumulative revenue share (80/95%,
+    the [[abc_pareto_classification]] axis) and XYZ by weekly demand
+    VARIABILITY (coefficient of variation < 0.5 = X/steady, < 1.0 =
+    Y, else Z/erratic; < 3 observed weeks = Z by definition).  A-X
+    items get automated replenishment, C-Z get made-to-order — the
+    matrix is the policy map.
+
+    Per-part weekly demand (one combinable shuffle), per-part moments,
+    the Pareto cumulative window over the PART-dimension-sized ranked
+    aggregate (the abc acceptance), and integer-µ-unit cv thresholds —
+    exact integer cumulative-share comparison (cum·100 ≤ tot·80), no
+    float percents.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 DIV 7"
+        ).alias("wk"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+    )
+    pw = l.groupBy("l_partkey", "wk").agg(
+        F.sum("rev").cast("bigint").alias("rev"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    )
+    p = pw.groupBy("l_partkey").agg(
+        F.sum("rev").cast("bigint").alias("rev"),
+        F.count("*").alias("n_wk"),
+        F.sum("qty").cast("bigint").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sq2"),
+    )
+    wcum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = p.select(
+        "l_partkey",
+        "rev",
+        "n_wk",
+        "sq",
+        "sq2",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n_wk")
+    var = F.greatest(
+        (
+            F.col("sq2").cast("double")
+            - F.col("sq").cast("double") * F.col("sq") / F.col("n_wk")
+        )
+        / F.col("n_wk"),
+        F.lit(0.0),
+    )
+    cv_us = F.round(F.sqrt(var) / mean * 1_000_000).cast("bigint")
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("n_wk") < 3, "Z")
+        .when(cv_us < 500_000, "X")
+        .when(cv_us < 1_000_000, "Y")
+        .otherwise("Z")
+    )
+    return (
+        r.select(abc.alias("abc"), xyz.alias("xyz"))
+        .groupBy("abc", "xyz")
+        .agg(F.count("*").alias("n_parts"))
+    )

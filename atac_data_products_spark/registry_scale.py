@@ -5219,3 +5219,273 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc", "xyz")
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_diff_in_diff — promo-part difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_diff_in_diff",
+    oracle="""
+    WITH b AS (SELECT CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS lo,
+                      CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS hi
+               FROM lineitem),
+    l AS (SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+                 CASE WHEN epoch_us(l.l_shipdate) * 2 >= b.lo + b.hi
+                      THEN 1 ELSE 0 END AS post,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) AS net_cents
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          CROSS JOIN b),
+    g AS (SELECT treated, post,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(net_cents) AS BIGINT) AS s
+          FROM l GROUP BY treated, post),
+    w AS (SELECT
+            max(CASE WHEN treated = 1 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS t1,
+            max(CASE WHEN treated = 1 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS t0,
+            max(CASE WHEN treated = 0 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS c1,
+            max(CASE WHEN treated = 0 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS c0
+          FROM g)
+    SELECT round(t0 / 100, 6) AS treated_pre,
+           round(t1 / 100, 6) AS treated_post,
+           round(c0 / 100, 6) AS control_pre,
+           round(c1 / 100, 6) AS control_post,
+           round(((t1 - t0) - (c1 - c0)) / 100, 6) AS did_estimate
+    FROM w
+    """,
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: net-revenue-per-line change for
+    promo-type parts vs non-promo parts, before vs after the period
+    midpoint — the observational-causal workhorse when randomized arms
+    ([[stat_two_proportion_ztest]]) aren't available: the control
+    group's pre/post delta nets out seasonality/trend, leaving the
+    treatment effect under the parallel-trends assumption (stated, as
+    every DiD must).
+
+    One broadcast dim join for treatment status, a broadcast two-value
+    period boundary (midpoint compared by integer cross-multiplication
+    — no float epoch halving), and ONE 2×2 conditional aggregation of
+    exact cents.  The four cell means and the DiD are computed once on
+    the single-row frame.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("treated"),
+    )
+    b = li.agg(
+        F.min(F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")).alias("hi"),
+    )
+    l = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "treated",
+            F.when(
+                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))") * 2
+                >= F.col("lo") + F.col("hi"),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("net_cents"),
+        )
+    )
+    g = l.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("net_cents").cast("bigint").alias("s")
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    w = g.agg(
+        cell(1, 1).alias("t1"), cell(1, 0).alias("t0"),
+        cell(0, 1).alias("c1"), cell(0, 0).alias("c0"),
+    )
+    return w.select(
+        F.round(F.col("t0") / 100, 6).alias("treated_pre"),
+        F.round(F.col("t1") / 100, 6).alias("treated_post"),
+        F.round(F.col("c0") / 100, 6).alias("control_pre"),
+        F.round(F.col("c1") / 100, 6).alias("control_post"),
+        F.round(
+            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))) / 100, 6
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common 3-step user journeys
+# ---------------------------------------------------------------------------
+
+PATHS_TOP_K = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+               FROM events),
+    r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS rn
+          FROM e),
+    p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id
+          HAVING count(*) = 3)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT)
+               AS rk
+    FROM p GROUP BY path
+    QUALIFY rk <= {PATHS_TOP_K}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-3-event user journeys ('view>click>purchase' …) — the
+    Sankey/pathing view product analytics builds beside the one-step
+    transition matrix ([[events_markov_transitions]]): the matrix says
+    what follows what; paths say how users actually ARRIVE.
+
+    One per-user window keeps only ranks ≤ 3 before any string
+    assembly (the early-prune that makes this linear: the full event
+    stream never turns into strings), one path aggregation, one
+    two-phase top-k.  Path strings assemble in pinned rank order on
+    both engines; users with fewer than 3 events are excluded rather
+    than producing ragged prefixes.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ts_us_expr(ev).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    p = (
+        r.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n_steps"),
+        )
+        .where(F.col("n_steps") == 3)
+    )
+    wk = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= PATHS_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_growth_curve — Heaps-law vocabulary growth checkpoints
+# ---------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = 10
+
+
+@query(
+    "corpus_vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                             AS tok
+                  FROM documents),
+    firsts AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+               FROM toks WHERE tok <> '' GROUP BY tok),
+    dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+           FROM toks WHERE tok <> '' GROUP BY doc_id),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM dt),
+    cp AS (SELECT CAST((mx.m + 1) * c / {VOCAB_CHECKPOINTS} - 1 AS BIGINT)
+                      AS cut_doc,
+                  CAST(c AS BIGINT) AS checkpoint
+           FROM mx, (SELECT unnest(range(1, {VOCAB_CHECKPOINTS} + 1)) AS c))
+    SELECT cp.checkpoint, cp.cut_doc,
+           CAST((SELECT sum(n_toks) FROM dt WHERE doc_id <= cp.cut_doc)
+                AS BIGINT) AS cum_tokens,
+           CAST((SELECT count(*) FROM firsts WHERE first_doc <= cp.cut_doc)
+                AS BIGINT) AS cum_types
+    FROM cp
+    """,
+)
+def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: cumulative distinct types vs
+    cumulative tokens at {k} doc-id checkpoints — the curve that says
+    whether more data still buys new vocabulary (sub-linear growth =
+    healthy natural text; a straight line = id/hash pollution; an early
+    plateau = template spam).
+
+    The distributed trick: cumulative DISTINCT, normally a sequential
+    scan, becomes two combinable aggregations — each type's FIRST
+    document (min doc_id per token) and each doc's token count — plus a
+    checkpoint-grid broadcast join: types at cut c = count(first_doc ≤
+    c).  No prefix is ever re-scanned; cost is one shuffle of (token,
+    min) pairs at any corpus size.
+    """
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    dt = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_toks"))
+    mx = dt.agg(F.max("doc_id").cast("bigint").alias("m"))
+    cp = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(VOCAB_CHECKPOINTS))).alias("c"),
+            "m",
+        )
+        .select(
+            F.col("c").cast("bigint").alias("checkpoint"),
+            ((F.col("m") + 1) * F.col("c") / VOCAB_CHECKPOINTS - 1)
+            .cast("bigint")
+            .alias("cut_doc"),
+        )
+    )
+    tok_cum = (
+        cp.join(dt, dt.doc_id <= cp.cut_doc)
+        .groupBy("checkpoint", "cut_doc")
+        .agg(F.sum("n_toks").cast("bigint").alias("cum_tokens"))
+    )
+    type_cum = (
+        cp.join(firsts, firsts.first_doc <= cp.cut_doc)
+        .groupBy("checkpoint")
+        .agg(F.count("*").cast("bigint").alias("cum_types"))
+    )
+    return (
+        cp.join(tok_cum, ["checkpoint", "cut_doc"])
+        .join(type_cum, "checkpoint")
+        .select("checkpoint", "cut_doc", "cum_tokens", "cum_types")
+    )
+
+
+corpus_vocab_growth_curve.__doc__ = corpus_vocab_growth_curve.__doc__.format(
+    k=VOCAB_CHECKPOINTS
+)

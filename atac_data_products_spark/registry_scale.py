@@ -1,21 +1,41 @@
-"""Scale-operations batch: reconciliation checksums, join-key skew
-diagnostics, weighted sampling, and an exact set-similarity join with
-prefix filtering.
+"""Platform / scale-operations registry: the operators a team runs
+*around* a 100 TB engine, plus the analytics the other registries left
+open.  Families:
 
-These are the operators a platform team runs *around* a 100 TB engine:
-verifying two clusters hold the same table without moving it
-(table_checksum), measuring whether a join key will melt a shuffle
-(dq_skew_profile), drawing weighted eval subsets whose membership is
-stable under reruns (sample_weighted_reservoir), and an exact —
-recall-lossless — alternative to MinHash-LSH for near-dup joins
-(dedup_prefix_filter_join, the AllPairs/PPJoin prefix-filter family).
+- **Physical-rewrite joins, each with a losslessness proof** (the
+  oracle or a property test is the NAIVE plan): prefix-filter
+  set-similarity join (AllPairs/PPJoin), Bloom-prefilter + verify,
+  explicit salting, 3x3 grid-banded spatial NN, time-banded
+  stream-stream interval twin.
+- **Reconciliation / data-quality ops**: order-insensitive table
+  checksums, join-key skew pre-flight, column profiling, duplicate-
+  payment audit, outage gaps, SLO burn rate, Apdex.
+- **Sampling**: A-ES weighted reservoir, Poisson bootstrap CI — both
+  derandomized via key-stable md5 uniforms.
+- **Distributed ML on sufficient statistics**: PCA power iteration on
+  the integer Gram, calibration bins, exact ROC-AUC, MMR re-ranking,
+  Matryoshka prefix fidelity, LSH band sweep, Bloom FPR calibration.
+- **Inferential statistics with exact-integer moments**: Welch (A/B),
+  two-proportion z, Theil-Sen, Spearman midranks, power-law MLE,
+  difference-in-differences, degree assortativity, HHI.
+- **Privacy ladder completion**: l-diversity, t-closeness.
+- **Time series**: Holt, seasonal decomposition + residual anomalies,
+  OHLC downsampling, forecast backtest, peak concurrency.
+- **Graph**: bounded BFS, deterministic label propagation.
+- **Text/corpus**: RAKE keywords, PII scan, code routing, language
+  confusion, hapax/TTR, vocabulary growth, temperature mixture,
+  packing efficiency, common-substring (ExactSubstr) dedup.
+- **SQL-surface parity**: native recursive CTE, LATERAL subquery,
+  PERCENTILE_DISC, nested-JSON shred/unshred, fixed-width source,
+  parquet row-group introspection.
 
 The reference (an eager single-node pandas ETL, bin/concatenate.py:119-152)
-has no notion of any of this; every operator here is an engine extension
-per SURVEY.md §7 Phase E, expressed as declarative DataFrame plans with
-DuckDB oracle twins following the repo's parity conventions
-(fixed-point integers for anything summed distributively; floats rounded
-before any threshold or sort; identical aliases on both sides).
+has none of this; every operator is an engine extension per SURVEY.md §7
+Phase E, expressed as a declarative DataFrame plan with a DuckDB oracle
+twin under the repo's parity conventions (fixed-point integers for
+anything summed distributively; floats rounded/quantized before any
+threshold, sort, or comparison; pinned-order folds for the few
+irreducible float reductions; identical aliases on both sides).
 """
 
 from __future__ import annotations

@@ -91,6 +91,16 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_share",
     "tpch_q18_large_orders",
+    # round-3 scale-ops batch (registry_scale): physical-rewrite joins,
+    # reconciliation, distributed sufficient-statistics ML, sampling
+    "dedup_prefix_filter_join",
+    "bloom_semi_join",
+    "spatial_grid_nn",
+    "table_checksum",
+    "vector_pca_power_iteration",
+    "similarity_mmr_rerank",
+    "stat_bootstrap_poisson_ci",
+    "orders_backlog_snapshot",
 ]
 
 

@@ -5509,3 +5509,95 @@ def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_vocab_growth_curve.__doc__ = corpus_vocab_growth_curve.__doc__.format(
     k=VOCAB_CHECKPOINTS
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_span_corruption — T5-style denoising mask generation
+# ---------------------------------------------------------------------------
+
+SPAN_MASK_RATE_PCT = 15
+SPAN_MEAN_LEN = 3
+
+
+@query(
+    "corpus_span_corruption",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                           AS BIGINT) AS n
+               FROM documents),
+    s AS (SELECT doc_id, n,
+                 CAST(round(n * {SPAN_MASK_RATE_PCT} / 100.0
+                            / {SPAN_MEAN_LEN}) AS BIGINT) AS n_spans
+          FROM t WHERE n >= {SPAN_MEAN_LEN}),
+    masked AS (SELECT doc_id, n, n_spans,
+                      CAST(len(list_distinct(flatten(
+                        [range(
+                           (('0x' || substr(md5('span' || CAST(doc_id AS VARCHAR)
+                                          || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+                             % n + 1,
+                           least((('0x' || substr(md5('span' || CAST(doc_id AS VARCHAR)
+                                          || '_' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+                                   % n + 1 + {SPAN_MEAN_LEN}, n + 1))
+                         FOR k IN range(1, n_spans + 1)]))) AS BIGINT) AS n_masked
+               FROM s)
+    SELECT doc_id, n AS n_tokens, n_spans, n_masked,
+           round(CAST(n_masked AS DOUBLE) / n, 6) AS mask_rate
+    FROM masked
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask generation (public pretraining
+    objective): per document, ~{p}% of tokens masked in spans of mean
+    length {m}, with span starts drawn KEY-STABLY from (doc, span-index)
+    hashes — the derandomized-sampling discipline
+    (sample_weighted_reservoir, privacy_dp_counts) applied to training-
+    data augmentation, so every rerun (and every engine) masks the
+    SAME positions.  Output: per-doc span count, distinct masked
+    positions (overlapping spans merge, so the effective rate sits just
+    under target — reported, not hidden), and the realized mask rate.
+
+    Pure array HOFs: span ranges are sequence() literals, the distinct-
+    position count is flatten → array_distinct — shuffle-free, whole-
+    stage codegen, embarrassingly parallel.  The actual token
+    replacement is the same projection joined back to the token array;
+    the CONTRACT surfaces the mask statistics (value-hashable).
+    """
+    from .extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n"))
+    s = t.where(F.col("n") >= SPAN_MEAN_LEN).select(
+        "doc_id",
+        "n",
+        F.round(F.col("n") * SPAN_MASK_RATE_PCT / 100.0 / SPAN_MEAN_LEN)
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    start = (
+        "conv(substring(md5(concat('span', CAST(doc_id AS STRING), '_', "
+        "CAST(k AS STRING))), 1, 15), 16, 10) % n + 1"
+    )
+    masked = s.withColumn(
+        "n_masked",
+        F.expr(
+            f"CAST(size(array_distinct(flatten(transform("
+            f"sequence(1, CAST(n_spans AS INT)), k -> "
+            f"sequence(CAST(({start}) AS BIGINT), "
+            f"least(CAST(({start}) AS BIGINT) + {SPAN_MEAN_LEN} - 1, n)))))) AS BIGINT)"
+        ),
+    )
+    return masked.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_spans",
+        "n_masked",
+        F.round(F.col("n_masked").cast("double") / F.col("n"), 6).alias(
+            "mask_rate"
+        ),
+    )
+
+
+corpus_span_corruption.__doc__ = corpus_span_corruption.__doc__.format(
+    p=SPAN_MASK_RATE_PCT, m=SPAN_MEAN_LEN
+)

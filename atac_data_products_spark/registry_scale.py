@@ -5601,3 +5601,196 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_span_corruption.__doc__ = corpus_span_corruption.__doc__.format(
     p=SPAN_MASK_RATE_PCT, m=SPAN_MEAN_LEN
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_chain_audit — transitive-collapse risk per duplicate cluster
+# ---------------------------------------------------------------------------
+
+CHAIN_MARGIN = 0.1  # clusters whose weakest verified edge is within
+#                     threshold+margin are transitive-chain suspects
+
+
+def _chain_audit_oracle() -> str:
+    from .registry import ORACLES
+    from .registry_ext import JACCARD_THRESHOLD
+
+    pair_sql = ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc_id = e.src
+    ),
+    cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+    pc AS (SELECT c.cluster_id, p.jaccard
+           FROM pairs p JOIN cc c ON c.doc_id = p.doc_a)
+    SELECT cluster_id,
+           CAST((SELECT count(*) FROM cc c2
+                 WHERE c2.cluster_id = pc.cluster_id) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           round(min(jaccard), 6) AS min_edge_jaccard,
+           round(max(jaccard), 6) AS max_edge_jaccard,
+           min(jaccard) < {JACCARD_THRESHOLD} + {CHAIN_MARGIN} AS chain_risk
+    FROM pc GROUP BY cluster_id
+    """
+
+
+@query("dedup_cluster_chain_audit", oracle=_chain_audit_oracle())
+def dedup_cluster_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-collapse audit of the near-dup clusters: per duplicate
+    cluster, the member/edge counts and the WEAKEST verified edge — the
+    known failure mode of connected-component dedup is the chain
+    A≈B≈C where A and C are unrelated, and a cluster whose minimum
+    edge sits near the threshold (within +{m}) is exactly where a
+    whole topic can collapse into one survivor.  Flagged clusters get
+    a human (or a stricter pairwise re-verify) before deletion — the
+    audit every production dedup run ships next to
+    [[corpus_dedup_survivors]] and [[corpus_dedup_cluster_sizes]].
+
+    Composition: the GRADED capped-LSH pair spec and the same label
+    propagation as the survivor pipeline, plus one (cluster, jaccard)
+    join and a per-cluster rollup — all keyed on cluster_id, nothing
+    beyond the existing pipeline's shuffles.
+    """
+    from .extensions.dedup import (
+        LSH_MAX_BUCKET,
+        connected_components,
+        minhash_lsh_dedup_pairs,
+    )
+    from .registry_ext import JACCARD_THRESHOLD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
+    )
+    cc = connected_components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
+    sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    pc = pairs.join(
+        cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+    )
+    return (
+        pc.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.min("jaccard"), 6).alias("min_edge_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_edge_jaccard"),
+        )
+        .join(sized, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            "min_edge_jaccard",
+            "max_edge_jaccard",
+            (F.col("min_edge_jaccard") < JACCARD_THRESHOLD + CHAIN_MARGIN).alias(
+                "chain_risk"
+            ),
+        )
+    )
+
+
+dedup_cluster_chain_audit.__doc__ = dedup_cluster_chain_audit.__doc__.format(
+    m=CHAIN_MARGIN
+)
+
+
+# ---------------------------------------------------------------------------
+# attribution_model_compare — first/last/linear-touch credit side by side
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 3_600_000_000  # 1 hour lookback
+
+
+@query(
+    "attribution_model_compare",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, us FROM e
+          WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS touch_id, user_id, event_type, us FROM e
+          WHERE event_type IN ('click', 'view')),
+    j AS (SELECT p.purchase_id, t.event_type, t.us,
+                 count(*) OVER (PARTITION BY p.purchase_id) AS n_touch,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY t.us, t.touch_id) AS rk_first,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY t.us DESC, t.touch_id DESC)
+                     AS rk_last
+          FROM p JOIN t ON t.user_id = p.user_id
+                       AND t.us < p.us AND t.us >= p.us - {ATTR_WINDOW_US}),
+    credits AS (SELECT event_type,
+                       CASE WHEN rk_first = 1 THEN 1000000 ELSE 0 END AS first_us,
+                       CASE WHEN rk_last = 1 THEN 1000000 ELSE 0 END AS last_us,
+                       CAST(round(1000000.0 / n_touch) AS BIGINT) AS linear_us
+                FROM j)
+    SELECT event_type AS channel,
+           round(sum(first_us) / 1000000.0, 6) AS first_touch_credit,
+           round(sum(last_us) / 1000000.0, 6) AS last_touch_credit,
+           round(sum(linear_us) / 1000000.0, 6) AS linear_credit
+    FROM credits GROUP BY event_type
+    """,
+)
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch vs linear attribution credit per channel
+    for the same purchase set — the model-sensitivity table every
+    marketing-mix review starts from: if the three columns disagree
+    wildly, channel budgets are an artifact of the model choice, not
+    the data ([[attribution_multitouch_linear]] is the linear model's
+    per-purchase form; this compares models at the channel grain).
+
+    One banded interval join (purchase × prior touches within 1 h —
+    per-user keys, watermark-state-sized fan-out), THREE window ranks
+    over the same per-purchase partition (one shuffle, shared by all
+    models), and per-touch credits quantized to integer µ-units before
+    the channel rollup so the distributive sums are exact.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", ts_us_expr(ev).alias("us")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("p_us")
+    )
+    t = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "event_type",
+        F.col("us").alias("t_us"),
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US),
+    )
+    wp = Window.partitionBy("purchase_id")
+    j = j.select(
+        "purchase_id",
+        "event_type",
+        F.count("*").over(wp).alias("n_touch"),
+        F.row_number()
+        .over(wp.orderBy("t_us", "touch_id"))
+        .alias("rk_first"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("t_us"), F.desc("touch_id")))
+        .alias("rk_last"),
+    )
+    credits = j.select(
+        "event_type",
+        F.when(F.col("rk_first") == 1, 1_000_000).otherwise(0).alias("first_us"),
+        F.when(F.col("rk_last") == 1, 1_000_000).otherwise(0).alias("last_us"),
+        F.round(1_000_000.0 / F.col("n_touch")).cast("bigint").alias("linear_us"),
+    )
+    return credits.groupBy(F.col("event_type").alias("channel")).agg(
+        F.round(F.sum("first_us") / 1_000_000.0, 6).alias("first_touch_credit"),
+        F.round(F.sum("last_us") / 1_000_000.0, 6).alias("last_touch_credit"),
+        F.round(F.sum("linear_us") / 1_000_000.0, 6).alias("linear_credit"),
+    )

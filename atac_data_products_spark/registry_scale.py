@@ -5757,17 +5757,19 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", ts_us_expr(ev).alias("us")
     )
     p = e.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("us").alias("p_us")
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
     )
     t = e.where(F.col("event_type").isin("click", "view")).select(
         F.col("event_id").alias("touch_id"),
-        "user_id",
+        F.col("user_id").alias("t_user"),
         "event_type",
         F.col("us").alias("t_us"),
     )
     j = p.join(
         t,
-        (p.user_id == t.user_id)
+        (F.col("p_user") == F.col("t_user"))
         & (F.col("t_us") < F.col("p_us"))
         & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US),
     )

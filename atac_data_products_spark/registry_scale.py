@@ -5796,3 +5796,91 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("last_us") / 1_000_000.0, 6).alias("last_touch_credit"),
         F.round(F.sum("linear_us") / 1_000_000.0, 6).alias("linear_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_fk_inference — foreign-key candidate discovery by containment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_fk_inference",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS n_parent,
+             (SELECT count(DISTINCT o_custkey) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_contained
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->part.p_partkey',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(DISTINCT p_partkey) FROM part),
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem
+              WHERE l_orderkey IN (SELECT p_partkey FROM part))
+    )
+    SELECT candidate,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_parent AS BIGINT) AS n_parent,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           round(CAST(n_contained AS DOUBLE) / n_child, 6) AS containment,
+           n_contained = n_child AS is_fk_candidate
+    FROM pairs
+    """,
+)
+def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key candidate discovery by VALUE CONTAINMENT: for each
+    declared column pair, the fraction of the child's distinct values
+    present in the parent — containment = 1.0 nominates a real FK,
+    partial containment exposes orphans or a coincidental overlap (the
+    third probe, orderkey→partkey, is the deliberate NEGATIVE control:
+    id ranges that merely overlap — its containment is the small-id
+    prefix fraction, not 1.0).  This
+    is the schema-discovery pass run when onboarding an undocumented
+    lake, upstream of the asserting [[dq_constraint_report]].
+
+    Per pair: two distinct aggregates and one semi-join distinct —
+    each combinable, each shuffling only distinct key values.  At
+    scale the exact distincts swap for HLL sketches and containment
+    for a bloom-filter probe ([[sketch_bloom_fpr_eval]] calibrates
+    the false-positive cost of that swap).
+    """
+    probes = [
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_orderkey->part.p_partkey", "lineitem", "l_orderkey", "part", "p_partkey"),
+    ]
+    outs = []
+    for name, ct, cc, pt, pc in probes:
+        child = _t(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = _t(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        contained = child.join(parent, "k", "left_semi")
+        stats = (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(parent.agg(F.count("*").alias("n_parent")))
+            .crossJoin(contained.agg(F.count("*").alias("n_contained")))
+        )
+        outs.append(
+            stats.select(
+                F.lit(name).alias("candidate"),
+                F.col("n_child").cast("bigint"),
+                F.col("n_parent").cast("bigint"),
+                F.col("n_contained").cast("bigint"),
+                F.round(
+                    F.col("n_contained") / F.col("n_child").cast("double"), 6
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child")).alias(
+                    "is_fk_candidate"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

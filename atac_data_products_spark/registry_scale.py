@@ -5884,3 +5884,145 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_state_size_audit — watermark-state capacity planning
+# ---------------------------------------------------------------------------
+
+STATE_BAND_US = 600_000_000  # 10-minute state horizon
+
+
+@query(
+    "stream_state_size_audit",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // {STATE_BAND_US} AS band
+               FROM events),
+    b AS (SELECT band, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM e GROUP BY band)
+    SELECT CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(max(n_keys) AS BIGINT) AS peak_state_keys,
+           CAST(max(n_rows) AS BIGINT) AS peak_state_rows,
+           round(avg(n_keys), 6) AS avg_state_keys,
+           round(avg(n_rows), 6) AS avg_state_rows
+    FROM b
+    """,
+)
+def stream_state_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state capacity audit: per 10-minute band (== the
+    watermark horizon the repo's stateful queries declare), the distinct
+    keys and buffered rows a stateful operator would hold — peak and
+    average.  This is the number that sizes executor memory (or forces
+    the RocksDB store) BEFORE a stream launches: watermark state ≈
+    keys-per-horizon × state width, and the peak band is the high-water
+    mark ([[events_peak_concurrency]] is the session-level analogue;
+    this is the operator-state one).
+
+    One banded aggregation with a per-band distinct (partial-
+    aggregatable), one tiny rollup over the wall-clock-bounded band
+    grid.  Run it against history whenever the watermark/horizon knobs
+    change ([[stream_late_data_audit]] covers the other side: what the
+    watermark would DROP).
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (ts_us_expr(ev) / F.lit(STATE_BAND_US)).cast("bigint").alias("band")
+    )
+    b = e.groupBy("band").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_keys"),
+        F.count("*").alias("n_rows"),
+    )
+    return b.agg(
+        F.count("*").alias("n_bands"),
+        F.max("n_keys").cast("bigint").alias("peak_state_keys"),
+        F.max("n_rows").cast("bigint").alias("peak_state_rows"),
+        F.round(F.avg("n_keys"), 6).alias("avg_state_keys"),
+        F.round(F.avg("n_rows"), 6).alias("avg_state_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_sampled_rate_estimate — the declared eval-at-scale path, made real
+# ---------------------------------------------------------------------------
+
+DUP_SAMPLE_SLOTS = 4  # keep docs whose hash slot == 0 → ~1/4 sample
+
+
+@query(
+    "dedup_sampled_rate_estimate",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id,
+                         md5(regexp_replace(lower(text), '[0-9]+', '0', 'g'))
+                             AS fp,
+                         ({hash59_sql("'ds' || CAST(doc_id AS VARCHAR)")})
+                             % {DUP_SAMPLE_SLOTS} AS slot
+                  FROM documents),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS nd
+              FROM norm),
+    samp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(DISTINCT fp) AS BIGINT) AS nd
+             FROM norm WHERE slot = 0)
+    SELECT e.n AS n_docs, s.n AS n_sampled,
+           round(CAST(e.n - e.nd AS DOUBLE) / e.n, 6) AS dup_rate_exact,
+           round(CAST(s.n - s.nd AS DOUBLE) / s.n, 6) AS dup_rate_sampled,
+           round(abs(CAST(e.n - e.nd AS DOUBLE) / e.n
+                     - CAST(s.n - s.nd AS DOUBLE) / s.n), 6) AS abs_error
+    FROM exact e, samp s
+    """,
+)
+def dedup_sampled_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-at-scale path several contracts DECLARE
+    (dedup_lsh_band_sweep, corpus_dup_rate_by_source), made real and
+    measured: estimate the normalized exact-duplicate rate from a
+    key-stable 1/{s} document sample next to the exact rate, with the
+    absolute error — the measurement that licenses running dedup
+    quality checks on a sample when the full corpus pass is too
+    expensive.  Caveat surfaced by the numbers themselves: hash
+    sampling DOCUMENTS breaks up duplicate GROUPS (a pair survives the
+    sample only if both members land in the slot), so the sampled rate
+    UNDERESTIMATES by ≈(1 − 1/{s}) of the pair mass — the contract
+    reports the raw estimator exactly so the bias is visible, which is
+    the point: naive doc-sampling is the wrong dedup estimator, and
+    this row is the evidence (group-aware estimators re-weight by
+    1/{s}).
+
+    Two combinable aggregations over one normalized-fingerprint
+    projection; the sample predicate is a pure hash projection, so the
+    'sampled' branch reads the same scan with a pushed filter.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")
+        ).alias("fp"),
+        (
+            hash59(F.concat(F.lit("ds"), F.col("doc_id").cast("string")))
+            % DUP_SAMPLE_SLOTS
+        ).alias("slot"),
+    )
+    exact = d.agg(
+        F.count("*").alias("n"), F.countDistinct("fp").cast("bigint").alias("nd")
+    )
+    samp = d.where(F.col("slot") == 0).agg(
+        F.count("*").alias("sn"), F.countDistinct("fp").cast("bigint").alias("snd")
+    )
+    j = exact.crossJoin(F.broadcast(samp))
+    rate_e = (F.col("n") - F.col("nd")).cast("double") / F.col("n")
+    rate_s = (F.col("sn") - F.col("snd")).cast("double") / F.col("sn")
+    return j.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("sn").cast("bigint").alias("n_sampled"),
+        F.round(rate_e, 6).alias("dup_rate_exact"),
+        F.round(rate_s, 6).alias("dup_rate_sampled"),
+        F.round(F.abs(rate_e - rate_s), 6).alias("abs_error"),
+    )
+
+
+dedup_sampled_rate_estimate.__doc__ = dedup_sampled_rate_estimate.__doc__.format(
+    s=DUP_SAMPLE_SLOTS
+)

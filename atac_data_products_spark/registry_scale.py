@@ -6026,3 +6026,179 @@ def dedup_sampled_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_sampled_rate_estimate.__doc__ = dedup_sampled_rate_estimate.__doc__.format(
     s=DUP_SAMPLE_SLOTS
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_scd2_integrity_audit — validity-interval tiling audit
+# ---------------------------------------------------------------------------
+
+
+def _scd2_audit_oracle() -> str:
+    from .registry import ORACLES
+
+    scd2 = ORACLES["scd2_state_history"]
+    return f"""
+    WITH hist AS ({scd2}),
+    seq AS (SELECT user_id, valid_from_us, valid_to_us,
+                   lead(valid_from_us) OVER (PARTITION BY user_id
+                                             ORDER BY valid_from_us)
+                       AS next_from
+            FROM hist),
+    flags AS (SELECT user_id,
+                     CASE WHEN next_from IS NOT NULL
+                           AND valid_to_us <> next_from THEN 1 ELSE 0 END
+                         AS bad_tile,
+                     CASE WHEN valid_to_us IS NOT NULL
+                           AND valid_to_us <= valid_from_us THEN 1 ELSE 0 END
+                         AS bad_order,
+                     CASE WHEN next_from IS NULL
+                           AND valid_to_us IS NOT NULL THEN 1 ELSE 0 END
+                         AS bad_current
+              FROM seq)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(sum(bad_tile) AS BIGINT) AS n_tiling_violations,
+           CAST(sum(bad_order) AS BIGINT) AS n_order_violations,
+           CAST(sum(bad_current) AS BIGINT) AS n_current_violations,
+           sum(bad_tile) + sum(bad_order) + sum(bad_current) = 0 AS is_valid
+    FROM flags
+    """
+
+
+@query("dq_scd2_integrity_audit", oracle=_scd2_audit_oracle())
+def dq_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 integrity audit over the history the engine itself builds
+    ([[scd2_state_history]]): per entity, validity intervals must TILE
+    — each row's valid_to equals the next row's valid_from (no gaps, no
+    overlaps), intervals must be positive, and exactly the last row may
+    be open.  A violated tiling breaks every point-in-time lookup
+    silently ([[join_point_in_time_scd2]] returns wrong rows, not
+    errors), which is why warehouses run this audit after every
+    dimension load.
+
+    Composition: the registered SCD2 spec + one lead() window on the
+    SAME (entity → valid_from) partitioning it already uses, then one
+    violation rollup.  Passing (is_valid = true, zero violations) is
+    itself the assertion that the engine's SCD2 builder emits tiled
+    history by construction.
+    """
+    from .registry import QUERIES
+
+    hist = QUERIES["scd2_state_history"](spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    seq = hist.select(
+        "user_id",
+        "valid_from_us",
+        "valid_to_us",
+        F.lead("valid_from_us").over(w).alias("next_from"),
+    )
+    flags = seq.select(
+        "user_id",
+        F.when(
+            F.col("next_from").isNotNull()
+            & (F.col("valid_to_us") != F.col("next_from")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad_tile"),
+        F.when(
+            F.col("valid_to_us").isNotNull()
+            & (F.col("valid_to_us") <= F.col("valid_from_us")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad_order"),
+        F.when(
+            F.col("next_from").isNull() & F.col("valid_to_us").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("bad_current"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_entities"),
+        F.sum("bad_tile").cast("bigint").alias("n_tiling_violations"),
+        F.sum("bad_order").cast("bigint").alias("n_order_violations"),
+        F.sum("bad_current").cast("bigint").alias("n_current_violations"),
+        (
+            (F.sum("bad_tile") + F.sum("bad_order") + F.sum("bad_current")) == 0
+        ).alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_refresh_cycle — RF1/RF2-style insert+delete maintenance cycle
+# ---------------------------------------------------------------------------
+
+RF_MOD = 1000  # refresh ~0.1% of orders per cycle
+
+
+@query(
+    "tpch_refresh_cycle",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+    mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS m FROM base),
+    ins AS (SELECT b.o_orderkey + mx.m + 1 AS o_orderkey, b.cents
+            FROM base b, mx WHERE b.o_orderkey % {RF_MOD} = 0),
+    del AS (SELECT o_orderkey FROM base WHERE o_orderkey % {RF_MOD} = 1),
+    after AS (SELECT o_orderkey, cents FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+              UNION ALL SELECT o_orderkey, cents FROM ins)
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_before,
+           CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserted,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM after) AS BIGINT) AS n_after,
+           CAST((SELECT sum(cents) FROM after) AS BIGINT) AS revenue_after_cents
+    """,
+)
+def tpch_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style refresh cycle (the RF1/RF2 shapes of the published
+    throughput test): insert a deterministic ~0.1% batch of new orders
+    (fresh keys above the current max) and delete a disjoint ~0.1%
+    cohort, then report the resulting table's row count and exact-cents
+    revenue — the maintenance counterpart of the 22 query shapes, and
+    what [[cdc_merge_upsert]] generalizes to arbitrary change logs.
+
+    The cycle is ONE lazy plan: the insert batch is a projection of the
+    base (no generator state), the delete is an anti-join, the final
+    table a union — and the post-cycle aggregate doubles as the
+    verification checksum ([[table_checksum]] is the full-row form).
+    At scale both halves ride partition operations: inserts append
+    files, deletes rewrite only the partitions holding the cohort
+    (the dynamic-partition-overwrite machinery proven in
+    plans/product.py::append_dataset_to_product).
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mx = base.agg(F.max("o_orderkey").cast("bigint").alias("m"))
+    ins = (
+        base.where(F.col("o_orderkey") % RF_MOD == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("m") + 1).alias("o_orderkey"), "cents"
+        )
+    )
+    dele = base.where(F.col("o_orderkey") % RF_MOD == 1).select("o_orderkey")
+    after = base.join(dele, "o_orderkey", "left_anti").unionByName(ins)
+    return (
+        base.agg(F.count("*").alias("n_before"))
+        .crossJoin(ins.agg(F.count("*").alias("n_inserted")))
+        .crossJoin(dele.agg(F.count("*").alias("n_deleted")))
+        .crossJoin(
+            after.agg(
+                F.count("*").alias("n_after"),
+                F.sum("cents").cast("bigint").alias("revenue_after_cents"),
+            )
+        )
+        .select(
+            F.col("n_before").cast("bigint"),
+            F.col("n_inserted").cast("bigint"),
+            F.col("n_deleted").cast("bigint"),
+            F.col("n_after").cast("bigint"),
+            "revenue_after_cents",
+        )
+    )

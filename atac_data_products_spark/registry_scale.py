@@ -6202,3 +6202,118 @@ def tpch_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_after_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel — bounded k-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """
+    n0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    prev = "n0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""
+    d{r} AS (SELECT e.src AS node, count(*) AS deg
+             FROM edges e
+             JOIN {prev} a ON a.node = e.src
+             JOIN {prev} b ON b.node = e.dst
+             GROUP BY e.src),
+    n{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K})""")
+        prev = f"n{r}"
+    return (
+        f"WITH {_BFS_EDGES_CTE}, "
+        + ",".join(ctes)
+        + f"""
+    SELECT CAST((SELECT count(*) FROM n0) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM n{KCORE_ROUNDS}) AS BIGINT)
+               AS n_core_nodes,
+           CAST((SELECT count(*) FROM edges e
+                 JOIN n{KCORE_ROUNDS} a ON a.node = e.src
+                 JOIN n{KCORE_ROUNDS} b ON b.node = e.dst) / 2 AS BIGINT)
+               AS n_core_edges"""
+    )
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k={k}) on the bulk co-order graph by {r}
+    rounds of PEELING: repeatedly drop nodes whose degree within the
+    surviving subgraph falls below k — the standard dense-region /
+    spam-ring / engagement-tier primitive (a node's coreness survives
+    the removal of every low-degree hanger-on, unlike raw degree).
+    Fixed small round count as a declared contract (full decomposition
+    iterates to fixpoint — the Pregel-loop pattern of
+    connected_components); {r} rounds already separate the dense core
+    from the tree-like fringe on this graph.
+
+    Per round: one degree count restricted to survivors (edges
+    semi-joined to the surviving node set on BOTH endpoints, one
+    combinable aggregation).  The shuffles stay node-grained; the edge
+    set is persisted once and reused by every round.
+    """
+    from pyspark import StorageLevel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > BFS_BULK_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    surv = nodes
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(surv.select(F.col("node").alias("src")), "src")
+            .join(surv.select(F.col("node").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+        surv = (
+            deg.where(F.col("deg") >= KCORE_K)
+            .select("node")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    core_edges = (
+        edges.join(surv.select(F.col("node").alias("src")), "src")
+        .join(surv.select(F.col("node").alias("dst")), "dst")
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(surv.agg(F.count("*").alias("n_core_nodes")))
+        .crossJoin(
+            core_edges.agg((F.count("*") / 2).cast("bigint").alias("n_core_edges"))
+        )
+        .select(
+            F.col("n_nodes").cast("bigint"),
+            F.col("n_core_nodes").cast("bigint"),
+            "n_core_edges",
+        )
+    )
+
+
+graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
+    k=KCORE_K, r=KCORE_ROUNDS
+)

@@ -6317,3 +6317,234 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
     k=KCORE_K, r=KCORE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# stat_anova_oneway — k-group mean comparison from exact moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_anova_oneway",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s1,
+                 CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+                     AS s2
+          FROM s GROUP BY event_type),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(s1) AS BIGINT) AS s1,
+                 CAST(sum(s2) AS DECIMAL(38,0)) AS s2,
+                 sum(CAST(s1 AS DOUBLE) * s1 / n) AS group_sq
+          FROM g)
+    SELECT k AS n_groups, n AS n_rows,
+           round((group_sq - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1)
+                 / ((CAST(s2 AS DOUBLE) - group_sq) / (n - k)), 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within
+    FROM t
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the five event-type groups —
+    the k-group generalization of the two-sample tests
+    ([[stat_welch_ttest_ab]]): does event type explain variance in value
+    at all, before pairwise comparisons (which need multiplicity
+    control) are even worth running?
+
+    Textbook sufficient-statistics form: per-group (n, Σx, Σx²) in one
+    combinable shuffle (cents in BIGINT, squares on the DECIMAL(38,0)
+    lane), then SSB/SSW assembled on the k-row aggregate — the only
+    non-integer reduction is the k-term Σ(S_g²/n_g), a 5-element sum
+    whose operands differ by orders of magnitude from its error scale
+    at the 6-decimal rounding.  F and both degrees of freedom surface
+    so the reader can look up the critical value.
+    """
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum(F.col("s1").cast("double") * F.col("s1") / F.col("n")).alias(
+            "group_sq"
+        ),
+    )
+    ssb = F.col("group_sq") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ssw = F.col("s2").cast("double") - F.col("group_sq")
+    return t.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_bounce_rate_daily — single-event-session share per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bounce_rate_daily",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    g AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                           > {PEAK_SESSION_GAP_US}
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    iv AS (SELECT user_id, sid,
+                  CAST(min(us) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM s GROUP BY user_id, sid)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM iv GROUP BY day
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one event
+    (session = the same 30-min-gap islands as [[window_session_agg]] /
+    [[events_peak_concurrency]], keyed to the day the session STARTED) —
+    the engagement-quality headline that raw event counts hide (traffic
+    can rise while every new session bounces).
+
+    The session window is the one per-user shuffle every session-grain
+    metric in this repo shares; bounce classification is a per-session
+    count, and the daily rollup is combinable.  Sessions attribute to
+    their start day (the standard convention, stated because midnight-
+    spanning sessions would otherwise double-count).
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_us_expr(ev).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > PEAK_SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = s.groupBy("user_id", "sid").agg(
+        F.expr("CAST(min(us) AS BIGINT) DIV 86400000000").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    return iv.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_license_scan — license/rights-notice pattern audit
+# ---------------------------------------------------------------------------
+
+_LICENSE_PATTERNS = (
+    ("copyright", "copyright|\\(c\\) [0-9]{4}"),
+    ("rights_reserved", "all rights reserved"),
+    ("cc_license", "creative commons|cc by(-[a-z]{2})*"),
+    ("gpl", "gnu general public license|gpl-?[0-9]"),
+)
+
+
+def _license_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in _LICENSE_PATTERNS
+    )
+    any_pred = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for _, pat in _LICENSE_PATTERNS
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, {cols}, ({any_pred}) > 0 AS has_notice
+               FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN has_notice THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(n_copyright) AS BIGINT) AS n_copyright,
+           CAST(sum(n_rights_reserved) AS BIGINT) AS n_rights_reserved,
+           CAST(sum(n_cc_license) AS BIGINT) AS n_cc_license,
+           CAST(sum(n_gpl) AS BIGINT) AS n_gpl
+    FROM d GROUP BY source
+    """
+
+
+@query("corpus_license_scan", oracle=_license_oracle())
+def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License / rights-notice audit per source: match counts for
+    copyright lines, all-rights-reserved notices, Creative-Commons tags,
+    and GPL markers — the compliance scan a training-data pipeline runs
+    before a source enters the mix (flagged sources go to counsel or a
+    filter rule, the [[corpus_pii_scan]] discipline applied to RIGHTS
+    rather than identity).
+
+    Shuffle-free regexp battery rolled up per source; patterns avoid
+    lookarounds for Java/RE2 agreement and each carries an anchoring
+    literal, so the pre-gate trick is available if a pattern ever turns
+    hot (measured necessity on the email regex, corpus_pii_scan).
+    """
+    d = _t(spark, sf_dir, "documents")
+    count_cols = [
+        F.expr(
+            f"CAST(regexp_count(lower(text), '{pat}') AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat in _LICENSE_PATTERNS
+    ]
+    scanned = d.select("doc_id", "source", *count_cols)
+    total = None
+    for name, _ in _LICENSE_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    scanned = scanned.withColumn("has_notice", total > 0)
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("has_notice"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        *[
+            F.sum(f"n_{name}").cast("bigint").alias(f"n_{name}")
+            for name, _ in _LICENSE_PATTERNS
+        ],
+    )

@@ -6548,3 +6548,255 @@ def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, _ in _LICENSE_PATTERNS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump — exact best-split search by Gini impurity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM events),
+    g AS (SELECT cents, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS p
+          FROM s GROUP BY cents),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(p) AS BIGINT) AS pt
+            FROM g),
+    c AS (SELECT cents,
+                 CAST(sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS nl,
+                 CAST(sum(p) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS pl
+          FROM g),
+    sc AS (SELECT c.cents, c.nl, c.pl, tot.nt, tot.pt,
+                  CAST(round((
+                    (CAST(c.nl AS DOUBLE) / tot.nt)
+                      * (1 - pow(CAST(c.pl AS DOUBLE) / c.nl, 2)
+                           - pow(1 - CAST(c.pl AS DOUBLE) / c.nl, 2))
+                    + (CAST(tot.nt - c.nl AS DOUBLE) / tot.nt)
+                      * (1 - pow(CAST(tot.pt - c.pl AS DOUBLE) / (tot.nt - c.nl), 2)
+                           - pow(1 - CAST(tot.pt - c.pl AS DOUBLE)
+                                 / (tot.nt - c.nl), 2))
+                  ) * 1000000000) AS BIGINT) AS wg_ns
+           FROM c, tot WHERE c.nl < tot.nt),
+    best AS (SELECT cents, nl, pl, nt, pt, wg_ns,
+                    row_number() OVER (ORDER BY wg_ns, cents) AS rk
+             FROM sc)
+    SELECT cents AS best_threshold_cents,
+           round(1 - pow(CAST(pt AS DOUBLE) / nt, 2)
+                   - pow(1 - CAST(pt AS DOUBLE) / nt, 2), 6) AS gini_parent,
+           round(wg_ns / 1000000000.0, 6) AS gini_split,
+           round((1 - pow(CAST(pt AS DOUBLE) / nt, 2)
+                    - pow(1 - CAST(pt AS DOUBLE) / nt, 2))
+                 - wg_ns / 1000000000.0, 6) AS gini_gain,
+           CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right
+    FROM best WHERE rk = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split search for a decision stump: the value threshold
+    minimizing weighted Gini impurity for the purchase label — the
+    inner loop of every tree/GBM learner, expressed as ONE cumulative
+    window over the distinct-value grid (per-value class counts →
+    cumulative left-side counts → weighted impurity per candidate cut),
+    the stat_ks_two_sample/ml_roc_auc grid pattern again: no per-row
+    sort, no per-threshold rescans.
+
+    Ladder: class counts are exact integers; each candidate's weighted
+    Gini is one fixed float formula quantized to 1e-9 BEFORE the argmin
+    (ties then break on the threshold value), so engines cannot
+    disagree on the winning cut.  Output: the winning threshold,
+    parent/split impurity, the gain, and the resulting partition sizes.
+    """
+    s = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("cents").agg(
+        F.count("*").alias("n"), F.sum("pos").cast("bigint").alias("p")
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("p").cast("bigint").alias("pt")
+    )
+    cw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "cents",
+        F.sum("n").over(cw).cast("bigint").alias("nl"),
+        F.sum("p").over(cw).cast("bigint").alias("pl"),
+    )
+    sc = c.crossJoin(F.broadcast(tot)).where(F.col("nl") < F.col("nt"))
+    pl_ratio = F.col("pl").cast("double") / F.col("nl")
+    pr_ratio = (F.col("pt") - F.col("pl")).cast("double") / (
+        F.col("nt") - F.col("nl")
+    )
+    wg = (
+        (F.col("nl").cast("double") / F.col("nt"))
+        * (1 - F.pow(pl_ratio, 2) - F.pow(1 - pl_ratio, 2))
+        + ((F.col("nt") - F.col("nl")).cast("double") / F.col("nt"))
+        * (1 - F.pow(pr_ratio, 2) - F.pow(1 - pr_ratio, 2))
+    )
+    scored = sc.withColumn(
+        "wg_ns", F.round(wg * 1_000_000_000).cast("bigint")
+    )
+    wbest = Window.orderBy("wg_ns", "cents")
+    best = scored.withColumn("rk", F.row_number().over(wbest)).where(
+        F.col("rk") == 1
+    )
+    parent = 1 - F.pow(F.col("pt").cast("double") / F.col("nt"), 2) - F.pow(
+        1 - F.col("pt").cast("double") / F.col("nt"), 2
+    )
+    return best.select(
+        F.col("cents").alias("best_threshold_cents"),
+        F.round(parent, 6).alias("gini_parent"),
+        F.round(F.col("wg_ns") / 1_000_000_000.0, 6).alias("gini_split"),
+        F.round(parent - F.col("wg_ns") / 1_000_000_000.0, 6).alias("gini_gain"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_otif_rate — on-time-in-full fulfillment by priority
+# ---------------------------------------------------------------------------
+
+OTIF_SLA_DAYS = 30
+
+
+@query(
+    "orders_otif_rate",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey, o_orderpriority,
+                      epoch_us(o_orderdate) // 86400000000 AS od
+               FROM orders),
+    l AS (SELECT l_orderkey,
+                 max(epoch_us(l_shipdate) // 86400000000) AS last_ship,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT o.o_orderpriority,
+                 CASE WHEN l.last_ship IS NOT NULL
+                       AND l.last_ship - o.od <= {OTIF_SLA_DAYS}
+                      THEN 1 ELSE 0 END AS otif
+          FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(otif) AS BIGINT) AS n_otif,
+           round(CAST(sum(otif) AS DOUBLE) / count(*), 6) AS otif_rate
+    FROM j GROUP BY o_orderpriority
+    """,
+)
+def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full rate by order priority: an order counts as OTIF
+    only when its LAST line ships within {d} days of the order date —
+    the supply-chain headline where per-line on-time averages flatter
+    the truth (one late line fails the order, which is what the
+    customer experiences).  Orders with no lines fail by definition
+    (the backlog-snapshot convention for malformed orders).
+
+    One per-order completion aggregate (max shipdate, combinable), one
+    left join keyed on the natural order key, one conditional rollup —
+    exact integer day arithmetic throughout, one division per output
+    row.  Complements [[supplier_lead_time_profile]] (latency
+    distribution) with the binary SLA view.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+            "od"
+        ),
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+            ).alias("last_ship")
+        )
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderpriority",
+        F.when(
+            F.col("last_ship").isNotNull()
+            & (F.col("last_ship") - F.col("od") <= OTIF_SLA_DAYS),
+            1,
+        )
+        .otherwise(0)
+        .alias("otif"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("otif").cast("bigint").alias("n_otif"),
+        F.round(F.sum("otif").cast("double") / F.count("*"), 6).alias(
+            "otif_rate"
+        ),
+    )
+
+
+orders_otif_rate.__doc__ = orders_otif_rate.__doc__.format(d=OTIF_SLA_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# orders_single_source_risk — sole-supplier exposure by brand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_single_source_risk",
+    oracle="""
+    WITH ps AS (SELECT l_partkey,
+                       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                FROM lineitem GROUP BY l_partkey),
+    j AS (SELECT p.p_brand, ps.n_suppliers, ps.rev_cents
+          FROM ps JOIN part p ON p.p_partkey = ps.l_partkey)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_source,
+           CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS exposed_rev_cents,
+           round(CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
+                      AS DOUBLE) / sum(rev_cents), 6) AS exposed_rev_share
+    FROM j GROUP BY p_brand
+    """,
+)
+def orders_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-supplier exposure by brand: parts with exactly ONE observed
+    supplier and the revenue share riding on them — the supply-risk
+    register entry ([[supplier_concentration_hhi]] measures aggregate
+    concentration; this finds the specific parts where one supplier
+    failure stops revenue outright).
+
+    Per-part distinct-supplier counts and exact-cents revenue in one
+    combinable shuffle, a broadcast dim join for the brand, one rollup.
+    'Single-source' is an OBSERVED property of the trade history — the
+    honest operational definition when no contract data exists.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+    single = F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    exposed = F.when(F.col("n_suppliers") == 1, F.col("rev_cents")).otherwise(0)
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(single).cast("bigint").alias("n_single_source"),
+        F.sum(exposed).cast("bigint").alias("exposed_rev_cents"),
+        F.round(F.sum(exposed).cast("double") / F.sum("rev_cents"), 6).alias(
+            "exposed_rev_share"
+        ),
+    )

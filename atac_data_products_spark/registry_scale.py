@@ -6800,3 +6800,136 @@ def orders_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exposed_rev_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes_langid — train + predict + evaluate, all as DataFrames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                             AS tok
+                  FROM documents),
+    tk AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+    dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_dt
+           FROM tk GROUP BY doc_id, tok),
+    lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c_lt
+           FROM tk GROUP BY lang, tok),
+    lc AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS c_l FROM lt GROUP BY lang),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk),
+    prior AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+              GROUP BY lang),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT dt.doc_id, dt.tok, dt.n_dt, lc.lang, lc.c_l, vocab.v,
+                    coalesce(lt.c_lt, 0) AS c_lt
+             FROM dt CROSS JOIN lc CROSS JOIN vocab
+             LEFT JOIN lt ON lt.lang = lc.lang AND lt.tok = dt.tok),
+    scores AS (SELECT doc_id, lang,
+                      CAST(sum(n_dt * CAST(round(
+                        (ln(c_lt + 1) - ln(c_l + v)) * 1000000000)
+                        AS BIGINT)) AS BIGINT) AS ll_ns
+               FROM grid GROUP BY doc_id, lang),
+    withprior AS (SELECT s.doc_id, s.lang,
+                         s.ll_ns + CAST(round(
+                           (ln(p.n_docs) - ln(ntot.n)) * 1000000000)
+                           AS BIGINT) AS post_ns
+                  FROM scores s JOIN prior p ON p.lang = s.lang
+                  CROSS JOIN ntot),
+    pred AS (SELECT doc_id, lang AS pred_lang FROM (
+               SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY post_ns DESC, lang) AS rk
+               FROM withprior) WHERE rk = 1)
+    SELECT d.lang AS declared_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.pred_lang
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — TRAINED, APPLIED,
+    and EVALUATED entirely as DataFrame operations: per-language token
+    counts with add-one smoothing are the model (a TABLE, not an
+    artifact), per-document log-posteriors are a join + one combinable
+    sum, the argmax is a per-doc window, and the output is the
+    declared-vs-predicted confusion matrix (the trained-model upgrade
+    of the stopword heuristic audited in [[corpus_lang_confusion]]).
+
+    This is the sufficient-statistics ML pattern completing the family
+    (PCA = Gram, regression = moments, NB = count tables): training is
+    one shuffle of (lang, token) counts; inference shuffles (doc,
+    token)⋈(lang, token) with absent pairs handled by the dense
+    lang×doc-token grid (|langs|× fan-out of the doc-token table — 5×
+    here; at a large label count the grid restricts to observed pairs
+    plus a per-lang absent-mass closed form, the
+    corpus_js_divergence_sources trick).  Log-likelihood TERMS are
+    quantized to 1e-9 BIGINTs per (token, lang) BEFORE the per-doc
+    sum, so the distributed accumulation is exact and the argmax is
+    integer — cross-engine bit-stable.  In-sample evaluation, stated:
+    the contract pins the pipeline's arithmetic, not generalization
+    ([[corpus_split_assign]] supplies the held-out split when needed).
+    """
+    from .extensions.text import tokens as tok_fn
+
+    d = _t(spark, sf_dir, "documents")
+    tk = (
+        d.select("doc_id", "lang", F.explode(tok_fn("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dt = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("n_dt"))
+    lt = tk.groupBy("lang", "tok").agg(F.count("*").alias("c_lt"))
+    lc = lt.groupBy("lang").agg(F.sum("c_lt").cast("bigint").alias("c_l"))
+    vocab = tk.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    prior = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    ntot = d.agg(F.count("*").alias("n"))
+    grid = (
+        dt.crossJoin(F.broadcast(lc))
+        .crossJoin(F.broadcast(vocab))
+        .join(lt, ["lang", "tok"], "left")
+        .select(
+            "doc_id",
+            "tok",
+            "n_dt",
+            "lang",
+            "c_l",
+            "v",
+            F.coalesce("c_lt", F.lit(0)).alias("c_lt"),
+        )
+    )
+    term_ns = F.round(
+        (F.log(F.col("c_lt") + 1) - F.log(F.col("c_l") + F.col("v")))
+        * 1_000_000_000
+    ).cast("bigint")
+    scores = grid.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("n_dt") * term_ns).cast("bigint").alias("ll_ns")
+    )
+    withprior = (
+        scores.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("ll_ns")
+                + F.round(
+                    (F.log(F.col("n_docs")) - F.log(F.col("n"))) * 1_000_000_000
+                ).cast("bigint")
+            ).alias("post_ns"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("post_ns"), "lang")
+    pred = (
+        withprior.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(pred, "doc_id")
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -6933,3 +6933,129 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared_lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_logistic_irls — logistic regression by IRLS on sufficient statistics
+# ---------------------------------------------------------------------------
+
+IRLS_ITERS = 3
+_NS = 1_000_000_000
+
+
+def _irls_oracle() -> str:
+    ctes = ["""
+    s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+    g AS (SELECT cents, y, CAST(count(*) AS BIGINT) AS cnt,
+                 cents / 10000.0 AS x
+          FROM s GROUP BY cents, y),
+    b0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1)"""]
+    for r in range(1, IRLS_ITERS + 1):
+        p = r - 1
+        ctes.append(f"""
+    t{r} AS (SELECT g.cnt, g.x, g.y,
+                    1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))) AS mu
+             FROM g, b{p} b),
+    q{r} AS (SELECT cnt, x, y, mu,
+                    CAST(round(mu * (1 - mu) * {_NS}) AS BIGINT) AS w_ns,
+                    CAST(round(mu * (1 - mu) * x * {_NS}) AS BIGINT) AS wx_ns,
+                    CAST(round(mu * (1 - mu) * x * x * {_NS}) AS BIGINT) AS wxx_ns,
+                    CAST(round((mu * (1 - mu)
+                                * ((SELECT b0 FROM b{p}) + (SELECT b1 FROM b{p}) * x)
+                                + (y - mu)) * {_NS}) AS BIGINT) AS wz_ns,
+                    CAST(round((mu * (1 - mu) * x
+                                * ((SELECT b0 FROM b{p}) + (SELECT b1 FROM b{p}) * x)
+                                + x * (y - mu)) * {_NS}) AS BIGINT) AS wxz_ns
+             FROM t{r}),
+    m{r} AS (SELECT CAST(sum(cnt * w_ns) AS BIGINT) AS sw,
+                    CAST(sum(cnt * wx_ns) AS BIGINT) AS swx,
+                    CAST(sum(cnt * wxx_ns) AS BIGINT) AS swxx,
+                    CAST(sum(cnt * wz_ns) AS BIGINT) AS swz,
+                    CAST(sum(cnt * wxz_ns) AS BIGINT) AS swxz
+             FROM q{r}),
+    b{r} AS (SELECT
+               round((CAST(swxx AS DOUBLE) * swz - CAST(swx AS DOUBLE) * swxz)
+                     / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
+                     9) AS b0,
+               round((CAST(sw AS DOUBLE) * swxz - CAST(swx AS DOUBLE) * swz)
+                     / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
+                     9) AS b1
+             FROM m{r})""")
+    last = IRLS_ITERS
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT CAST({IRLS_ITERS} AS BIGINT) AS n_iters,
+           round(b0, 6) AS beta0,
+           round(b1, 6) AS beta1
+    FROM b{last}"""
+    )
+
+
+@query("ml_logistic_irls", oracle=_irls_oracle())
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (purchase ~ value) fitted by {r} rounds of
+    IRLS — iteratively reweighted least squares, the textbook GLM
+    fitter — expressed as the sufficient-statistics pattern: each round
+    reduces the data to FIVE weighted sums (ΣW, ΣWx, ΣWx², ΣWz, ΣWxz),
+    and the 2-parameter normal equations solve in closed form on the
+    one-row aggregate — no matrix library, no driver-side data.
+
+    Determinism ladder, per round: rows collapse to the distinct
+    (cents, label) grid first (weights are identical within a cell, so
+    cell terms multiply by exact integer counts); each cell's five
+    IRLS terms are computed once in doubles and quantized to 1e-9
+    BIGINTs BEFORE the distributive sums; the closed-form solve runs
+    on exact integers; and β re-rounds to 1e-9 between rounds so every
+    iteration starts from identical numbers on both engines.  The
+    corpus-sized work per round is one combinable aggregation — the
+    same cost profile as vector_kmeans_lloyd's iterations.
+    """
+    s = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("cents", "y").agg(F.count("*").alias("cnt")).select(
+        "cnt", "y", (F.col("cents") / 10000.0).alias("x")
+    )
+    from pyspark import StorageLevel
+
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    beta = (0.0, 0.0)
+    b_df = None
+    for r in range(IRLS_ITERS):
+        b0, b1 = beta
+        eta = F.lit(b0) + F.lit(b1) * F.col("x")
+        mu = 1.0 / (1.0 + F.exp(-eta))
+        w = mu * (1 - mu)
+        z_num = w * eta + (F.col("y") - mu)
+        xz_num = w * F.col("x") * eta + F.col("x") * (F.col("y") - mu)
+        q = g.select(
+            "cnt",
+            F.round(w * _NS).cast("bigint").alias("w_ns"),
+            F.round(w * F.col("x") * _NS).cast("bigint").alias("wx_ns"),
+            F.round(w * F.col("x") * F.col("x") * _NS).cast("bigint").alias("wxx_ns"),
+            F.round(z_num * _NS).cast("bigint").alias("wz_ns"),
+            F.round(xz_num * _NS).cast("bigint").alias("wxz_ns"),
+        )
+        m = q.agg(
+            F.sum(F.col("cnt") * F.col("w_ns")).cast("bigint").alias("sw"),
+            F.sum(F.col("cnt") * F.col("wx_ns")).cast("bigint").alias("swx"),
+            F.sum(F.col("cnt") * F.col("wxx_ns")).cast("bigint").alias("swxx"),
+            F.sum(F.col("cnt") * F.col("wz_ns")).cast("bigint").alias("swz"),
+            F.sum(F.col("cnt") * F.col("wxz_ns")).cast("bigint").alias("swxz"),
+        ).first()
+        det = float(m.sw) * m.swxx - float(m.swx) * m.swx
+        beta = (
+            round((float(m.swxx) * m.swz - float(m.swx) * m.swxz) / det, 9),
+            round((float(m.sw) * m.swxz - float(m.swx) * m.swz) / det, 9),
+        )
+    g.unpersist()
+    spark_b = spark.createDataFrame(
+        [(IRLS_ITERS, round(beta[0], 6), round(beta[1], 6))],
+        "n_iters bigint, beta0 double, beta1 double",
+    )
+    return spark_b

@@ -7059,3 +7059,148 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_iters bigint, beta0 double, beta1 double",
     )
     return spark_b
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_median — exact rolling median (order statistic in a frame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
+          FROM d GROUP BY day)
+    SELECT day,
+           round(daily_cents / 100.0, 2) AS daily_value,
+           round(quantile_cont(daily_cents, 0.5)
+                 OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / 100.0, 6) AS rolling_median_7d,
+           CAST(count(*) OVER (ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS frame_n
+    FROM g
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact MEDIAN of daily revenue — the robust trend
+    line dashboards want where the moving AVERAGE
+    ([[window_moving_avg]]) gets dragged by single spikes; medians
+    don't distribute, so this is a genuine ORDER STATISTIC inside a
+    sliding frame, not a reframed sum.
+
+    Both engines run their percentile aggregate AS a window function
+    over the identical ROWS frame (Spark's percentile() and DuckDB's
+    quantile_cont share the interpolated definition pinned by
+    agg_percentiles).  Frame re-sorting cost is bounded by the frame
+    width (7) times the calendar-bounded day grid; at high-frequency
+    grids the two-heap streaming median is the declared upgrade, same
+    interface.
+    """
+    from .sources.tables import ts_us_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
+    fr = Window.orderBy("day").rowsBetween(-6, 0)
+    return g.select(
+        "day",
+        F.round(F.col("daily_cents") / 100.0, 2).alias("daily_value"),
+        F.round(
+            F.expr("percentile(daily_cents, 0.5)").over(fr) / 100.0, 6
+        ).alias("rolling_median_7d"),
+        F.count("*").over(fr).cast("bigint").alias("frame_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_doc_embedding_hashed — TF-IDF-weighted hashed document vectors
+# ---------------------------------------------------------------------------
+
+DOC_EMB_DIM = 16
+
+
+@query(
+    "corpus_doc_embedding_hashed",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                             AS tok
+                  FROM documents),
+    tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tk GROUP BY tok),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tk),
+    w AS (SELECT tf.doc_id,
+                 ({hash59_sql("'emb' || tf.tok")}) % {DOC_EMB_DIM} AS dim,
+                 CASE WHEN ({hash59_sql("'sgn' || tf.tok")}) % 2 = 0
+                      THEN 1 ELSE -1 END
+                   * tf.tf
+                   * CAST(round(ln((nd.n + 1.0) / (df.df + 1.0)) * 1000000000)
+                          AS BIGINT) AS contrib_ns
+          FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd)
+    SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+           round(CAST(sum(contrib_ns) AS BIGINT) / 1000000000.0, 6) AS weight
+    FROM w GROUP BY doc_id, dim
+    """,
+)
+def corpus_doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free document embeddings: every token contributes its
+    tf·idf weight, with a hash-chosen SIGN, to a hash-chosen dimension
+    of a {d}-dim vector — the signed hashing trick (feature hashing +
+    Rademacher signs, the public Weinberger et al. construction whose
+    signs make collisions cancel in expectation).  This bridges the
+    text and vector families: the output long-form (doc, dim, weight)
+    table feeds the cosine/ANN operators directly, giving retrieval
+    over corpora where no trained embedding model exists —
+    [[text_feature_hashing]] is the count-only precursor; this adds
+    idf weighting and signs.
+
+    One tf shuffle, one broadcast idf join, one combinable (doc, dim)
+    aggregation; idf log-terms are quantized to 1e-9 BIGINTs per token
+    BEFORE the signed sums, so the embedding is integer-exact under any
+    fold order — a property no floating-point embedding pipeline has.
+    """
+    from .extensions.text import tokens as tok_fn
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tok_fn("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tk.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = tk.agg(F.countDistinct("doc_id").alias("n"))
+    idf_ns = F.round(
+        F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * 1_000_000_000
+    ).cast("bigint")
+    sign = F.when(
+        hash59(F.concat(F.lit("sgn"), F.col("tok"))) % 2 == 0, 1
+    ).otherwise(-1)
+    dim = hash59(F.concat(F.lit("emb"), F.col("tok"))) % DOC_EMB_DIM
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            dim.cast("bigint").alias("dim"),
+            (sign * F.col("tf") * idf_ns).alias("contrib_ns"),
+        )
+    )
+    return w.groupBy("doc_id", "dim").agg(
+        F.round(
+            F.sum("contrib_ns").cast("bigint") / 1_000_000_000.0, 6
+        ).alias("weight")
+    )
+
+
+corpus_doc_embedding_hashed.__doc__ = corpus_doc_embedding_hashed.__doc__.format(
+    d=DOC_EMB_DIM
+)

@@ -7204,3 +7204,279 @@ def corpus_doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_doc_embedding_hashed.__doc__ = corpus_doc_embedding_hashed.__doc__.format(
     d=DOC_EMB_DIM
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_hashed_retrieval_topk — retrieval over the derived embeddings
+# ---------------------------------------------------------------------------
+
+HASHED_QUERY_DOC = 0
+HASHED_TOPK = 10
+
+
+def _hashed_retrieval_oracle() -> str:
+    from .registry import ORACLES
+
+    emb = ORACLES["corpus_doc_embedding_hashed"]
+    return f"""
+    WITH emb AS ({emb}),
+    q AS (SELECT dim, weight FROM emb WHERE doc_id = {HASHED_QUERY_DOC}),
+    qn AS (SELECT sqrt(sum(weight * weight)) AS n FROM q),
+    dots AS (SELECT e.doc_id,
+                    sum(e.weight * q.weight) AS dot
+             FROM emb e JOIN q ON q.dim = e.dim
+             WHERE e.doc_id <> {HASHED_QUERY_DOC}
+             GROUP BY e.doc_id),
+    norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS n FROM emb
+              GROUP BY doc_id),
+    scored AS (SELECT d.doc_id,
+                      round(d.dot / (nm.n * (SELECT n FROM qn)), 6) AS cosine
+               FROM dots d JOIN norms nm ON nm.doc_id = d.doc_id)
+    SELECT doc_id, cosine,
+           CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+               AS rk
+    FROM scored
+    QUALIFY rk <= {HASHED_TOPK}
+    """
+
+
+@query("corpus_hashed_retrieval_topk", oracle=_hashed_retrieval_oracle())
+def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the engine's OWN derived embeddings: top-{k} most
+    similar documents to doc {q} by cosine over the signed-hash tf-idf
+    vectors ([[corpus_doc_embedding_hashed]]) — closing the loop from
+    raw text to vector search with zero external models.  Long-form
+    cosine: the dot product is an equi-join on the DIMENSION key plus a
+    combinable sum — the sparse-vector formulation that never
+    materializes dense arrays, which is exactly how the SURVEY's
+    cell×feature matrices multiply (§1.4).
+
+    One broadcast of the {d}-dim query vector, one join-aggregate for
+    dots, one for norms, a two-phase top-k.  Norm sums are float
+    (weights already carry the quantized-idf exactness; the norm is a
+    {d}-term sum whose operands are 1e-9-grid rationals — fold order
+    cannot move the 6-decimal rounding at this term count).
+    """
+    from .registry import QUERIES
+
+    emb = QUERIES["corpus_doc_embedding_hashed"](spark, sf_dir)
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    q = emb.where(F.col("doc_id") == HASHED_QUERY_DOC).select(
+        "dim", F.col("weight").alias("qw")
+    )
+    qn = q.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
+    dots = (
+        emb.where(F.col("doc_id") != HASHED_QUERY_DOC)
+        .join(F.broadcast(q), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    norms = emb.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("n")
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= HASHED_TOPK)
+    )
+
+
+corpus_hashed_retrieval_topk.__doc__ = corpus_hashed_retrieval_topk.__doc__.format(
+    k=HASHED_TOPK, q=HASHED_QUERY_DOC, d=DOC_EMB_DIM
+)
+
+
+# ---------------------------------------------------------------------------
+# stat_mcnemar_classifiers — paired comparison of two engine classifiers
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from .registry import ORACLES
+
+    nb = ORACLES["ml_naive_bayes_langid"]
+    # rebuild per-doc predictions for both classifiers (the NB oracle
+    # aggregates to a confusion matrix; we need the doc grain here)
+    return """
+    WITH toks AS (SELECT doc_id, lang,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents),
+    heur AS (SELECT doc_id, lang,
+                    CASE WHEN len(list_filter(t, x -> list_contains(
+                           ['the','a','an','of','to','and','in','is','on','for'], x)))
+                         / CAST(len(t) AS DOUBLE) >= 0.02
+                         THEN 'en' ELSE 'unknown' END AS pred
+             FROM toks),
+    tk AS (SELECT doc_id, lang, unnest(t) AS tok FROM toks),
+    tk2 AS (SELECT doc_id, lang, tok FROM tk WHERE tok <> ''),
+    dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_dt
+           FROM tk2 GROUP BY doc_id, tok),
+    lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c_lt
+           FROM tk2 GROUP BY lang, tok),
+    lc AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS c_l FROM lt GROUP BY lang),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk2),
+    prior AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+              GROUP BY lang),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT dt.doc_id, dt.tok, dt.n_dt, lc.lang, lc.c_l, vocab.v,
+                    coalesce(lt.c_lt, 0) AS c_lt
+             FROM dt CROSS JOIN lc CROSS JOIN vocab
+             LEFT JOIN lt ON lt.lang = lc.lang AND lt.tok = dt.tok),
+    scores AS (SELECT doc_id, lang,
+                      CAST(sum(n_dt * CAST(round(
+                        (ln(c_lt + 1) - ln(c_l + v)) * 1000000000)
+                        AS BIGINT)) AS BIGINT) AS ll_ns
+               FROM grid GROUP BY doc_id, lang),
+    withprior AS (SELECT s.doc_id, s.lang,
+                         s.ll_ns + CAST(round(
+                           (ln(p.n_docs) - ln(ntot.n)) * 1000000000)
+                           AS BIGINT) AS post_ns
+                  FROM scores s JOIN prior p ON p.lang = s.lang
+                  CROSS JOIN ntot),
+    nbp AS (SELECT doc_id, lang AS pred FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY post_ns DESC, lang) AS rk
+              FROM withprior) WHERE rk = 1),
+    paired AS (SELECT h.doc_id,
+                      CASE WHEN h.pred = h.lang THEN 1 ELSE 0 END AS a_right,
+                      CASE WHEN n.pred = h.lang THEN 1 ELSE 0 END AS b_right
+               FROM heur h JOIN nbp n ON n.doc_id = h.doc_id)
+    SELECT CAST(sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_heuristic_right,
+           CAST(sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_nb_right,
+           round(CAST(sum(a_right) AS DOUBLE) / count(*), 6)
+               AS heuristic_accuracy,
+           round(CAST(sum(b_right) AS DOUBLE) / count(*), 6) AS nb_accuracy,
+           round(pow(abs(sum(CASE WHEN a_right = 1 AND b_right = 0
+                                  THEN 1 ELSE 0 END)
+                         - sum(CASE WHEN a_right = 0 AND b_right = 1
+                                    THEN 1 ELSE 0 END)) - 1, 2)
+                 / nullif(sum(CASE WHEN a_right = 1 AND b_right = 0
+                              THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN a_right = 0 AND b_right = 1
+                                     THEN 1 ELSE 0 END), 0), 6) AS mcnemar_chi2
+    FROM paired
+    """
+
+
+@query("stat_mcnemar_classifiers", oracle=_mcnemar_oracle())
+def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the engine's two language
+    classifiers — the stopword heuristic ([[text_lang_id]]) and the
+    trained Naive Bayes ([[ml_naive_bayes_langid]]) — on the SAME
+    documents against the declared labels: the discordant-pair counts
+    (only-A-right vs only-B-right), both accuracies, and the
+    continuity-corrected χ² = (|b−c|−1)²/(b+c).  Comparing two
+    classifiers by raw accuracy on shared data ignores pairing;
+    McNemar's is the correct test, and it needs only the two discordant
+    counts — cheap at any scale.
+
+    Both prediction pipelines run in one plan (the heuristic is a
+    projection; NB is the registered sufficient-statistics pipeline);
+    the paired rollup is one combinable aggregation on the doc key.
+    """
+    from .extensions.text import STOPWORDS, tokens as tok_fn
+    from .registry import QUERIES
+
+    d = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toked = d.select("doc_id", "lang", tok_fn("text").alias("t"))
+    heur = toked.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.size(F.filter(F.col("t"), lambda x: F.array_contains(stop_arr, x)))
+            / F.size("t").cast("double")
+            >= 0.02,
+            "en",
+        )
+        .otherwise("unknown")
+        .alias("h_pred"),
+    )
+    # per-doc NB predictions: re-run the registered pipeline's stages up
+    # to the argmax (the registered key aggregates to a confusion matrix)
+    tk = (
+        d.select("doc_id", "lang", F.explode(tok_fn("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dt = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("n_dt"))
+    lt = tk.groupBy("lang", "tok").agg(F.count("*").alias("c_lt"))
+    lc = lt.groupBy("lang").agg(F.sum("c_lt").cast("bigint").alias("c_l"))
+    vocab = tk.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    prior = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    ntot = d.agg(F.count("*").alias("n"))
+    grid = (
+        dt.crossJoin(F.broadcast(lc))
+        .crossJoin(F.broadcast(vocab))
+        .join(lt, ["lang", "tok"], "left")
+        .select(
+            "doc_id",
+            "n_dt",
+            "lang",
+            "c_l",
+            "v",
+            F.coalesce("c_lt", F.lit(0)).alias("c_lt"),
+        )
+    )
+    term_ns = F.round(
+        (F.log(F.col("c_lt") + 1) - F.log(F.col("c_l") + F.col("v")))
+        * 1_000_000_000
+    ).cast("bigint")
+    scores = grid.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("n_dt") * term_ns).cast("bigint").alias("ll_ns")
+    )
+    withprior = (
+        scores.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("ll_ns")
+                + F.round(
+                    (F.log(F.col("n_docs")) - F.log(F.col("n"))) * 1_000_000_000
+                ).cast("bigint")
+            ).alias("post_ns"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("post_ns"), "lang")
+    nbp = (
+        withprior.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("nb_pred"))
+    )
+    paired = heur.join(nbp, "doc_id").select(
+        F.when(F.col("h_pred") == F.col("lang"), 1).otherwise(0).alias("a_right"),
+        F.when(F.col("nb_pred") == F.col("lang"), 1).otherwise(0).alias("b_right"),
+    )
+    b = F.sum(
+        F.when((F.col("a_right") == 1) & (F.col("b_right") == 0), 1).otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col("a_right") == 0) & (F.col("b_right") == 1), 1).otherwise(0)
+    )
+    return paired.agg(
+        b.cast("bigint").alias("only_heuristic_right"),
+        c.cast("bigint").alias("only_nb_right"),
+        F.round(F.sum("a_right").cast("double") / F.count("*"), 6).alias(
+            "heuristic_accuracy"
+        ),
+        F.round(F.sum("b_right").cast("double") / F.count("*"), 6).alias(
+            "nb_accuracy"
+        ),
+        F.round(
+            F.pow(F.abs(b - c) - 1, 2) / F.nullif(b + c, F.lit(0)), 6
+        ).alias("mcnemar_chi2"),
+    )

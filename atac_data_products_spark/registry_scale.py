@@ -356,37 +356,74 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(t·n) = (n·{num} + {den} - 1) DIV {den}) so both engines cut
     identical prefixes.
     """
-    from .extensions.dedup import jaccard_pairs
     from .extensions.text import shingle_table
 
-    sh = shingle_table(_t(spark, sf_dir, "documents"))  # distinct (doc, shingle)
-    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # every shuffle in this pipeline keys on the SHINGLE; hashing shingles
+    # to the portable 59-bit digest first makes those keys 8 bytes instead
+    # of multi-word strings (measured ~18% wall at sf0.1, identical
+    # output; digest collisions perturb a count with odds 2^-59 per
+    # co-occurring pair — the engine-wide hash59 acceptance).  The
+    # prefix-order tie-break moves from the shingle string to its digest:
+    # a different but equally deterministic total order, still lossless
+    # (ANY global order works for the prefix theorem).
+    sh = (
+        shingle_table(_t(spark, sf_dir, "documents"), distinct=False)
+        .select("doc_id", hash59("shingle").alias("g"))
+        .distinct()
+    )
+    df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
     prefix_len = F.col("__n") - F.expr(
         f"CAST((__n * {num} + {den} - 1) DIV {den} AS BIGINT)"
     ) + 1
     ranked = (
-        sh.join(df_tab, "shingle")
+        sh.join(df_tab, "g")
         .join(sizes, "doc_id")
         .withColumn(
             "__rk",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("__df", "shingle")
+                Window.partitionBy("doc_id").orderBy("__df", "g")
             ),
         )
         .where(F.col("__rk") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "g")
     )
-    a = ranked.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ranked.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = ranked.select(F.col("doc_id").alias("doc_a"), "g")
+    b = ranked.select(F.col("doc_id").alias("doc_b"), "g")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "g")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(sh, threshold=PREFIX_JACCARD, candidates=cand)
+    # pair-driven exact-Jaccard verify over digest shingles (the
+    # jaccard_pairs plan inlined on the digest key)
+    cd = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+    ps = sh.join(cd, "doc_id", "left_semi")
+    szs = ps.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(ps.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+        .join(ps.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = szs.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = szs.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= PREFIX_JACCARD)
+    )
 
 
 dedup_prefix_filter_join.__doc__ = dedup_prefix_filter_join.__doc__.format(

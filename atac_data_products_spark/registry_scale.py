@@ -45,6 +45,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.hashes import hash59, hash59_sql
+
+# Cross-registry oracle composition (PCA reuses the gram spec, the chain
+# audit reuses the LSH pair spec, packing-efficiency reuses the packer,
+# the SCD2 audit reuses the history spec): import those registries HERE
+# so their ORACLES entries exist no matter which module a consumer
+# imports first.
+from . import registry_analytics  # noqa: F401  (registers scd2/welch specs)
+from . import registry_corpus  # noqa: F401  (registers the packer spec)
+from . import registry_ext  # noqa: F401  (registers gram/LSH/NB deps)
 from .registry import _t, query
 
 # ---------------------------------------------------------------------------

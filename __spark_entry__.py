@@ -25,62 +25,65 @@ from pyspark.sql import DataFrame, SparkSession
 # in without editing this file.  A key that failed its latest grading stays
 # in the window for re-grading.
 _PRIORITY: list[str] = [
-    # graph battery (3)
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    # streaming batch twins (4)
-    "window_tumbling_agg",
-    "window_sliding_agg",
-    "window_session_agg",
-    "stream_dedup_exact",
-    # LLM-corpus pipeline, batch 2 (14)
-    "corpus_contamination",
-    "corpus_repetition_ratio",
-    "corpus_quality_gate",
-    "corpus_chunk_overlap",
-    "corpus_reservoir_per_source",
-    "corpus_stats_rollup",
-    "corpus_dedup_survivors",
-    "corpus_vocab_coverage",
-    "corpus_training_manifest",
-    "corpus_lang_drift_kl",
-    "corpus_unigram_logprob",
-    "corpus_dup_rate_by_source",
-    "corpus_token_entropy",
-    "corpus_split_leakage_audit",
-    # text analysis extras (3)
-    "text_feature_hashing",
-    "text_pmi_bigrams",
-    "text_readability_scores",
-    # similarity / vector extras (4)
-    "similarity_knn_join",
-    "ml_score_batch",
-    "vector_gram_int8",
-    "dedup_similarity_histogram",
-    # analytics batches 2-3, registry order (22)
-    "join_gene_map",
-    "sink_orc_roundtrip",
-    "sink_partitioned_pruned",
-    "sink_compact_small_files",
-    "scan_csv_quoted",
-    "scan_jsonl_corrupt_tolerant",
-    "scan_parquet_schema_evolution",
-    "agg_cube_pricing",
-    "agg_mode_deterministic",
-    "agg_histogram_fixed",
-    "window_topk_per_group",
-    "window_moving_avg",
-    "array_hof_battery",
-    "timeseries_gapfill",
-    "json_extract_battery",
-    "sample_deterministic",
-    "join_null_safe",
-    "vector_centroids",
-    "events_funnel",
-    "zorder_key",
-    "regex_extract_battery",
-    "set_ops_battery",
+    # VERDICT r03 "Next round #2": the riskiest ungraded plans first —
+    # physical-rewrite joins, iterative algorithms, sufficient-statistics
+    # ML, sampling — so driver grading covers them this round. (10)
+    "dedup_prefix_filter_join",
+    "corpus_pipeline_e2e",
+    "vector_kmeans_lloyd",
+    "vector_pca_power_iteration",
+    "spatial_grid_nn",
+    "bloom_semi_join",
+    "similarity_mmr_rerank",
+    "sql_api_recursive_cte",
+    "ml_logistic_irls",
+    "stat_bootstrap_poisson_ci",
+    # remaining iterative graph operators (5)
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_bfs_hops",
+    "graph_common_neighbors",
+    "graph_assortativity",
+    # dedup evaluation / scale-stress battery (10)
+    "dedup_minhash_lsh_exact",
+    "dedup_minhash_lsh_star_stress",
+    "dedup_incremental_probe",
+    "dedup_containment",
+    "dedup_common_substring",
+    "dedup_lsh_band_sweep",
+    "dedup_cluster_chain_audit",
+    "dedup_minhash_estimate_calibration",
+    "dedup_simhash_eval",
+    "dedup_sampled_rate_estimate",
+    # similarity / vector evaluation paths (6)
+    "similarity_ann_recall_eval",
+    "similarity_range_search",
+    "similarity_matryoshka_prefix_eval",
+    "knn_label_vote",
+    "semantic_bucket_purity",
+    "vector_lang_centroid_outliers",
+    # streaming batch-twin audits (2)
+    "stream_join_interval",
+    "stream_state_size_audit",
+    # mutation / temporal-correctness shapes (8)
+    "tpch_refresh_cycle",
+    "cdc_merge_upsert",
+    "scd2_state_history",
+    "join_point_in_time_scd2",
+    "join_salted_skew",
+    "agg_salted_skew",
+    "join_range_banding",
+    "join_asof_nearest",
+    # source formats + sketches + ML eval (9)
+    "scan_fixed_width",
+    "scan_parquet_rowgroup_stats",
+    "sketch_hll_mergeable_rollup",
+    "sketch_bloom_fpr_eval",
+    "approx_distinct_accuracy",
+    "approx_percentile_accuracy",
+    "ml_naive_bayes_langid",
+    "ml_roc_auc",
+    "window_rolling_median",
 ]
 
 

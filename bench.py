@@ -1,8 +1,17 @@
 """Benchmark loop: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (the LAST line of stdout):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>, "n_queries": N}
+
+The driver captures a bounded TAIL of stdout, so the line must stay small
+enough to survive truncation (BENCH_r03 was unparseable because the
+67-entry queries map pushed the line head past the capture window —
+VERDICT r03 "Next round #1").  Strategy: the summary line carries only the
+aggregate plus a queries map for the first few headliners; the FULL
+per-query map is written to BENCH_DETAIL.json next to this script, and
+each query also prints its own tiny per-line record as it finishes (so a
+truncated tail still shows the latest timings).
 
 Execution is forced through the noop sink (full pipeline runs, no
 driver-side collect skew).  Queries here are the scale-relevant plans:
@@ -165,17 +174,42 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
+        # per-query progress line: even a truncated stdout tail shows
+        # the most recent timings (driver-side diagnostics, not parsed)
+        print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # the driver-parsed line: LAST on stdout and kept SHORT.  `queries`
+    # carries only the first few headliners so the line stays well under
+    # any plausible tail-capture bound; the full map is in
+    # BENCH_DETAIL.json (path echoed in the line).
+    head = {k: timings[k] for k in list(timings)[:5]}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": head,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -114,8 +114,26 @@ def build_product(
         x = intersect_keys(unioned[mod], final_cells, "cell_id").select(
             "dataset", "cell_id", "feature_id", "value"
         )
-        var = unioned[mod].select("feature_id").distinct().withColumn(
-            "modality", F.lit(mod)
+        # var carries each dataset's feature CONTRIBUTION (not just the
+        # distinct feature set): partitioned by dataset on disk, a
+        # re-added dataset's stale features are subtractable the same
+        # way obs rows are — dynamic partition overwrite replaces
+        # exactly that dataset's contribution (append_dataset_to_product).
+        # Restricted to MANIFESTED datasets (reference parity: only
+        # manifest rows are read at all, bin/concatenate.py:121-136) but
+        # NOT to surviving cells (anndata outer concat keeps a manifested
+        # dataset's features even when intersect_obs drops its cells).
+        # The product-level feature list is the distinct feature_id view.
+        var = (
+            unioned[mod]
+            .join(
+                F.broadcast(manifest.select(F.col("uuid").alias("dataset"))),
+                "dataset",
+                "left_semi",
+            )
+            .select("dataset", "feature_id")
+            .distinct()
+            .withColumn("modality", F.lit(mod))
         )
         modalities[mod] = (x, var)
 
@@ -172,62 +190,111 @@ def append_dataset_to_product(
     and appending ds is exactly building its mini-product and merging.
     (The golden test asserts this equality against a full rebuild.)
 
+    The decomposition requires the mini-build to see the PRODUCT's
+    modality set: a dataset missing one of the product's modalities
+    contributes zero cells under intersect-obs (J1), so its append
+    degenerates to a dataset REMOVAL; a dataset introducing a modality
+    the product lacks would shrink every OTHER dataset's cell set in a
+    rebuild — not expressible incrementally — and raises ValueError.
+
     Physical merge, per table:
+      - explicit DELETE of the dataset's old ``dataset=<ds>`` partitions
+        in every modality's x/var first (metadata-only FS deletes):
+        dynamic overwrite alone cannot remove a partition it writes no
+        rows into (feature-dropping re-adds, empty contributions,
+        vanished datasets).
       - ``x_<modality>``: DYNAMIC partition overwrite — only the new
-        dataset's partition is replaced, making re-runs IDEMPOTENT (a
+        dataset's partition is written, making re-runs IDEMPOTENT (a
         crashed append re-executes safely; a plain append mode would
         duplicate rows).  Existing partitions are untouched bytes.
+      - ``var_<modality>``: same — var holds per-dataset feature
+        CONTRIBUTIONS (build_product), so a re-added dataset whose new
+        version dropped features leaves no stale var rows.
       - ``obs``: small (cell metadata); rewritten as (old minus this
         dataset) ∪ new, with the lineage broken by localCheckpoint
         before overwriting the path being read.
-      - ``var_<modality>``: distinct union, same rewrite.
-      - ``product.json``: counts updated incrementally (old total minus
-        the dataset's previous contribution plus the new one).
+      - ``product.json``: cell_count updated incrementally;
+        dataset_uuids / dataset_hbmids / dataset_count derived from the
+        datasets ACTUALLY PRESENT in the merged obs (manifest filtered
+        to them), so the metadata can never list datasets absent from
+        the data nor disagree with dataset_count.
     """
     from ..sinks.writers import _join_uri, _write_text_uri
     import json as _json
-
-    row = manifest.where(F.col("uuid") == dataset)
-    mini = build_product(
-        row,
-        {mod: [df] for mod, df in new_matrices_by_modality.items()},
-        tissue=tissue,
-    )
-
-    old_obs = spark.read.parquet(_join_uri(product_dir, "obs"))
-    obs_kept = old_obs.where(F.col("dataset") != dataset)
-    removed = old_obs.where(F.col("dataset") == dataset).count()
-    new_obs = mini.obs
-    added = new_obs.count()
-    merged_obs = obs_kept.unionByName(new_obs).localCheckpoint()
 
     prev_meta = _json.loads(
         spark.read.text(_join_uri(product_dir, "product.json"))
         .agg(F.concat_ws("\n", F.collect_list("value")))
         .first()[0]
     )
+    product_mods = set(prev_meta.get("modalities", []))
+    new_mods = set(new_matrices_by_modality)
+    extra = new_mods - product_mods
+    if product_mods and extra:
+        raise ValueError(
+            f"dataset {dataset!r} introduces modalities {sorted(extra)} the "
+            f"product lacks; under intersect-obs semantics this changes every "
+            f"other dataset's cell set — rebuild the product instead"
+        )
+
+    if product_mods and (product_mods - new_mods):
+        # missing a product modality → zero intersected cells: removal
+        mini_modalities: dict[str, tuple[DataFrame, DataFrame]] = {}
+        new_obs = None
+        added = 0
+    else:
+        row = manifest.where(F.col("uuid") == dataset)
+        mini = build_product(
+            row,
+            {mod: [df] for mod, df in new_matrices_by_modality.items()},
+            tissue=tissue,
+        )
+        mini_modalities = mini.modalities
+        new_obs = mini.obs
+        added = new_obs.count()
+
+    old_obs = spark.read.parquet(_join_uri(product_dir, "obs"))
+    obs_kept = old_obs.where(F.col("dataset") != dataset)
+    removed = old_obs.where(F.col("dataset") == dataset).count()
+    merged_obs = (
+        obs_kept.unionByName(new_obs) if new_obs is not None else obs_kept
+    ).localCheckpoint()
+
+    # drop the dataset's prior contribution everywhere before writing
+    # the new one — partition-directory deletes, no other bytes touched
+    for mod in product_mods | new_mods:
+        for table in (f"x_{mod}", f"var_{mod}"):
+            _delete_uri(
+                spark, _join_uri(product_dir, table, f"dataset={dataset}")
+            )
 
     dyn_key = "spark.sql.sources.partitionOverwriteMode"
     prev_mode = spark.conf.get(dyn_key, "static")
     spark.conf.set(dyn_key, "dynamic")
     try:
-        for mod, (x, var) in mini.modalities.items():
+        for mod, (x, var) in mini_modalities.items():
             (
                 x.sortWithinPartitions("dataset", "cell_id")
                 .write.mode("overwrite")
                 .partitionBy("dataset")
                 .parquet(_join_uri(product_dir, f"x_{mod}"))
             )
-            old_var = spark.read.parquet(_join_uri(product_dir, f"var_{mod}"))
-            merged_var = old_var.unionByName(var).distinct().localCheckpoint()
-            merged_var.write.mode("overwrite").parquet(
-                _join_uri(product_dir, f"var_{mod}")
+            (
+                var.write.mode("overwrite")
+                .partitionBy("dataset")
+                .parquet(_join_uri(product_dir, f"var_{mod}"))
             )
     finally:
         spark.conf.set(dyn_key, prev_mode)
     merged_obs.write.mode("overwrite").parquet(_join_uri(product_dir, "obs"))
 
-    lists = manifest.agg(
+    # metadata lists derive from the data actually present: filter the
+    # manifest to the merged obs' datasets so uuids/hbmids/count agree
+    # with the product by construction
+    present = [
+        r.dataset for r in merged_obs.select("dataset").distinct().collect()
+    ]
+    lists = manifest.where(F.col("uuid").isin(present)).agg(
         F.sort_array(F.collect_list("uuid")).alias("uuids"),
         F.sort_array(F.collect_list("hubmap_id")).alias("hbmids"),
     ).first()
@@ -236,11 +303,8 @@ def append_dataset_to_product(
         "cell_count": int(prev_meta["cell_count"]) - removed + added,
         "dataset_uuids": list(lists.uuids),
         "dataset_hbmids": list(lists.hbmids),
-        "dataset_count": int(
-            prev_meta.get("dataset_count", 0)
-        )
-        - (1 if removed else 0)
-        + (1 if added else 0),
+        "dataset_count": len(lists.uuids),
+        "modalities": sorted(product_mods | set(mini_modalities)),
     }
     _write_text_uri(
         spark,
@@ -248,3 +312,13 @@ def append_dataset_to_product(
         _json.dumps(metadata, indent=2, sort_keys=True),
     )
     return metadata
+
+
+def _delete_uri(spark, path: str) -> None:
+    """Recursively delete `path` via the Hadoop FileSystem for its
+    scheme (no-op if absent) — works for file://, hdfs://, s3a:// alike."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)

@@ -78,7 +78,13 @@ def write_product(
             .partitionBy(partition_matrix_by)
             .parquet(_join_uri(out_dir, f"x_{modality}"))
         )
-        var.write.mode("overwrite").parquet(_join_uri(out_dir, f"var_{modality}"))
+        # var partitions by dataset too (when the contribution column is
+        # present) so incremental re-adds can replace exactly one
+        # dataset's feature contribution via dynamic partition overwrite
+        vw = var.write.mode("overwrite")
+        if partition_matrix_by in var.columns:
+            vw = vw.partitionBy(partition_matrix_by)
+        vw.parquet(_join_uri(out_dir, f"var_{modality}"))
     # product.json goes through the Hadoop FileSystem API, not a local
     # open(): the SAME write_product call then works against any
     # configured filesystem URI (file://, hdfs://, s3a:// + credentials

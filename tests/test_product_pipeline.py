@@ -236,3 +236,148 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path):
     full_meta = json.loads(open(os.path.join(full_dir, "product.json")).read())
     assert meta2["cell_count"] == full_meta["cell_count"]
     assert meta2["dataset_uuids"] == full_meta["dataset_uuids"]
+
+
+def _product_tables(spark, base):
+    import pandas as pd  # noqa: F401
+
+    def table(name):
+        pdf = spark.read.parquet(f"{base}/{name}").toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        for c in pdf.columns:
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+    return table
+
+
+def test_readd_with_changed_dataset_equals_rebuild(spark, tmp_path):
+    """Re-adding a dataset whose NEW version dropped features must leave
+    no stale var rows / x partitions (ADVICE r03, medium): the result
+    must equal a full rebuild over the changed inputs."""
+    import pandas as pd
+
+    from atac_data_products_spark.plans.product import append_dataset_to_product
+
+    manifest, mats = _fixtures(spark)
+    coo = "dataset string, barcode string, feature_id string, value double"
+
+    # build the two-dataset product first
+    inc_dir = str(tmp_path / "inc")
+    finalize_and_write(
+        build_product(manifest, mats, tissue="kidney", product_uuid="p"),
+        manifest,
+        inc_dir,
+    )
+
+    # ds2 v2: feature chr2:0-500 DROPPED from cbb, replaced by chr3:0-500
+    ds2_cbb_v2 = spark.createDataFrame(
+        [("ds2", "CCCC", "chr3:0-500", 6.0)], coo
+    )
+    ds2_cbg_v2 = spark.createDataFrame(
+        [("ds2", "CCCC", "GENE2", 3.0)], coo
+    )
+    new_mats = {"atac_cell_by_bin": ds2_cbb_v2, "atac_cell_by_gene": ds2_cbg_v2}
+    meta = append_dataset_to_product(
+        spark, inc_dir, manifest, "ds2", new_mats, tissue="kidney"
+    )
+
+    # ground truth: full rebuild with the v2 inputs
+    full_dir = str(tmp_path / "full")
+    mats_v2 = {
+        "atac_cell_by_bin": [
+            mats["atac_cell_by_bin"][0],
+            spark.createDataFrame(
+                [r for r in mats["atac_cell_by_bin"][1].collect()
+                 if r.dataset != "ds2"],
+                coo,
+            ),
+            ds2_cbb_v2,
+        ],
+        "atac_cell_by_gene": [
+            spark.createDataFrame(
+                [r for r in mats["atac_cell_by_gene"][0].collect()
+                 if r.dataset != "ds2"],
+                coo,
+            ),
+            ds2_cbg_v2,
+        ],
+    }
+    full_meta = finalize_and_write(
+        build_product(manifest, mats_v2, tissue="kidney", product_uuid="p"),
+        manifest,
+        full_dir,
+    )
+
+    t_inc = _product_tables(spark, inc_dir)
+    t_full = _product_tables(spark, full_dir)
+    for name in ["obs", "x_atac_cell_by_bin", "x_atac_cell_by_gene",
+                 "var_atac_cell_by_bin", "var_atac_cell_by_gene"]:
+        pd.testing.assert_frame_equal(t_inc(name), t_full(name))
+    # the dropped feature must be GONE from var
+    var = spark.read.parquet(f"{inc_dir}/var_atac_cell_by_bin")
+    assert "chr2:0-500" not in {r.feature_id for r in var.collect()}
+    assert meta["cell_count"] == full_meta["cell_count"]
+    assert meta["dataset_uuids"] == full_meta["dataset_uuids"]
+    assert meta["dataset_count"] == len(meta["dataset_uuids"])
+
+
+def test_readd_missing_modality_removes_dataset(spark, tmp_path):
+    """A re-add lacking one of the product's modalities contributes zero
+    intersected cells (J1): the dataset must vanish from obs and from
+    BOTH modalities' x/var — no stale x partition left behind."""
+    from atac_data_products_spark.plans.product import append_dataset_to_product
+
+    manifest, mats = _fixtures(spark)
+    coo = "dataset string, barcode string, feature_id string, value double"
+    inc_dir = str(tmp_path / "inc")
+    finalize_and_write(
+        build_product(manifest, mats, tissue="kidney", product_uuid="p"),
+        manifest,
+        inc_dir,
+    )
+
+    only_cbb = {"atac_cell_by_bin": spark.createDataFrame(
+        [("ds2", "CCCC", "chr2:0-500", 5.0)], coo
+    )}
+    meta = append_dataset_to_product(
+        spark, inc_dir, manifest, "ds2", only_cbb, tissue="kidney"
+    )
+    obs = spark.read.parquet(f"{inc_dir}/obs")
+    assert {r.dataset for r in obs.collect()} == {"ds1"}
+    for name in ["x_atac_cell_by_bin", "x_atac_cell_by_gene",
+                 "var_atac_cell_by_bin", "var_atac_cell_by_gene"]:
+        t = spark.read.parquet(f"{inc_dir}/{name}")
+        assert {r.dataset for r in t.collect()} == {"ds1"}, name
+    assert meta["dataset_uuids"] == ["ds1"]
+    assert meta["dataset_count"] == 1
+
+
+def test_append_new_modality_rejected(spark, tmp_path):
+    """Appending a dataset that introduces a modality the product lacks
+    would shrink every other dataset's cell set in a rebuild — not
+    expressible incrementally; the contract is an explicit rejection."""
+    import pytest
+
+    from atac_data_products_spark.plans.product import append_dataset_to_product
+
+    manifest, mats = _fixtures(spark)
+    coo = "dataset string, barcode string, feature_id string, value double"
+    inc_dir = str(tmp_path / "inc")
+    finalize_and_write(
+        build_product(manifest, mats, tissue="kidney", product_uuid="p"),
+        manifest,
+        inc_dir,
+    )
+    with_extra = {
+        "atac_cell_by_bin": spark.createDataFrame(
+            [("ds2", "CCCC", "chr2:0-500", 5.0)], coo),
+        "atac_cell_by_gene": spark.createDataFrame(
+            [("ds2", "CCCC", "GENE1", 2.0)], coo),
+        "atac_cell_by_peak": spark.createDataFrame(
+            [("ds2", "CCCC", "peak1", 1.0)], coo),
+    }
+    with pytest.raises(ValueError, match="rebuild"):
+        append_dataset_to_product(
+            spark, inc_dir, manifest, "ds2", with_extra, tissue="kidney"
+        )

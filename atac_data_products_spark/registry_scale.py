@@ -56,6 +56,27 @@ from . import registry_corpus  # noqa: F401  (registers the packer spec)
 from . import registry_ext  # noqa: F401  (registers gram/LSH/NB deps)
 from .registry import _t, query
 
+
+def _finish_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a SMALL result eagerly and release every intermediate
+    persist (ADVICE r03: iterative operators persisted loop state into
+    the returned lazy lineage and never unpersisted — outside bench.py's
+    clearCache workaround the leaked blocks accumulate across a session;
+    the bench comment measured a 3x slowdown from exactly this).
+
+    localCheckpoint(eager=True) runs the plan ONCE with the caches hot
+    (that is where the persists earn their reuse) and truncates the
+    lineage, so the returned DataFrame depends only on its own
+    checkpoint blocks — which the ContextCleaner frees when the caller
+    drops the reference, unlike CacheManager entries which live until
+    an explicit unpersist.  Only call this when the result is
+    aggregate-sized (node-grained at most), never corpus-sized."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist(blocking=False)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # table_checksum — order-insensitive table fingerprint (reconciliation)
 # ---------------------------------------------------------------------------
@@ -945,9 +966,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.groupBy("node").agg(F.min("hop").cast("bigint").alias("hop")).select(
-        F.col("node").alias("p_partkey"), "hop"
-    )
+    result = out.groupBy("node").agg(
+        F.min("hop").cast("bigint").alias("hop")
+    ).select(F.col("node").alias("p_partkey"), "hop")
+    return _finish_release(result, edges)
 
 
 graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(
@@ -1760,6 +1782,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    rounds = []
     for _ in range(LPA_ROUNDS):
         votes = (
             edges.join(labels, edges.src == labels.node)
@@ -1773,10 +1796,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").alias("node"), "label")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
+        rounds.append(labels)
+    result = labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members"),
         F.min("node").cast("bigint").alias("min_member"),
     )
+    return _finish_release(result, edges, *rounds)
 
 
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
@@ -2071,9 +2096,10 @@ events_anomaly_seasonal.__doc__ = events_anomaly_seasonal.__doc__.format(
 # scan_fixed_width — fixed-width (mainframe/COBOL-style) text source
 # ---------------------------------------------------------------------------
 
-# layout: nationkey cols 1-4 (right-just), name cols 5-24 (left-just),
-# regionkey cols 25-28 (right-just)
-_FW_LAYOUT = (("n_nationkey", 1, 4), ("n_name", 5, 20), ("n_regionkey", 25, 4))
+# layout: nationkey cols 1-4 (right-just), name cols 5-29 (left-just,
+# width 25 = TPC-H's CHAR(25) for n_name so no value can truncate),
+# regionkey cols 30-33 (right-just)
+_FW_LAYOUT = (("n_nationkey", 1, 4), ("n_name", 5, 25), ("n_regionkey", 30, 4))
 
 
 @query(
@@ -2101,17 +2127,20 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst).  Rigid layouts (no delimiter ambiguity) are why this
     format survives; the spec tuple is the engine's 'copybook'.
     """
+    import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuidlib
 
+    # deterministic per-sf_dir fixture path, overwritten on rerun — a
+    # fresh uuid dir per call leaked one temp directory per invocation
     out = _os.path.join(
-        _tempfile.gettempdir(), f"adp_fixed_width_{_uuidlib.uuid4().hex[:8]}"
+        _tempfile.gettempdir(),
+        f"adp_fixed_width_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     nat = _t(spark, sf_dir, "nation")
     line = F.concat(
         F.lpad(F.col("n_nationkey").cast("string"), 4, " "),
-        F.rpad(F.col("n_name"), 20, " "),
+        F.rpad(F.col("n_name"), 25, " "),
         F.lpad(F.col("n_regionkey").cast("string"), 4, " "),
     )
     nat.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out)
@@ -2543,7 +2572,8 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "qcos", F.lit(r).alias("rk"))
         )
         sel = sel.unionByName(nxt)
-    return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
+    result = sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
+    return _finish_release(result, pool_ids, pc)
 
 
 similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.format(
@@ -4086,6 +4116,7 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j", F.lit(PCA_V0_Q).cast("bigint").alias("vq")
     )
     nrm = None
+    ws = []
     for _ in range(PCA_ITERS):
         w = (
             g.join(v, "j")
@@ -4100,6 +4131,7 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        ws.append(w)
         nrm = w.agg(
             F.sqrt(
                 F.aggregate(
@@ -4118,11 +4150,12 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vq"),
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
+    result = v.crossJoin(F.broadcast(nrm)).select(
         F.col("j").alias("dim"),
         F.round(F.col("vq") / float(PCA_SCALE), 6).alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue"),
     )
+    return _finish_release(result, g, *ws)
 
 
 vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
@@ -6330,6 +6363,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     surv = nodes
+    rounds = []
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.join(surv.select(F.col("node").alias("src")), "src")
@@ -6342,11 +6376,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        rounds.append(surv)
     core_edges = (
         edges.join(surv.select(F.col("node").alias("src")), "src")
         .join(surv.select(F.col("node").alias("dst")), "dst")
     )
-    return (
+    result = (
         nodes.agg(F.count("*").alias("n_nodes"))
         .crossJoin(surv.agg(F.count("*").alias("n_core_nodes")))
         .crossJoin(
@@ -6358,6 +6393,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_core_edges",
         )
     )
+    return _finish_release(result, edges, nodes, *rounds)
 
 
 graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
@@ -7331,10 +7367,11 @@ def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.desc("cosine"), "doc_id")
-    return (
+    result = (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= HASHED_TOPK)
     )
+    return _finish_release(result, emb)
 
 
 corpus_hashed_retrieval_topk.__doc__ = corpus_hashed_retrieval_topk.__doc__.format(

@@ -62,6 +62,8 @@ def main() -> int:
     if args.explain:
         df.explain("formatted")
         return 0
+    # collect ONCE and print from the collected rows (the query never
+    # executes twice, and --limit 0 really shows every row)
     rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
     if args.json:
         import json
@@ -69,9 +71,8 @@ def main() -> int:
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
     else:
-        df.limit(args.limit).show(args.limit or 20, truncate=40) if args.limit else df.show(
-            truncate=40
-        )
+        shown = spark.createDataFrame(rows, df.schema) if rows else df.limit(0)
+        shown.show(n=max(len(rows), 1), truncate=40)
     return 0
 
 

@@ -312,48 +312,42 @@ def minhash_lsh_dedup_pairs(
     return jaccard_pairs(sh_multiset, id_col, threshold, candidates=cand)
 
 
-def connected_components(
-    nodes: DataFrame,
+def duplicate_clusters(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
     small_graph_edge_cap: int = 200_000,
 ) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over a near-dup
-    pair graph via distributed label propagation (min-id wins).
+    """Connected components over a near-dup pair graph, emitted for
+    EDGE MEMBERS ONLY: (id_col, cluster_id = min member id).
 
-    Each iteration joins current labels across edges (both directions)
-    and takes the per-node min — the Pregel-style pattern; iterations
-    are fully distributed, only the convergence check (a count) touches
-    the driver.  Converges in O(component diameter) rounds; dedup
-    components are shallow (stars around a canonical doc), so the
-    practical round count is 2-4.  Deterministic → recursive-CTE oracle.
+    Nodes appearing in no edge are by definition singleton clusters and
+    are NOT emitted — callers reattach them with a left-join+coalesce
+    (connected_components) or keep them out of the cluster-grained work
+    entirely (corpus_dedup_survivors anti-joins them straight into the
+    survivor set).  That asymmetry is the 100 TB point: everything
+    cluster-id-shuffled downstream is sized by the DUPLICATED subset,
+    never by the corpus.
 
     Adaptive strategy (the AQE pattern — pick the physical plan from a
-    runtime statistic): when the materialized edge set is small
-    (≤ ``small_graph_edge_cap`` pairs, ≈3 MB collected), the component
-    map is computed with a driver-side union-find and broadcast back —
-    each Pregel round otherwise costs a fixed ~0.5 s of job scheduling
-    that dwarfs the actual work on shallow dedup graphs.  The result is
-    bit-identical (min id per component either way).  Above the cap —
-    e.g. billions of near-dup edges at 100 TB — the distributed loop
+    runtime statistic): the edge set is probed with limit(cap+1) — ONE
+    job, early-stopping on huge graphs.  At or under the cap (≈3 MB
+    collected) the component map is computed with a driver-side
+    union-find and returned as a LOCAL relation (free to reference many
+    times, auto-broadcast by size).  Above the cap — e.g. billions of
+    near-dup edges at 100 TB — a distributed Pregel loop (min-label
+    propagation, localCheckpoint per generation to truncate lineage)
     runs unchanged; the collected volume is bounded by the cap, never
-    by corpus size.
+    by corpus size.  Min-id-per-component is bit-identical either way.
     """
     from pyspark import StorageLevel
 
-    # Iterative loops are the one place materialization is mandatory:
-    # without it, every iteration re-derives the full edge plan (here the
-    # whole Jaccard pipeline) and the label lineage grows unboundedly.
-    # persist the static edge set; localCheckpoint each label generation
-    # to truncate lineage (the Pregel-loop pattern).  Measured: 17s → 5s
-    # at sf0.01.
-    # symmetrize via ONE explode over the directed pairs: a union of two
-    # selects would materialize the (possibly expensive) upstream pair
-    # pipeline once per branch before the persist catches it
-    directed = edges.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = directed.count()
-    if n_edges <= small_graph_edge_cap:
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)["doc_a"]
+    directed = edges.select("doc_a", "doc_b")
+    # single probe job: count and (small-graph) payload in one action
+    probe = directed.limit(small_graph_edge_cap + 1).collect()
+    if len(probe) <= small_graph_edge_cap:
         # ---- small-graph fast path: union-find on the driver ----
         parent: dict = {}
 
@@ -365,15 +359,10 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # one collect (bounded by the cap — ≤ ~3 MB), NOT toLocalIterator:
-        # the iterator fetches partition-by-partition, one scheduled job
-        # per partition — 64 sequential round trips measured 2x slower
-        # than the whole Pregel loop
-        for row in directed.collect():
+        for row in probe:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 parent[rb] = ra
-        directed.unpersist()
         # min member per component == the converged min-label result
         comp_min: dict = {}
         members: dict = {}
@@ -381,26 +370,25 @@ def connected_components(
             r = find(node)
             members.setdefault(r, []).append(node)
         for r, ms in members.items():
-            lo = min([r, *ms])
-            comp_min[r] = lo
+            comp_min[r] = min([r, *ms])
         label_rows = [
             (node, comp_min[find(node)])
             for node in set(parent) | set(members)
         ]
-        spark = nodes.sparkSession
-        id_type = dict(nodes.dtypes)[id_col]
-        label_df = spark.createDataFrame(
-            label_rows or [], f"{id_col} {id_type}, __cc_label {id_type}"
-        )
-        return (
-            nodes.select(id_col)
-            .join(F.broadcast(label_df), id_col, "left")
-            .select(
-                id_col,
-                F.coalesce("__cc_label", F.col(id_col)).alias("cluster_id"),
-            )
+        return spark.createDataFrame(
+            label_rows or [], f"{id_col} {id_type}, cluster_id {id_type}"
         )
 
+    # ---- distributed Pregel path ----
+    # Iterative loops are the one place materialization is mandatory:
+    # without it, every iteration re-derives the full edge plan (here the
+    # whole Jaccard pipeline) and the label lineage grows unboundedly.
+    # persist the static edge set; localCheckpoint each label generation
+    # to truncate lineage.  Measured: 17s → 5s at sf0.01.
+    # symmetrize via ONE explode over the directed pairs: a union of two
+    # selects would materialize the (possibly expensive) upstream pair
+    # pipeline once per branch before the persist catches it
+    directed = directed.persist(StorageLevel.MEMORY_AND_DISK)
     both = (
         directed.select(
             F.explode(
@@ -413,7 +401,13 @@ def connected_components(
         .select("e.src", "e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint()
+    # edge members only: `both` is symmetric, so src covers every member
+    labels = (
+        both.select(F.col("src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("label"))
+        .localCheckpoint()
+    )
     label_cp = labels  # checkpointed frame owning the blocks to free
     converged = False
     for _ in range(max_iterations):
@@ -450,12 +444,42 @@ def connected_components(
     directed.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
+            f"duplicate_clusters did not converge in {max_iterations} "
             "iterations — a component's diameter exceeds the budget; raise "
             "max_iterations (or switch to the alternating large/small-star "
             "algorithm for deep graphs)"
         )
+    # labels is localCheckpointed: free to reference many times downstream
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+    small_graph_edge_cap: int = 200_000,
+) -> DataFrame:
+    """Duplicate-cluster assignment for EVERY node: edge members get
+    their component's min id (duplicate_clusters), everything else is
+    its own singleton cluster — one left join + coalesce.  The cluster
+    map side is either a local relation (small graphs — auto-broadcast)
+    or a checkpointed member-grained frame (large graphs), so the only
+    corpus-sized operation here is the probe-side scan."""
+    dup = duplicate_clusters(
+        edges,
+        id_col=id_col,
+        max_iterations=max_iterations,
+        small_graph_edge_cap=small_graph_edge_cap,
+    )
+    return (
+        nodes.select(id_col)
+        .join(dup.withColumnRenamed("cluster_id", "__cc_label"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__cc_label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 SIMHASH_BITS = 32

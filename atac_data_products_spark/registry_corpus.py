@@ -826,13 +826,16 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands from the same constants (the exact-pair twin of this pipeline
     is dedup_connected_components).
 
-    Scale: survivor selection is a per-cluster window after one
-    (cluster_id) shuffle — never a global sort; cluster sizes are
-    bounded by real duplication, and a pathological mega-cluster is
-    exactly the hot-bucket case the LSH cap test pins."""
+    Scale: the cluster map covers EDGE MEMBERS only
+    (duplicate_clusters), so the per-cluster survivor window shuffles
+    just the duplicated subset; every untouched document is a singleton
+    survivor via one anti-join — the corpus is never shuffled by
+    cluster_id.  Cluster sizes are bounded by real duplication, and a
+    pathological mega-cluster is exactly the hot-bucket case the LSH
+    cap test pins."""
     from .extensions.dedup import (
         LSH_MAX_BUCKET,
-        connected_components,
+        duplicate_clusters,
         minhash_lsh_dedup_pairs,
     )
     from .registry_ext import JACCARD_THRESHOLD
@@ -841,18 +844,28 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_dedup_pairs(
         docs, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
     ).select("doc_a", "doc_b")
-    cc = connected_components(docs.select("doc_id"), edges)
-    sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    dup = duplicate_clusters(edges)  # (doc_id, cluster_id), members only
+    sized = dup.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(F.length("text")), F.col("doc_id")
     )
-    return (
-        cc.join(docs.select("doc_id", "text"), "doc_id")
+    dup_survivors = (
+        docs.select("doc_id", "text").join(dup, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .join(sized, "cluster_id")
         .select("doc_id", "cluster_id", "n_members")
     )
+    singletons = (
+        docs.select("doc_id")
+        .join(dup.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("bigint").alias("n_members"),
+        )
+    )
+    return dup_survivors.unionByName(singletons)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ _PRIORITY: list[str] = [
     # VERDICT r03 "Next round #2": the riskiest ungraded plans first —
     # physical-rewrite joins, iterative algorithms, sufficient-statistics
     # ML, sampling — so driver grading covers them this round. (10)
+    "scan_h5ad_codec",
     "dedup_prefix_filter_join",
     "corpus_pipeline_e2e",
     "vector_kmeans_lloyd",
@@ -83,7 +84,6 @@ _PRIORITY: list[str] = [
     "approx_percentile_accuracy",
     "ml_naive_bayes_langid",
     "ml_roc_auc",
-    "window_rolling_median",
 ]
 
 

@@ -140,6 +140,69 @@ def scan_h5ad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_h5ad_codec",
+    oracle="""
+    WITH bins AS (SELECT unnest(ARRAY[0,1,2,3,4]) AS b)
+    SELECT 'nation_h5ad' AS dataset,
+           n_name AS barcode,
+           'bin' || CAST(b AS VARCHAR) AS feature_id,
+           CAST(n_nationkey * 100 + b + 1 AS DOUBLE) AS value
+    FROM nation, bins
+    WHERE (n_nationkey + b) % 3 = 0
+    """,
+)
+def scan_h5ad_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL h5ad decode under the oracle gate (anndata.read_h5ad parity,
+    bin/concatenate.py:62, no h5py/anndata installed): a deterministic
+    CSR AnnData file is built from the nation dim with the pure-Python
+    HDF5 writer (sources/hdf5_write.py — superblock v0, v1 object
+    headers, symbol-table groups, GCOL vlen-string indices), staged
+    once per sf_dir, then ingested through the DISTRIBUTED seam:
+    binaryFile scan → Arrow-batched mapInPandas running the pure-Python
+    HDF5 reader (sources/hdf5.py) → COO rows.  The oracle recomputes
+    the same entries relationally, so the byte-level codec is
+    value-checked end to end."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from .sources.hdf5_write import build_h5ad_csr
+    from .sources.ingest import COO_SCHEMA, decode_h5ad_bytes, ingest_binary_files
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = _staging_dir(os.path.join(f"h5ad_{tag}", "nation_h5ad"))
+    path = os.path.join(stage, "cell_by_bin.h5ad")
+    if not os.path.exists(path):
+        nat = (
+            _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+            .to_pandas()
+            .sort_values("n_nationkey", ignore_index=True)
+        )
+        barcodes = [str(n) for n in nat["n_name"]]
+        features = [f"bin{b}" for b in range(5)]
+        data, indices, indptr = [], [], [0]
+        for key in nat["n_nationkey"]:
+            for b in range(5):
+                if (int(key) + b) % 3 == 0:
+                    indices.append(b)
+                    data.append(float(int(key) * 100 + b + 1))
+            indptr.append(len(data))
+        content = build_h5ad_csr(
+            barcodes,
+            features,
+            _np.array(data, dtype="float64"),
+            _np.array(indices, dtype="int32"),
+            _np.array(indptr, dtype="int64"),
+        )
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    return ingest_binary_files(spark, path, decode_h5ad_bytes, COO_SCHEMA)
+
+
+@query(
     "scan_dir_discovery",
     oracle=_values_sql(
         [

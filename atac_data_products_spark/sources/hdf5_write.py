@@ -1,0 +1,327 @@
+"""Minimal pure-Python HDF5 *writer* — h5ad export and fixtures.
+
+The sibling of sources/hdf5.py (the reader): authored independently
+against the HDF5 File Format Specification v3.0 (same public document,
+no shared parsing/serialization code), which lets the codec tests pin
+both implementations against the spec by round-trip without h5py in
+the container.  Emits the exact structures default-settings h5py
+produces: superblock v0, v1 object headers, old-style symbol-table
+groups (TREE/SNOD/HEAP), contiguous or chunked-uncompressed layouts,
+v1 attributes, and variable-length UTF-8 strings in GCOL global heaps.
+
+Spec layout choices mirror libhdf5's defaults (names start at local
+heap offset 8 with offset 0 reserved for the empty string; SNOD entries
+sorted by name; one level-0 B-tree node per group).
+
+Product use: ``build_h5ad_csr`` / ``build_h5ad_dense`` give users an
+anndata-compatible export path for small per-dataset matrices (the
+reference's own file format, bin/concatenate.py:62) without any HDF5
+dependency; the scan_h5ad_codec contract query round-trips it through
+the distributed ingest seam under the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _dt_int(size: int, signed: bool = True) -> bytes:
+    bits = b"\x08\x00\x00" if signed else b"\x00\x00\x00"
+    return (
+        bytes([0x10])
+        + bits
+        + struct.pack("<I", size)
+        + struct.pack("<HH", 0, size * 8)
+    )
+
+
+def _dt_float(size: int) -> bytes:
+    if size == 8:
+        props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    else:
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+    return bytes([0x11]) + b"\x20\x3f\x00" + struct.pack("<I", size) + props
+
+
+def _dt_fixed_str(size: int) -> bytes:
+    return bytes([0x13]) + b"\x10\x00\x00" + struct.pack("<I", size)
+
+
+def _dt_vlen_str() -> bytes:
+    # class 9 v1; bits: type=1 (string), pad=0, charset=utf8(bit 8)
+    base = _dt_fixed_str(1)
+    return bytes([0x19]) + b"\x01\x01\x00" + struct.pack("<I", 16) + base
+
+
+def _dataspace(dims: tuple[int, ...]) -> bytes:
+    return (
+        bytes([1, len(dims), 0])
+        + b"\x00" * 5
+        + b"".join(struct.pack("<Q", d) for d in dims)
+    )
+
+
+def _dataspace_scalar() -> bytes:
+    return bytes([1, 0, 0]) + b"\x00" * 5
+
+
+class Writer:
+    def __init__(self) -> None:
+        self.buf = bytearray(b"\x00" * 96)  # superblock v0 + root entry
+
+    def tell(self) -> int:
+        return len(self.buf)
+
+    def write(self, b: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += b
+        return addr
+
+    # -- global heap -----------------------------------------------------
+
+    def write_gcol(self, strings: list[bytes]) -> tuple[int, list[tuple[int, int]]]:
+        """Write one GCOL holding `strings`; returns (collection address,
+        [(collection_addr, index), ...] per string)."""
+        objs = b""
+        refs = []
+        for i, s in enumerate(strings, start=1):
+            objs += struct.pack("<HHIQ", i, 1, 0, len(s)) + _pad8(s)
+            refs.append(i)
+        free = struct.pack("<HHIQ", 0, 0, 0, 0)
+        size = 16 + len(objs) + len(free)
+        addr = self.write(
+            b"GCOL" + bytes([1]) + b"\x00" * 3 + struct.pack("<Q", size)
+            + objs + free
+        )
+        return addr, [(addr, i) for i in refs]
+
+    def _vlen_elements(self, strings: list[str]) -> bytes:
+        enc = [s.encode("utf-8") for s in strings]
+        coll, refs = self.write_gcol(enc)
+        out = b""
+        for s, (c, i) in zip(enc, refs):
+            out += struct.pack("<IQI", len(s), c, i)
+        return out
+
+    # -- messages --------------------------------------------------------
+
+    @staticmethod
+    def _msg(type_id: int, body: bytes) -> bytes:
+        body = _pad8(body)
+        return struct.pack("<HHB3x", type_id, len(body), 0) + body
+
+    def _attr_msg(self, name: str, value) -> bytes:
+        nm = name.encode("utf-8") + b"\x00"
+        if isinstance(value, str):
+            dt = _dt_vlen_str()
+            ds = _dataspace_scalar()
+            data = self._vlen_elements([value])
+        elif isinstance(value, (list, tuple, np.ndarray)):
+            arr = np.asarray(value, dtype="<i8")
+            dt = _dt_int(8)
+            ds = _dataspace((arr.size,))
+            data = arr.tobytes()
+        else:
+            arr = np.asarray(value, dtype="<i8")
+            dt = _dt_int(8)
+            ds = _dataspace_scalar()
+            data = arr.tobytes()
+        body = (
+            struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+            + _pad8(nm)
+            + _pad8(dt)
+            + _pad8(ds)
+            + data
+        )
+        return self._msg(0x000C, body)
+
+    def _object_header(self, messages: list[bytes]) -> int:
+        block = b"".join(messages)
+        hdr = struct.pack("<BxHII", 1, len(messages), 1, len(block))
+        return self.write(hdr + b"\x00" * 4 + block)
+
+    # -- datasets --------------------------------------------------------
+
+    def write_dataset(
+        self,
+        values,
+        attrs: dict | None = None,
+        chunk_shape: tuple[int, ...] | None = None,
+    ) -> int:
+        """Write one dataset; returns its object header address."""
+        if isinstance(values, list) and values and isinstance(values[0], str):
+            data = self._vlen_elements(values)
+            dt = _dt_vlen_str()
+            dims = (len(values),)
+            elem = 16
+        else:
+            arr = np.asarray(values)
+            if arr.dtype.kind == "S":
+                dt = _dt_fixed_str(arr.dtype.itemsize)
+            elif arr.dtype.kind == "f":
+                arr = arr.astype(f"<f{arr.dtype.itemsize}")
+                dt = _dt_float(arr.dtype.itemsize)
+            else:
+                arr = arr.astype(f"<i{arr.dtype.itemsize}")
+                dt = _dt_int(arr.dtype.itemsize)
+            data = arr.tobytes()
+            dims = arr.shape
+            elem = arr.dtype.itemsize
+        if chunk_shape is None:
+            addr = self.write(data)
+            layout = struct.pack("<BBQQ", 3, 1, addr, len(data))
+        else:
+            layout = self._write_chunked(
+                np.asarray(values), dims, chunk_shape, elem
+            )
+        msgs = [
+            self._msg(0x0001, _dataspace(dims)),
+            self._msg(0x0003, dt),
+            self._msg(0x0008, layout),
+        ]
+        for k, v in (attrs or {}).items():
+            msgs.append(self._attr_msg(k, v))
+        return self._object_header(msgs)
+
+    def _write_chunked(
+        self,
+        arr: np.ndarray,
+        dims: tuple[int, ...],
+        chunk_shape: tuple[int, ...],
+        elem: int,
+    ) -> bytes:
+        rank = len(dims)
+        entries = []  # (offsets, chunk_addr, chunk_nbytes)
+        grids = [range(0, d, c) for d, c in zip(dims, chunk_shape)]
+
+        def rec(prefix):
+            if len(prefix) == rank:
+                sel = tuple(
+                    slice(o, min(o + c, d))
+                    for o, c, d in zip(prefix, chunk_shape, dims)
+                )
+                full = np.zeros(chunk_shape, dtype=arr.dtype)
+                block = arr[sel]
+                full[tuple(slice(0, s) for s in block.shape)] = block
+                raw = full.tobytes()
+                entries.append((tuple(prefix), self.write(raw), len(raw)))
+                return
+            for o in grids[len(prefix)]:
+                rec([*prefix, o])
+
+        rec([])
+        # level-0 chunk B-tree: key_i | child_i ... | key_n
+        body = struct.pack("<4sBBH", b"TREE", 1, 0, len(entries))
+        body += struct.pack("<QQ", UNDEF, UNDEF)
+        for offs, addr, nbytes in entries:
+            body += struct.pack("<II", nbytes, 0)
+            body += b"".join(struct.pack("<Q", o) for o in offs)
+            body += struct.pack("<Q", 0)  # element-size dimension offset
+            body += struct.pack("<Q", addr)
+        body += struct.pack("<II", 0, 0) + b"\x00" * 8 * (rank + 1)  # end key
+        btree = self.write(body)
+        lay = struct.pack("<BBBQ", 3, 2, rank + 1, btree)
+        lay += b"".join(struct.pack("<I", c) for c in chunk_shape)
+        lay += struct.pack("<I", elem)
+        return lay
+
+    # -- groups ----------------------------------------------------------
+
+    def write_group(self, children: dict[str, int], attrs: dict | None = None) -> int:
+        """children: name -> object header address (already written)."""
+        names = sorted(children)
+        heap_data = bytearray(b"\x00" * 8)  # offset 0: empty string
+        offsets = {}
+        for n in names:
+            offsets[n] = len(heap_data)
+            heap_data += _pad8(n.encode("utf-8") + b"\x00")
+        heap_data_addr = self.write(bytes(heap_data))
+        heap_addr = self.write(
+            b"HEAP"
+            + bytes([0])
+            + b"\x00" * 3
+            + struct.pack("<QQQ", len(heap_data), 1, heap_data_addr)
+        )
+        snod = struct.pack("<4sBxH", b"SNOD", 1, len(names))
+        for n in names:
+            snod += struct.pack("<QQI4x16x", offsets[n], children[n], 0)
+        snod_addr = self.write(snod)
+        bt = struct.pack("<4sBBH", b"TREE", 0, 0, 1)
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        bt += struct.pack("<QQQ", 0, snod_addr, offsets[names[-1]] if names else 0)
+        btree_addr = self.write(bt)
+        msgs = [self._msg(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        for k, v in (attrs or {}).items():
+            msgs.append(self._attr_msg(k, v))
+        return self._object_header(msgs)
+
+    # -- finish ----------------------------------------------------------
+
+    def finish(self, root_header_addr: int) -> bytes:
+        sb = b"\x89HDF\r\n\x1a\n"
+        sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+        sb += struct.pack("<HHI", 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
+        # root symbol table entry (cache type 0 — reader uses the
+        # group's own symbol-table message)
+        sb += struct.pack("<QQI4x16x", 0, root_header_addr, 0)
+        assert len(sb) == 96
+        self.buf[: len(sb)] = sb
+        return bytes(self.buf)
+
+
+def build_h5ad_csr(
+    barcodes: list[str],
+    features: list[str],
+    data: np.ndarray,
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    chunked: bool = False,
+) -> bytes:
+    """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var."""
+    w = Writer()
+    chunk = (max(1, len(np.asarray(data)) // 3),) if chunked else None
+    d = w.write_dataset(np.asarray(data, dtype="<f8"), chunk_shape=chunk)
+    i = w.write_dataset(np.asarray(indices, dtype="<i4"))
+    p = w.write_dataset(np.asarray(indptr, dtype="<i8"))
+    x = w.write_group(
+        {"data": d, "indices": i, "indptr": p},
+        attrs={
+            "encoding-type": "csr_matrix",
+            "encoding-version": "0.1.0",
+            "shape": [len(barcodes), len(features)],
+        },
+    )
+    obs_idx = w.write_dataset(list(barcodes))
+    obs = w.write_group(
+        {"_index": obs_idx},
+        attrs={"encoding-type": "dataframe", "_index": "_index"},
+    )
+    var_idx = w.write_dataset(list(features))
+    var = w.write_group(
+        {"_index": var_idx},
+        attrs={"encoding-type": "dataframe", "_index": "_index"},
+    )
+    root = w.write_group({"X": x, "obs": obs, "var": var})
+    return w.finish(root)
+
+
+def build_h5ad_dense(
+    barcodes: list[str], features: list[str], x: np.ndarray
+) -> bytes:
+    w = Writer()
+    xd = w.write_dataset(np.asarray(x, dtype="<f8"))
+    obs_idx = w.write_dataset(list(barcodes))
+    obs = w.write_group({"_index": obs_idx}, attrs={"_index": "_index"})
+    var_idx = w.write_dataset(list(features))
+    var = w.write_group({"_index": var_idx}, attrs={"_index": "_index"})
+    root = w.write_group({"X": xd, "obs": obs, "var": var})
+    return w.finish(root)

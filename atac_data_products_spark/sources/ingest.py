@@ -39,15 +39,19 @@ def decode_h5ad_bytes(content: bytes, dataset: str) -> Iterator[pd.DataFrame]:
 
     Yields (dataset, barcode, feature_id, value) chunks, one per CSR row
     block, so a 10 GB matrix never materializes as one pandas frame.
+
+    Prefers anndata when importable (full-format coverage); otherwise
+    falls back to the dependency-free HDF5 reader (sources/hdf5.py),
+    which handles the layouts default-settings ``anndata.write_h5ad``
+    produces (contiguous/chunked-uncompressed, CSR/CSC/dense X, vlen
+    string indices) — the reference's core input path
+    (bin/concatenate.py:62) with zero extra packages.
     """
     try:
         import anndata  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container lacks anndata
-        raise NotImplementedError(
-            "h5ad decode requires the 'anndata' package (not shipped in this "
-            "container); the Spark-side plumbing is exercised via "
-            "decode_parquet_bytes instead"
-        ) from exc
+    except ImportError:
+        yield from _decode_h5ad_pure(content, dataset)
+        return
     import scipy.sparse as sp
 
     adata = anndata.read_h5ad(io.BytesIO(content))  # pragma: no cover
@@ -65,6 +69,51 @@ def decode_h5ad_bytes(content: bytes, dataset: str) -> Iterator[pd.DataFrame]:
                 "value": sub.data.astype("float64"),
             }
         )
+
+
+def _decode_h5ad_pure(
+    content: bytes, dataset: str, block: int = 10_000
+) -> Iterator[pd.DataFrame]:
+    """COO chunks via the pure-Python HDF5 reader — no scipy: CSR/CSC
+    row ids come from np.repeat over indptr run lengths."""
+    import numpy as np
+
+    from .hdf5 import read_h5ad_matrix
+
+    m = read_h5ad_matrix(content)
+    barcodes = np.asarray(m["barcodes"], dtype=object)
+    features = np.asarray(m["features"], dtype=object)
+
+    def frame(bc, ft, vals) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dataset": dataset,
+                "barcode": bc,
+                "feature_id": ft,
+                "value": np.asarray(vals, dtype="float64"),
+            }
+        )
+
+    x = m["x"]
+    if x[0] == "dense":
+        arr = x[1]
+        for start in range(0, arr.shape[0], block):
+            sub = np.asarray(arr[start : start + block])
+            r, c = np.nonzero(sub)
+            yield frame(barcodes[start + r], features[c], sub[r, c])
+        return
+    kind, data, indices, indptr, shape = x
+    major = shape[0] if kind == "csr" else shape[1]
+    for start in range(0, major, block):
+        stop = min(start + block, major)
+        lo, hi = int(indptr[start]), int(indptr[stop])
+        runs = np.repeat(
+            np.arange(start, stop), np.diff(indptr[start : stop + 1])
+        )
+        if kind == "csr":
+            yield frame(barcodes[runs], features[indices[lo:hi]], data[lo:hi])
+        else:  # csc: major axis is features, indices are obs rows
+            yield frame(barcodes[indices[lo:hi]], features[runs], data[lo:hi])
 
 
 def ingest_binary_files(

@@ -2020,15 +2020,17 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.
 
     Plan shape: the gate prunes before anything shuffles; the LSH
-    stages shuffle digests and band keys, never text; contamination is
-    a semi-join against the (broadcastable) benchmark shingle set; and
-    the only eager step is connected components' bounded convergence
-    loop (or its driver union-find under the small-graph cap).  At
-    100 TB every stage's story is already audited under its standalone
-    key — composition adds no new shuffle."""
+    stages shuffle digests and band keys, never text; the survivor
+    window runs over EDGE MEMBERS only (duplicate_clusters) with
+    untouched docs anti-joined straight through, so the corpus is never
+    shuffled by cluster_id; contamination is a semi-join against the
+    (broadcastable) benchmark shingle set; and the only eager step is
+    the cluster map's bounded probe (or distributed convergence loop
+    above the cap).  At 100 TB every stage's story is already audited
+    under its standalone key — composition adds no new shuffle."""
     from .extensions.dedup import (
         LSH_MAX_BUCKET,
-        connected_components,
+        duplicate_clusters,
         minhash_lsh_dedup_pairs,
     )
     from .extensions.text import tokens, word_shingles
@@ -2051,15 +2053,18 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_dedup_pairs(
         gated, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
     ).select("doc_a", "doc_b")
-    cc = connected_components(gated.select("doc_id"), edges)
+    dup = duplicate_clusters(edges)  # edge members only
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(F.length("text")), F.col("doc_id")
     )
-    surv = (
-        cc.join(gated.select("doc_id", "text"), "doc_id")
+    dup_surv = (
+        gated.select("doc_id", "text").join(dup, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id")
+    )
+    surv = dup_surv.unionByName(
+        gated.select("doc_id").join(dup.select("doc_id"), "doc_id", "left_anti")
     )
     sh = (
         d.select("doc_id", "source", tokens("text").alias("__toks"))

@@ -132,6 +132,52 @@ def test_decode_h5ad_dense_fallback():
     assert got == {("b1", "f2"): 2.0, ("b2", "f1"): 3.0}
 
 
+def _csr_from_dense(x: np.ndarray):
+    data, indices, indptr = [], [], [0]
+    for row in x:
+        nz = np.nonzero(row)[0]
+        indices.extend(int(c) for c in nz)
+        data.extend(float(v) for v in row[nz])
+        indptr.append(len(data))
+    return (
+        np.array(data, dtype="float64"),
+        np.array(indices, dtype="int32"),
+        np.array(indptr, dtype="int64"),
+    )
+
+
+def test_codec_property_roundtrip():
+    """Property-style sweep without Spark: random shapes, densities,
+    unicode names, and both layouts must round-trip exactly (hypothesis
+    deliberately not used here — the writer is deterministic and the
+    sweep covers the structural degrees of freedom: empty rows, dense
+    rows, 1xN and Nx1 shapes, non-ASCII names, chunk boundaries)."""
+    rng = np.random.RandomState(7)
+    shapes = [(1, 1), (1, 5), (5, 1), (4, 7), (13, 3)]
+    for si, (n, m) in enumerate(shapes):
+        x = np.where(rng.rand(n, m) < 0.4, rng.rand(n, m) * 10, 0.0)
+        if si == 2:
+            x[:] = 0.0  # fully empty matrix
+        barcodes = [f"bc-ü{i}" for i in range(n)]
+        features = [f"féat:{j}" for j in range(m)]
+        data, indices, indptr = _csr_from_dense(x)
+        for chunked in (False, True):
+            content = build_h5ad_csr(
+                barcodes, features, data, indices, indptr, chunked=chunked
+            )
+            out = read_h5ad_matrix(content)
+            assert out["barcodes"] == barcodes
+            assert out["features"] == features
+            kind, d2, i2, p2, shape = out["x"]
+            assert kind == "csr" and shape == (n, m)
+            np.testing.assert_array_equal(d2, data)
+            np.testing.assert_array_equal(i2, indices)
+            np.testing.assert_array_equal(p2, indptr)
+        dense = build_h5ad_dense(barcodes, features, x)
+        kind, arr = read_h5ad_matrix(dense)["x"]
+        np.testing.assert_array_equal(arr, x)
+
+
 def test_ingest_pipeline_with_h5ad_files(spark, tmp_path):
     """End-to-end: binaryFile scan -> mapInPandas decode of REAL h5ad
     bytes -> COO DataFrame, the exact distributed seam of SURVEY §2.1."""

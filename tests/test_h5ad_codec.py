@@ -178,6 +178,45 @@ def test_codec_property_roundtrip():
         np.testing.assert_array_equal(arr, x)
 
 
+def test_export_h5ad_per_dataset_roundtrip(spark, tmp_path):
+    """Distributed h5ad export (reference's native per-dataset file
+    unit, bin/concatenate.py:49-53) then re-ingest: COO -> .h5ad files
+    -> COO must be the identity."""
+    from atac_data_products_spark.sinks.writers import export_h5ad_per_dataset
+    from atac_data_products_spark.sources.ingest import decode_h5ad_bytes
+
+    rows = [
+        ("ds1", "ds1-AAAC", "chr1:0-500", 2.0),
+        ("ds1", "ds1-AAAC", "chr1:500-1000", 1.0),
+        ("ds1", "ds1-GGGT", "chr1:0-500", 3.0),
+        ("ds2", "ds2-CCCC", "chr2:0-500", 9.5),
+    ]
+    x = spark.createDataFrame(
+        rows, "dataset string, cell_id string, feature_id string, value double"
+    )
+    out = tmp_path / "export"
+    receipts = {
+        r.dataset: r
+        for r in export_h5ad_per_dataset(x, str(out)).collect()
+    }
+    assert receipts["ds1"].n_cells == 2 and receipts["ds1"].n_features == 2
+    assert receipts["ds2"].n_cells == 1
+
+    import pandas as pd
+
+    back = []
+    for ds, r in receipts.items():
+        content = open(r.path, "rb").read()
+        back.append(pd.concat(list(decode_h5ad_bytes(content, ds))))
+    got = pd.concat(back).sort_values(
+        ["dataset", "barcode", "feature_id"], ignore_index=True
+    )
+    expect = pd.DataFrame(
+        rows, columns=["dataset", "barcode", "feature_id", "value"]
+    ).sort_values(["dataset", "barcode", "feature_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
 def test_ingest_pipeline_with_h5ad_files(spark, tmp_path):
     """End-to-end: binaryFile scan -> mapInPandas decode of REAL h5ad
     bytes -> COO DataFrame, the exact distributed seam of SURVEY §2.1."""

@@ -57,25 +57,17 @@ from . import registry_ext  # noqa: F401  (registers gram/LSH/NB deps)
 from .registry import _t, query
 
 
-def _finish_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Materialize a SMALL result eagerly and release every intermediate
-    persist (ADVICE r03: iterative operators persisted loop state into
-    the returned lazy lineage and never unpersisted — outside bench.py's
-    clearCache workaround the leaked blocks accumulate across a session;
-    the bench comment measured a 3x slowdown from exactly this).
-
-    localCheckpoint(eager=True) runs the plan ONCE with the caches hot
-    (that is where the persists earn their reuse) and truncates the
-    lineage, so the returned DataFrame depends only on its own
-    checkpoint blocks — which the ContextCleaner frees when the caller
-    drops the reference, unlike CacheManager entries which live until
-    an explicit unpersist.  Only call this when the result is
-    aggregate-sized (node-grained at most), never corpus-sized."""
-    out = result.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist(blocking=False)
-    return out
-
+# Iterative-operator caching policy (ADVICE r03): loop state and
+# multiply-referenced intermediates use LAZY ``localCheckpoint(eager=
+# False)``, never ``persist``.  Both reuse blocks across branch
+# references within an action and truncate lineage, but persist
+# registers a CacheManager entry that lives until an explicit
+# unpersist — in long-lived sessions those leaked across queries (the
+# bench comment measured a 3x slowdown) — while checkpoint blocks are
+# freed by the ContextCleaner as soon as the caller drops the result.
+# An eager materialize-then-unpersist variant was measured slower
+# (vector_pca_power_iteration 4.9 s -> 6.5 s) than the lazy form
+# (3.6 s); see docs/PLAN_AUDIT.md round-4 notes.
 
 # ---------------------------------------------------------------------------
 # table_checksum — order-insensitive table fingerprint (reconciliation)
@@ -934,14 +926,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
     )
-    from pyspark import StorageLevel
-
-    # `edges` feeds all H branches; persist so the co-order self-join
-    # runs once (lazy — the cache fills on the driver's first action)
+    # `edges` feeds all H branches; LAZY localCheckpoint so the co-order
+    # self-join runs once (blocks fill on the first action, are reused by
+    # every branch, and are freed by the ContextCleaner when the caller
+    # drops the result — no CacheManager entry to leak, ADVICE r03)
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     seeds = (
         _t(spark, sf_dir, "part")
@@ -966,10 +958,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    result = out.groupBy("node").agg(
+    return out.groupBy("node").agg(
         F.min("hop").cast("bigint").alias("hop")
     ).select(F.col("node").alias("p_partkey"), "hop")
-    return _finish_release(result, edges)
 
 
 graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(
@@ -1772,17 +1763,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
     )
-    from pyspark import StorageLevel
-
+    # lazy localCheckpoints: edge set computed once and reused by every
+    # round; each round's labels truncate lineage so the unrolled plan
+    # stays flat; blocks are ContextCleaner-freed with the result
+    # (ADVICE r03 — no CacheManager entries to leak)
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    rounds = []
     for _ in range(LPA_ROUNDS):
         votes = (
             edges.join(labels, edges.src == labels.node)
@@ -1794,14 +1786,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select(F.col("n").alias("node"), "label")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
-        rounds.append(labels)
-    result = labels.groupBy(F.col("label").alias("community")).agg(
+    return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members"),
         F.min("node").cast("bigint").alias("min_member"),
     )
-    return _finish_release(result, edges, *rounds)
 
 
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
@@ -2508,18 +2498,17 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .extensions.similarity import cosine_topk
 
-    from pyspark import StorageLevel
-
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     # the greedy rounds reference the pool and the pairwise table once
-    # per round — persist both (p and p² rows) or the lazy unroll
-    # re-runs the corpus top-k scan per round (measured 21.6 s → 9 s
-    # at sf0.01)
+    # per round — lazily checkpoint both (p and p² rows) or the unroll
+    # re-runs the corpus top-k scan per round (measured 21.6 s → 9 s at
+    # sf0.01); blocks are ContextCleaner-freed with the result, unlike
+    # persist's CacheManager entries (ADVICE r03)
     pool_ids = (
         cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=MMR_POOL)
         .select("vec_id", F.col("cosine").alias("qcos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     pool = pool_ids.join(emb.select("vec_id", "embedding"), "vec_id")
     e = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
@@ -2540,7 +2529,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         a.join(b, F.col("ia") != F.col("ib"))
         .select("ia", "ib", cos(e(F.col("va")), e(F.col("vb"))).alias("cos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     sel = (
         pool_ids.orderBy(F.desc("qcos"), "vec_id")
@@ -2572,8 +2561,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "qcos", F.lit(r).alias("rk"))
         )
         sel = sel.unionByName(nxt)
-    result = sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
-    return _finish_release(result, pool_ids, pc)
+    return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
 
 
 similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.format(
@@ -4102,21 +4090,24 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts from identical integers.  Output: the unit loading vector
     and the Rayleigh eigenvalue estimate ‖Gv‖.
     """
-    from pyspark import StorageLevel
-
     from .registry import QUERIES
 
     gut = QUERIES["vector_gram_int8"](spark, sf_dir)
+    # LAZY localCheckpoint instead of persist (ADVICE r03 leak fix
+    # without the eager double-execution _finish_release costs here,
+    # measured +0.9 s): lineage truncates on first action, the blocks
+    # live in the block store (reused across the k² branch references),
+    # and the ContextCleaner frees them when the caller drops the
+    # result — no CacheManager entry to leak.
     g = gut.unionByName(
         gut.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     v = g.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(PCA_V0_Q).cast("bigint").alias("vq")
     )
     nrm = None
-    ws = []
     for _ in range(PCA_ITERS):
         w = (
             g.join(v, "j")
@@ -4129,9 +4120,8 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / float(PCA_SCALE)
                 ).alias("wd")
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
-        ws.append(w)
         nrm = w.agg(
             F.sqrt(
                 F.aggregate(
@@ -4150,12 +4140,11 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vq"),
         )
-    result = v.crossJoin(F.broadcast(nrm)).select(
+    return v.crossJoin(F.broadcast(nrm)).select(
         F.col("j").alias("dim"),
         F.round(F.col("vq") / float(PCA_SCALE), 6).alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue"),
     )
-    return _finish_release(result, g, *ws)
 
 
 vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
@@ -6354,16 +6343,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
     )
+    # lazy localCheckpoints (ADVICE r03 leak fix): the edge set is
+    # reused by every peel round plus the final core-edge count; each
+    # round's survivor set truncates lineage; blocks die with the result
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
     )
     surv = nodes
-    rounds = []
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.join(surv.select(F.col("node").alias("src")), "src")
@@ -6374,14 +6365,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             deg.where(F.col("deg") >= KCORE_K)
             .select("node")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
-        rounds.append(surv)
     core_edges = (
         edges.join(surv.select(F.col("node").alias("src")), "src")
         .join(surv.select(F.col("node").alias("dst")), "dst")
     )
-    result = (
+    return (
         nodes.agg(F.count("*").alias("n_nodes"))
         .crossJoin(surv.agg(F.count("*").alias("n_core_nodes")))
         .crossJoin(
@@ -6393,7 +6383,6 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_core_edges",
         )
     )
-    return _finish_release(result, edges, nodes, *rounds)
 
 
 graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
@@ -7341,10 +7330,11 @@ def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .registry import QUERIES
 
-    emb = QUERIES["corpus_doc_embedding_hashed"](spark, sf_dir)
-    from pyspark import StorageLevel
-
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy localCheckpoint: the derived embedding table feeds the query
+    # row, dots, and norms; blocks die with the result (ADVICE r03)
+    emb = QUERIES["corpus_doc_embedding_hashed"](spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     q = emb.where(F.col("doc_id") == HASHED_QUERY_DOC).select(
         "dim", F.col("weight").alias("qw")
     )
@@ -7367,11 +7357,10 @@ def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.desc("cosine"), "doc_id")
-    result = (
+    return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= HASHED_TOPK)
     )
-    return _finish_release(result, emb)
 
 
 corpus_hashed_retrieval_topk.__doc__ = corpus_hashed_retrieval_topk.__doc__.format(

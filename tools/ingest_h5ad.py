@@ -9,11 +9,12 @@ Layout in: the reference's staging layout (make_directory.py:50-76) —
 long/COO parquet table partitioned by dataset, ready for
 plans/product.build_product.
 
-The h5ad decode path requires anndata/h5py (not in this container) and
-is import-gated; ``--format parquet`` exercises the identical
-distributed plumbing (binaryFile scan → Arrow-batched mapInPandas
-decode → partitioned write) with a decodable payload, and is what the
-test suite drives.
+The h5ad decode prefers anndata/h5py when importable and otherwise
+uses the dependency-free pure-Python HDF5 reader (sources/hdf5.py),
+which covers the layouts default-settings ``anndata.write_h5ad``
+produces; ``--format parquet`` runs the identical distributed plumbing
+(binaryFile scan → Arrow-batched mapInPandas decode → partitioned
+write) on parquet payloads.
 """
 
 from __future__ import annotations

@@ -172,6 +172,16 @@ def main() -> None:
             # every later query (measured: k-means 13.9 s late in a full
             # run vs 4.5 s isolated)
             spark.catalog.clearCache()
+            # release localCheckpoint blocks too: they are freed by the
+            # ContextCleaner only after the Python DataFrame reference
+            # is gone — without the explicit collect, retained Py4J refs
+            # kept earlier queries' blocks alive and throttled later
+            # ones (measured: dedup_prefix_filter_join 9.0 s retained
+            # vs 6.1 s collected)
+            del df
+            import gc
+
+            gc.collect()
         timings[name] = round(best, 3)
         total += best
         # per-query progress line: even a truncated stdout tail shows

@@ -151,6 +151,12 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
+        # untimed JVM gc between queries: 60+ codegen'd plans leave
+        # old-gen debt that throttles later shuffle-heavy queries
+        # (measured: dedup_prefix_filter_join 8.7 s after 40 queries
+        # vs 6.4 s after an explicit collection) — pay it OUTSIDE the
+        # timing window so min-of-N measures plan cost
+        spark.sparkContext._jvm.System.gc()
         best = None
         for _ in range(n_iters):
             # plan construction is INSIDE the window: eager-iterative

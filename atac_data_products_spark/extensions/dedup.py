@@ -375,8 +375,15 @@ def duplicate_clusters(
             (node, comp_min[find(node)])
             for node in set(parent) | set(members)
         ]
-        return spark.createDataFrame(
-            label_rows or [], f"{id_col} {id_type}, cluster_id {id_type}"
+        # createDataFrame over local rows scans an ExistingRDD with
+        # UNKNOWN size stats — Catalyst would sort-merge every join
+        # against it.  The fast path is cap-bounded (≤ 2·cap ids, a few
+        # MB), so the broadcast hint is always safe and keeps the
+        # corpus-side joins/anti-joins shuffle-free.
+        return F.broadcast(
+            spark.createDataFrame(
+                label_rows or [], f"{id_col} {id_type}, cluster_id {id_type}"
+            )
         )
 
     # ---- distributed Pregel path ----

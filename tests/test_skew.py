@@ -157,3 +157,25 @@ def test_salted_agg_matches_direct_on_skew(spark):
         .collect()
     }
     assert salted == direct
+
+
+def test_survivor_selection_never_shuffles_corpus_by_cluster(spark):
+    """The round-4 scale property of corpus_dedup_survivors: the cluster
+    map (duplicate_clusters fast path) is a broadcast-hinted local
+    relation, so every corpus-side join — including the singleton
+    anti-join — is a BroadcastHashJoin, never a SortMergeJoin; the only
+    Exchanges left are sized by the DUPLICATED subset (the cluster_id
+    window and member-count aggregate), not the corpus."""
+    import re
+
+    from atac_data_products_spark.registry_corpus import corpus_dedup_survivors
+
+    df = corpus_dedup_survivors(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bSortMergeJoin\b", plan)) == 0
+    assert "LeftAnti" in plan  # singleton path present
+    assert len(re.findall(r"\bBroadcastHashJoin\b", plan)) >= 3
+    # corpus-sized exchanges would hash-partition doc_id over a FileScan
+    # branch; the two remaining exchanges key on cluster_id only
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(col.startswith("cluster_id") for col in exchanges), exchanges

@@ -17,14 +17,17 @@ subset that ``h5py``-written ``.h5ad`` files use by default:
   - dataspace (v1/v2), datatype classes: fixed-point, IEEE float,
     fixed-length string, variable-length string (global heap 'GCOL')
   - attribute messages v1 and v3 (v2 accepted too)
-  - data layouts: compact, contiguous, and chunked-UNCOMPRESSED
-    (v1 chunk B-tree); a filter pipeline (gzip/shuffle) raises
-    NotImplementedError naming the missing codec
+  - data layouts: compact, contiguous, and chunked (v1 chunk B-tree)
+    with filter pipelines deflate/gzip (zlib stdlib), shuffle, and
+    fletcher32 — i.e. ``anndata.write_h5ad(compression="gzip")`` too;
+    an unknown filter id (szip, lzf, plugins) raises
+    NotImplementedError naming the id
 
 NOT supported (and explicitly rejected, never silently misread):
-fractal-heap dense groups/attributes, filtered chunks, compound or
-reference datatypes, version 3/4 data layouts other than the above.
-These do not occur in default-settings ``anndata.write_h5ad`` output.
+fractal-heap dense groups/attributes, szip/lzf/plugin-filtered chunks,
+compound or reference datatypes, version 3/4 data layouts other than
+the above.  These do not occur in default- or gzip-settings
+``anndata.write_h5ad`` output.
 
 Everything here is stateless byte slicing over one file's content —
 it runs inside the Arrow-batched ``mapInPandas`` decode seam
@@ -429,18 +432,66 @@ class H5Reader:
                 return b"\x00" * total  # never allocated -> fill zeros
             return self.b[self.base + addr : self.base + addr + size]
         if cls == 2:  # chunked
-            if filters is not None and filters[1] > 0:
-                raise _unsupported(
-                    "filtered (compressed) chunks — write the h5ad without "
-                    "compression, or install h5py"
-                )
+            pipeline = self._parse_filter_pipeline(filters)
             rank = lay[2] - 1  # includes the element-size dimension
             (btree,) = struct.unpack_from("<Q", lay, 3)
             chunk_dims = struct.unpack_from(f"<{rank}I", lay, 11)
             return self._read_chunks(
-                self.base + btree, dims, chunk_dims, dt, rank
+                self.base + btree, dims, chunk_dims, dt, rank, pipeline
             )
         raise _unsupported(f"data layout class {cls}")
+
+    def _parse_filter_pipeline(
+        self, body: bytes | None
+    ) -> list[tuple[int, tuple[int, ...]]]:
+        """[(filter_id, client_data), ...] in WRITE order.  Supported on
+        read: deflate (1, zlib stdlib), shuffle (2), fletcher32 (3);
+        anything else — szip, lzf, plugin codecs — is rejected by id."""
+        if body is None:
+            return []
+        ver, nfilters = body[0], body[1]
+        p = 8 if ver == 1 else 2
+        out: list[tuple[int, tuple[int, ...]]] = []
+        for _ in range(nfilters):
+            (fid,) = struct.unpack_from("<H", body, p)
+            p += 2
+            if ver == 1 or fid >= 256:
+                (name_len,) = struct.unpack_from("<H", body, p)
+                p += 2
+            else:
+                name_len = 0
+            _flags, n_cd = struct.unpack_from("<HH", body, p)
+            p += 4
+            if name_len:
+                pad = (name_len + 7) & ~7 if ver == 1 else name_len
+                p += pad
+            cd = struct.unpack_from(f"<{n_cd}I", body, p)
+            p += 4 * n_cd
+            if ver == 1 and n_cd % 2 == 1:
+                p += 4  # v1 pads client data to an even count
+            if fid not in (1, 2, 3):
+                raise _unsupported(f"filter id {fid} (not deflate/shuffle/fletcher32)")
+            out.append((fid, cd))
+        return out
+
+    @staticmethod
+    def _unfilter_chunk(
+        raw: bytes, pipeline: list[tuple[int, tuple[int, ...]]], elem_size: int
+    ) -> bytes:
+        """Undo the filter pipeline in reverse write order."""
+        import zlib
+
+        for fid, cd in reversed(pipeline):
+            if fid == 1:  # deflate
+                raw = zlib.decompress(raw)
+            elif fid == 2:  # shuffle: byte-transpose by element size
+                s = cd[0] if cd else elem_size
+                if s > 1 and len(raw) % s == 0:
+                    arr = np.frombuffer(raw, dtype="u1").reshape(s, -1)
+                    raw = arr.T.tobytes()
+            elif fid == 3:  # fletcher32: payload + 4-byte checksum
+                raw = raw[:-4]
+        return raw
 
     def _read_chunks(
         self,
@@ -449,6 +500,7 @@ class H5Reader:
         chunk_dims: tuple[int, ...],
         dt: _Dtype,
         rank: int,
+        pipeline: list[tuple[int, tuple[int, ...]]] | None = None,
     ) -> bytes:
         if dt.kind == "vlen_str":
             raise _unsupported("chunked variable-length strings")
@@ -475,6 +527,8 @@ class H5Reader:
                     raw = self.b[
                         self.base + child : self.base + child + chunk_bytes
                     ]
+                    if pipeline:
+                        raw = self._unfilter_chunk(raw, pipeline, dt.size)
                     chunk = np.frombuffer(
                         raw, dtype=dt.numpy(), count=int(np.prod(cdims))
                     ).reshape(cdims)

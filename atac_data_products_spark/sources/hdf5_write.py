@@ -155,8 +155,13 @@ class Writer:
         values,
         attrs: dict | None = None,
         chunk_shape: tuple[int, ...] | None = None,
+        gzip: bool = False,
+        shuffle: bool = False,
     ) -> int:
-        """Write one dataset; returns its object header address."""
+        """Write one dataset; returns its object header address.
+        gzip/shuffle apply per-chunk filters (requires chunk_shape),
+        matching ``h5py.create_dataset(compression='gzip',
+        shuffle=...)`` on-disk structures."""
         if isinstance(values, list) and values and isinstance(values[0], str):
             data = self._vlen_elements(values)
             dt = _dt_vlen_str()
@@ -180,16 +185,41 @@ class Writer:
             layout = struct.pack("<BBQQ", 3, 1, addr, len(data))
         else:
             layout = self._write_chunked(
-                np.asarray(values), dims, chunk_shape, elem
+                np.asarray(values), dims, chunk_shape, elem,
+                gzip=gzip, shuffle=shuffle,
             )
         msgs = [
             self._msg(0x0001, _dataspace(dims)),
             self._msg(0x0003, dt),
             self._msg(0x0008, layout),
         ]
+        if chunk_shape is not None and (gzip or shuffle):
+            msgs.append(self._msg(0x000B, self._filter_pipeline(elem, gzip, shuffle)))
         for k, v in (attrs or {}).items():
             msgs.append(self._attr_msg(k, v))
         return self._object_header(msgs)
+
+    @staticmethod
+    def _filter_pipeline(elem: int, gzip: bool, shuffle: bool) -> bytes:
+        """v1 filter pipeline message: shuffle (id 2) before deflate
+        (id 1) in write order, as libhdf5 arranges them."""
+
+        def filt(fid: int, cd: tuple[int, ...]) -> bytes:
+            b = struct.pack("<HHHH", fid, 0, 0, len(cd))
+            b += b"".join(struct.pack("<I", c) for c in cd)
+            if len(cd) % 2 == 1:
+                b += b"\x00" * 4
+            return b
+
+        filters = b""
+        n = 0
+        if shuffle:
+            filters += filt(2, (elem,))
+            n += 1
+        if gzip:
+            filters += filt(1, (6,))
+            n += 1
+        return struct.pack("<BB6x", 1, n) + filters
 
     def _write_chunked(
         self,
@@ -197,7 +227,11 @@ class Writer:
         dims: tuple[int, ...],
         chunk_shape: tuple[int, ...],
         elem: int,
+        gzip: bool = False,
+        shuffle: bool = False,
     ) -> bytes:
+        import zlib
+
         rank = len(dims)
         entries = []  # (offsets, chunk_addr, chunk_nbytes)
         grids = [range(0, d, c) for d, c in zip(dims, chunk_shape)]
@@ -212,6 +246,14 @@ class Writer:
                 block = arr[sel]
                 full[tuple(slice(0, s) for s in block.shape)] = block
                 raw = full.tobytes()
+                if shuffle and elem > 1:  # byte-transpose, write order first
+                    raw = (
+                        np.frombuffer(raw, dtype="u1")
+                        .reshape(-1, elem)
+                        .T.tobytes()
+                    )
+                if gzip:
+                    raw = zlib.compress(raw, 6)
                 entries.append((tuple(prefix), self.write(raw), len(raw)))
                 return
             for o in grids[len(prefix)]:
@@ -285,12 +327,28 @@ def build_h5ad_csr(
     indices: np.ndarray,
     indptr: np.ndarray,
     chunked: bool = False,
+    gzip: bool = False,
+    shuffle: bool = False,
 ) -> bytes:
-    """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var."""
+    """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var.
+    ``gzip``/``shuffle`` chunk-filter the X arrays (implies chunked),
+    mirroring ``anndata.write_h5ad(compression="gzip")``."""
     w = Writer()
+    chunked = chunked or gzip or shuffle
     chunk = (max(1, len(np.asarray(data)) // 3),) if chunked else None
-    d = w.write_dataset(np.asarray(data, dtype="<f8"), chunk_shape=chunk)
-    i = w.write_dataset(np.asarray(indices, dtype="<i4"))
+    fopts = dict(gzip=gzip, shuffle=shuffle)
+    d = w.write_dataset(
+        np.asarray(data, dtype="<f8"), chunk_shape=chunk, **fopts
+    )
+    i = (
+        w.write_dataset(
+            np.asarray(indices, dtype="<i4"),
+            chunk_shape=(max(1, len(np.asarray(indices))),),
+            **fopts,
+        )
+        if gzip or shuffle
+        else w.write_dataset(np.asarray(indices, dtype="<i4"))
+    )
     p = w.write_dataset(np.asarray(indptr, dtype="<i8"))
     x = w.write_group(
         {"data": d, "indices": i, "indptr": p},

@@ -53,6 +53,52 @@ def test_read_h5ad_csr_chunked():
     np.testing.assert_array_equal(data, DATA)
 
 
+def test_read_h5ad_csr_gzip_chunks():
+    """anndata.write_h5ad(compression='gzip') layout: deflate-filtered
+    chunks decode via the stdlib zlib path."""
+    content = build_h5ad_csr(
+        BARCODES, FEATURES, DATA, INDICES, INDPTR, gzip=True
+    )
+    out = read_h5ad_matrix(content)
+    kind, data, indices, *_ = out["x"]
+    assert kind == "csr"
+    np.testing.assert_array_equal(data, DATA)
+    np.testing.assert_array_equal(indices, INDICES)
+    assert out["barcodes"] == BARCODES
+
+
+def test_read_h5ad_csr_gzip_shuffle_chunks():
+    content = build_h5ad_csr(
+        BARCODES, FEATURES, DATA, INDICES, INDPTR, gzip=True, shuffle=True
+    )
+    out = read_h5ad_matrix(content)
+    _, data, indices, indptr, _ = out["x"]
+    np.testing.assert_array_equal(data, DATA)
+    np.testing.assert_array_equal(indices, INDICES)
+    np.testing.assert_array_equal(indptr, INDPTR)
+
+
+def test_unknown_filter_rejected():
+    """An unsupported filter id must raise naming the id, never
+    silently misread bytes."""
+    from atac_data_products_spark.sources.hdf5 import H5Reader
+
+    w = Writer()
+    ds = w.write_dataset(
+        np.arange(8, dtype="<f8"), chunk_shape=(4,), gzip=True
+    )
+    grp = w.write_group({"d": ds})
+    content = bytearray(w.finish(w.write_group({"g": grp})))
+    # corrupt the filter id (1 = deflate) to szip (4) in place
+    pipeline = Writer._filter_pipeline(8, True, False)
+    idx = bytes(content).find(pipeline)
+    assert idx > 0
+    content[idx + 8] = 4  # filter id byte inside the message
+    r = H5Reader(bytes(content))
+    with pytest.raises(NotImplementedError, match="filter id 4"):
+        r.read_dataset(r.open("g/d"))
+
+
 def test_read_h5ad_dense():
     x = np.array([[0.0, 2.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 9.5]])
     content = build_h5ad_dense(BARCODES, FEATURES, x)

@@ -92,22 +92,104 @@ def frame_sample(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Dat
     return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int):
-    """Image resize — stubbed (no imaging library in this container).
-    Signature and schema are the real seam; the body would be a Pillow
-    call per payload inside the same mapInPandas shape as frame_sample."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not shipped in this "
-        "container; frame_sample demonstrates the identical Spark plumbing"
+IMAGE_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, channel int, mean_value double"
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode (PNG baseline profile, extensions/png.py —
+    stdlib zlib, no imaging library): per-channel pixel means in
+    long form, one row per (payload, channel).  Non-PNG payloads raise
+    naming the format rather than misreading bytes; audio/video
+    containers still need external codecs (frame_sample covers the
+    byte-level plumbing for those)."""
+    from .png import decode_png, is_png
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, means = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not is_png(raw):
+                    raise NotImplementedError(
+                        "decode_image_stats: payload is not PNG; other "
+                        "codecs need imaging libraries not in this container"
+                    )
+                img = decode_png(raw)
+                h, w, c = img.shape
+                for ch in range(c):
+                    ids.append(mid)
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(ch)
+                    means.append(round(float(img[:, :, ch].mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channel": pd.Series(chs, dtype="int32"),
+                    "mean_value": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, IMAGE_STATS_SCHEMA
     )
 
 
+RESIZED_SCHEMA = "media_id bigint, payload binary, width int, height int"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for PNG payloads: decode (extensions/png.py) →
+    nearest-neighbor index selection → re-encode, inside the same
+    Arrow-batched mapInPandas seam.  Deterministic bytes out (filter-0
+    scanlines, fixed zlib level)."""
+    from .png import decode_png, encode_png, is_png, resize_nearest
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not is_png(raw):
+                    raise NotImplementedError(
+                        "resize_images: payload is not PNG; other codecs "
+                        "need imaging libraries not in this container"
+                    )
+                ids.append(mid)
+                payloads.append(
+                    encode_png(resize_nearest(decode_png(raw), width, height))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, RESIZED_SCHEMA
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int):
+    """Legacy name — PNG payloads resize for real now (resize_images);
+    other formats still require imaging libraries."""
+    return resize_images(media, width, height)
+
+
 def decode_media(media: DataFrame, target: str = "rgb_frames"):
-    """Real codec decode — stubbed: the image/audio libraries are not in
-    this container.  The seam (signature, schema, batching) matches
-    byte_features exactly; swap the inner function when Pillow/ffmpeg
-    are available."""
+    """Codec decode: PNG images decode for real (decode_image_stats);
+    audio/video containers are stubbed — those codecs are not in this
+    container and installs are prohibited."""
+    if target in ("rgb_frames", "image_stats"):
+        return decode_image_stats(media)
     raise NotImplementedError(
-        "media codec decode requires image/audio libraries not shipped in "
-        "this container; use byte_features for the plumbing-equivalent path"
+        "audio/video decode requires codec libraries not shipped in this "
+        "container; PNG images decode via decode_image_stats"
     )

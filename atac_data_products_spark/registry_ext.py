@@ -726,6 +726,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media)
 
 
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH px AS (
+      SELECT n_nationkey, ch,
+             (n_nationkey * 31 + y * 7 + x * 3 + ch * 11) % 256 AS v
+      FROM nation,
+           (SELECT unnest(range(8)) AS y) ys,
+           (SELECT unnest(range(8)) AS x) xs,
+           (SELECT unnest(range(3)) AS ch) chs
+    )
+    SELECT n_nationkey AS media_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(ch AS INT) AS channel,
+           round(avg(v), 6) AS mean_value
+    FROM px GROUP BY n_nationkey, ch
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate: one deterministic 8×8
+    RGB PNG per nation row (pixel(y,x,ch) = (key·31+y·7+x·3+ch·11) mod
+    256, encoded by extensions/png.py), decoded DISTRIBUTED through the
+    Arrow-batched mapInPandas seam by the stdlib-only PNG decoder
+    (chunk parse → IDAT inflate → scanline unfilter), reduced to
+    per-channel pixel means.  The oracle recomputes the means in closed
+    form, so the byte-level codec is value-checked end to end — the
+    image sibling of [[scan_h5ad_codec]].  Payload generation is
+    driver-side over the 25-row dim; decode parallelism is per-payload,
+    which is the axis that scales at 100 TB of media."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from .extensions.multimodal import decode_image_stats
+    from .extensions.png import encode_png
+
+    keys = (
+        _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .to_pandas()["n_nationkey"]
+        .tolist()
+    )
+    y, x, ch = _np.meshgrid(
+        _np.arange(8), _np.arange(8), _np.arange(3), indexing="ij"
+    )
+    rows = []
+    for n in keys:
+        img = ((int(n) * 31 + y * 7 + x * 3 + ch * 11) % 256).astype("uint8")
+        rows.append((int(n), bytearray(encode_png(img))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return decode_image_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # Streaming analogues (batch-checkable; live readStream in streaming/)
 # ---------------------------------------------------------------------------

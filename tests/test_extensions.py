@@ -124,9 +124,11 @@ def test_multimodal_payload_roundtrip(spark):
     assert feats[1].content_md5 == hashlib.md5(b"hello").hexdigest()
 
 
-def test_multimodal_decode_is_stubbed(spark):
+def test_multimodal_av_decode_is_stubbed(spark):
+    """PNG images decode for real now; audio/video targets stay an
+    honest NotImplementedError (codecs absent from the container)."""
     with pytest.raises(NotImplementedError):
-        decode_media(None)
+        decode_media(None, target="audio_pcm")
 
 
 def test_kmeans_lloyd_partitioning_invariance(spark):

@@ -133,7 +133,9 @@ class H5Reader:
         elif v in (2, 3):
             if (self.b[off + 9], self.b[off + 10]) != (8, 8):
                 raise _unsupported("offset/length size != 8 in superblock v2+")
-            (root,) = struct.unpack_from("<Q", self.b, off + 12 + 1 + 24)
+            # 12-byte prefix, then base/extension/EOF addresses (8 each),
+            # then the root group object header address
+            (root,) = struct.unpack_from("<Q", self.b, off + 12 + 24)
             self.root = self.base + root
         else:
             raise _unsupported(f"superblock version {v}")

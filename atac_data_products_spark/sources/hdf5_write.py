@@ -114,9 +114,8 @@ class Writer:
     # -- messages --------------------------------------------------------
 
     @staticmethod
-    def _msg(type_id: int, body: bytes) -> bytes:
-        body = _pad8(body)
-        return struct.pack("<HHB3x", type_id, len(body), 0) + body
+    def _msg(type_id: int, body: bytes) -> tuple[int, bytes]:
+        return (type_id, body)
 
     def _attr_msg(self, name: str, value) -> bytes:
         nm = name.encode("utf-8") + b"\x00"
@@ -143,8 +142,12 @@ class Writer:
         )
         return self._msg(0x000C, body)
 
-    def _object_header(self, messages: list[bytes]) -> int:
-        block = b"".join(messages)
+    def _object_header(self, messages: list[tuple[int, bytes]]) -> int:
+        """v1 object header: 8-byte message headers, bodies padded to 8."""
+        block = b""
+        for type_id, body in messages:
+            body = _pad8(body)
+            block += struct.pack("<HHB3x", type_id, len(body), 0) + body
         hdr = struct.pack("<BxHII", 1, len(messages), 1, len(block))
         return self.write(hdr + b"\x00" * 4 + block)
 
@@ -316,6 +319,45 @@ class Writer:
         # group's own symbol-table message)
         sb += struct.pack("<QQI4x16x", 0, root_header_addr, 0)
         assert len(sb) == 96
+        self.buf[: len(sb)] = sb
+        return bytes(self.buf)
+
+
+class WriterV2(Writer):
+    """libver='latest'-style variant: superblock VERSION 2, 'OHDR'
+    version-2 object headers (1-byte message types, no padding), and
+    compact NEW-STYLE groups carried as inline link messages instead of
+    symbol-table B-trees.  Same public API as Writer — the codec tests
+    run both styles through the same reader."""
+
+    def _object_header(self, messages: list[tuple[int, bytes]]) -> int:
+        block = b""
+        for type_id, body in messages:
+            block += bytes([type_id]) + struct.pack("<H", len(body)) + b"\x00" + body
+        # flags: bits0-1 = 2 -> 4-byte size-of-chunk0 field
+        hdr = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(block))
+        return self.write(hdr + block + b"\x00" * 4)  # checksum unvalidated
+
+    def write_group(self, children: dict[str, int], attrs: dict | None = None) -> int:
+        msgs: list[tuple[int, bytes]] = []
+        for name in sorted(children):
+            nm = name.encode("utf-8")
+            body = (
+                bytes([1, 0x00, len(nm)])  # version 1, flags 0, 1-byte len
+                + nm
+                + struct.pack("<Q", children[name])
+            )
+            msgs.append((0x0006, body))
+        for k, v in (attrs or {}).items():
+            msgs.append(self._attr_msg(k, v))
+        return self._object_header(msgs)
+
+    def finish(self, root_header_addr: int) -> bytes:
+        sb = b"\x89HDF\r\n\x1a\n"
+        sb += bytes([2, 8, 8, 0])  # version 2, offsets 8, lengths 8, flags
+        sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), root_header_addr)
+        sb += b"\x00" * 4  # checksum (unvalidated by the reader)
+        assert len(sb) == 48
         self.buf[: len(sb)] = sb
         return bytes(self.buf)
 

@@ -135,6 +135,57 @@ def test_reader_primitives():
     assert r.exists("g/i") and not r.exists("g/zzz")
 
 
+def test_v2_superblock_ohdr_compact_links():
+    """libver='latest'-style files: superblock v2, OHDR object headers,
+    inline link messages — same reader, different writer subclass."""
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    w = WriterV2()
+    ints = w.write_dataset(np.arange(10, dtype="int32"))
+    mat = w.write_dataset(
+        np.arange(12, dtype="float64").reshape(3, 4), attrs={"rows": 3}
+    )
+    vls = w.write_dataset(["alpha", "bé"])
+    grp = w.write_group({"i": ints, "m": mat, "s": vls}, attrs={"k": "v"})
+    content = w.finish(w.write_group({"g": grp}))
+
+    r = H5Reader(content)
+    assert r.attributes(r.open("g"))["k"] == "v"
+    np.testing.assert_array_equal(r.read_dataset(r.open("g/i")), np.arange(10))
+    m = r.open("g/m")
+    assert r.attributes(m)["rows"] == 3
+    np.testing.assert_array_equal(
+        r.read_dataset(m), np.arange(12.0).reshape(3, 4)
+    )
+    assert r.read_dataset(r.open("g/s")) == ["alpha", "bé"]
+
+
+def test_v2_h5ad_roundtrip():
+    """A v2-style .h5ad decodes through the same AnnData layer."""
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    w = WriterV2()
+    d = w.write_dataset(np.asarray(DATA, dtype="<f8"))
+    i = w.write_dataset(np.asarray(INDICES, dtype="<i4"))
+    p = w.write_dataset(np.asarray(INDPTR, dtype="<i8"))
+    x = w.write_group(
+        {"data": d, "indices": i, "indptr": p},
+        attrs={"encoding-type": "csr_matrix", "shape": [3, 3]},
+    )
+    obs = w.write_group(
+        {"_index": w.write_dataset(list(BARCODES))}, attrs={"_index": "_index"}
+    )
+    var = w.write_group(
+        {"_index": w.write_dataset(list(FEATURES))}, attrs={"_index": "_index"}
+    )
+    content = w.finish(w.write_group({"X": x, "obs": obs, "var": var}))
+    out = read_h5ad_matrix(content)
+    assert out["barcodes"] == BARCODES and out["features"] == FEATURES
+    kind, data, *_ = out["x"]
+    assert kind == "csr"
+    np.testing.assert_array_equal(data, DATA)
+
+
 def test_not_hdf5_rejected():
     with pytest.raises(ValueError, match="superblock"):
         H5Reader(b"definitely not an hdf5 file" * 100)

@@ -229,8 +229,11 @@ class H5Reader:
             return links
         li = obj.one(_MSG_LINK_INFO)
         if li is not None and not obj.all(_MSG_LINK):
-            # dense (fractal heap) links would live behind LINK_INFO
-            fheap = struct.unpack_from("<Q", li, 2 if li[1] & 1 else 2)[0]
+            # dense (fractal heap) links would live behind LINK_INFO:
+            # version(1), flags(1), [max creation index (8) if flags&1],
+            # fractal heap address(8)
+            fheap_off = 2 + (8 if li[1] & 0x1 else 0)
+            (fheap,) = struct.unpack_from("<Q", li, fheap_off)
             if fheap != _UNDEF:
                 raise _unsupported("fractal-heap (dense) group links")
         return links

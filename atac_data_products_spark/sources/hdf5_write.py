@@ -117,7 +117,7 @@ class Writer:
     def _msg(type_id: int, body: bytes) -> tuple[int, bytes]:
         return (type_id, body)
 
-    def _attr_msg(self, name: str, value) -> bytes:
+    def _attr_parts(self, name: str, value) -> tuple[bytes, bytes, bytes, bytes]:
         nm = name.encode("utf-8") + b"\x00"
         if isinstance(value, str):
             dt = _dt_vlen_str()
@@ -133,6 +133,10 @@ class Writer:
             dt = _dt_int(8)
             ds = _dataspace_scalar()
             data = arr.tobytes()
+        return nm, dt, ds, data
+
+    def _attr_msg(self, name: str, value) -> tuple[int, bytes]:
+        nm, dt, ds, data = self._attr_parts(name, value)
         body = (
             struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
             + _pad8(nm)
@@ -337,6 +341,19 @@ class WriterV2(Writer):
         # flags: bits0-1 = 2 -> 4-byte size-of-chunk0 field
         hdr = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(block))
         return self.write(hdr + block + b"\x00" * 4)  # checksum unvalidated
+
+    def _attr_msg(self, name: str, value) -> tuple[int, bytes]:
+        """v3 attribute message (what libver='latest' libhdf5 emits):
+        no internal padding, explicit name-encoding byte (UTF-8)."""
+        nm, dt, ds, data = self._attr_parts(name, value)
+        body = (
+            struct.pack("<BBHHHB", 3, 0, len(nm), len(dt), len(ds), 1)
+            + nm
+            + dt
+            + ds
+            + data
+        )
+        return self._msg(0x000C, body)
 
     def write_group(self, children: dict[str, int], attrs: dict | None = None) -> int:
         msgs: list[tuple[int, bytes]] = []

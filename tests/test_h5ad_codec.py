@@ -135,6 +135,18 @@ def test_reader_primitives():
     assert r.exists("g/i") and not r.exists("g/zzz")
 
 
+def test_chunked_2d_with_partial_edge_chunks():
+    """Rank-2 chunk grid where the array size is not a chunk multiple:
+    edge chunks are zero-padded on disk and trimmed on read."""
+    img = np.arange(7 * 5, dtype="<f8").reshape(7, 5)
+    for gz in (False, True):
+        w = Writer()
+        ds = w.write_dataset(img, chunk_shape=(3, 2), gzip=gz)
+        content = w.finish(w.write_group({"d": ds}))
+        out = H5Reader(content).read_dataset(H5Reader(content).open("d"))
+        np.testing.assert_array_equal(out, img)
+
+
 def test_v2_superblock_ohdr_compact_links():
     """libver='latest'-style files: superblock v2, OHDR object headers,
     inline link messages — same reader, different writer subclass."""

@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "approx_percentile_accuracy",
     "ml_naive_bayes_langid",
     "ml_roc_auc",
+    # round-4 addition past the 50-key window: first in line for r05
+    "multimodal_png_decode",
 ]
 
 

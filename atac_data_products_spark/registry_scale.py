@@ -388,11 +388,30 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix-order tie-break moves from the shingle string to its digest:
     # a different but equally deterministic total order, still lossless
     # (ANY global order works for the prefix theorem).
-    sh = (
+    #
+    # The digest table feeds FOUR branches (df table, sizes, prefix rank,
+    # verify); left lazy, the tokenize+md5+distinct subtree replicates
+    # per branch (34 FileScans).  Block-cache persist was measured 2x
+    # SLOWER than recompute (docs/PLAN_AUDIT.md) — but a columnar SPILL
+    # is not: one parquet write of the (bigint, bigint) pairs, then four
+    # cheap dictionary-encoded scans with real file statistics.
+    # Deterministic per-sf_dir path, overwritten on rerun.
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    sh_path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"adp_prefix_sh_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    (
         shingle_table(_t(spark, sf_dir, "documents"), distinct=False)
         .select("doc_id", hash59("shingle").alias("g"))
         .distinct()
+        .write.mode("overwrite")
+        .parquet(sh_path)
     )
+    sh = spark.read.parquet(sh_path)
     df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN

@@ -283,24 +283,45 @@ def jaccard_pairs(
     )
 
 
+def lsh_spill_path(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, input) parquet spill location for
+    minhash_lsh_dedup_pairs — overwritten on rerun, never accumulated
+    (the scan_fixed_width temp-dir lesson, ADVICE r03)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"adp_lsh_spill_{key}")
+
+
 def minhash_lsh_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
+    spill_path: str | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs at scale.
 
     The shingle table feeds three consumers (signatures, candidate-doc
-    restriction, intersection counts).  Measured: persisting it is 3-4x
-    SLOWER here than recomputation (columnar cache materialization +
-    lost broadcast statistics under the cache), so the plan recomputes
-    the cheap narrow shingle subtree per consumer.  The signature branch
-    additionally skips the distinct shuffle: min() is duplicate-
-    insensitive, so MinHash over the shingle *multiset* is identical.
+    restriction, intersection counts).  Measured: block-cache persist is
+    3-4x SLOWER here than recomputation (row-format cache
+    materialization + lost broadcast statistics under the cache), so by
+    default the plan recomputes the cheap narrow shingle subtree per
+    consumer.  ``spill_path`` instead round-trips the multiset through
+    PARQUET once (columnar write, stats preserved, dictionary-encoded
+    re-scans) — values identical, purely physical; callers with a
+    deterministic per-input path (registry queries) opt in.  The
+    signature branch additionally skips the distinct shuffle: min() is
+    duplicate-insensitive, so MinHash over the shingle *multiset* is
+    identical.
     """
     sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
+    if spill_path is not None:
+        sh_multiset.write.mode("overwrite").parquet(spill_path)
+        sh_multiset = docs.sparkSession.read.parquet(spill_path)
     sig = minhash_signatures(sh_multiset, id_col)
     # keep the candidate distinct: near-dup pairs collide in MANY bands,
     # so one dedup shuffle of the multiset bounds both downstream

@@ -283,18 +283,6 @@ def jaccard_pairs(
     )
 
 
-def lsh_spill_path(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(query, input) parquet spill location for
-    minhash_lsh_dedup_pairs — overwritten on rerun, never accumulated
-    (the scan_fixed_width temp-dir lesson, ADVICE r03)."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"adp_lsh_spill_{key}")
-
-
 def minhash_lsh_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -840,14 +840,14 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .registry_ext import JACCARD_THRESHOLD
 
-    from .extensions.dedup import lsh_spill_path
+    from .spill import spill_root
 
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_lsh_dedup_pairs(
         docs,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=lsh_spill_path("corpus_dedup_survivors", sf_dir),
+        spill_path=spill_root(spark, "corpus_dedup_survivors", sf_dir),
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # (doc_id, cluster_id), members only
     sized = dup.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
@@ -2055,13 +2055,13 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
         & (F.col("source") != "src9")
     )
-    from .extensions.dedup import lsh_spill_path
+    from .spill import spill_root
 
     edges = minhash_lsh_dedup_pairs(
         gated,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=lsh_spill_path("corpus_pipeline_e2e", sf_dir),
+        spill_path=spill_root(spark, "corpus_pipeline_e2e", sf_dir),
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # edge members only
     w = Window.partitionBy("cluster_id").orderBy(

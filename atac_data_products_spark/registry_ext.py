@@ -305,13 +305,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding AND the cap from the same constants, so even this
     approximate path is value-checked; its exact brute-force twin is
     dedup_ngram_jaccard, its uncapped form dedup_minhash_lsh_exact."""
-    from .extensions.dedup import lsh_spill_path
+    from .spill import spill_root
 
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=lsh_spill_path("dedup_minhash_lsh", sf_dir),
+        spill_path=spill_root(spark, "dedup_minhash_lsh", sf_dir),
     )
 
 

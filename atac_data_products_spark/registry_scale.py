@@ -394,24 +394,23 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per branch (34 FileScans).  Block-cache persist was measured 2x
     # SLOWER than recompute (docs/PLAN_AUDIT.md) — but a columnar SPILL
     # is not: one parquet write of the (bigint, bigint) pairs, then four
-    # cheap dictionary-encoded scans with real file statistics.
-    # Deterministic per-sf_dir path, overwritten on rerun.
-    import hashlib as _hashlib
-    import os as _os
-    import tempfile as _tempfile
+    # cheap dictionary-encoded scans with real file statistics.  The
+    # spill location is conf-driven and executor-visible (spill.py);
+    # when spill_root returns None (non-local master, no adp.spill.root)
+    # the plan degrades to the lazy recompute — identical values.
+    from .spill import spill_root as _spill_root
 
-    sh_path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"adp_prefix_sh_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    (
+    sh_lazy = (
         shingle_table(_t(spark, sf_dir, "documents"), distinct=False)
         .select("doc_id", hash59("shingle").alias("g"))
         .distinct()
-        .write.mode("overwrite")
-        .parquet(sh_path)
     )
-    sh = spark.read.parquet(sh_path)
+    sh_path = _spill_root(spark, "dedup_prefix_filter_join", sf_dir)
+    if sh_path is not None:
+        sh_lazy.write.mode("overwrite").parquet(sh_path)
+        sh = spark.read.parquet(sh_path)
+    else:
+        sh = sh_lazy
     df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
@@ -2136,16 +2135,12 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst).  Rigid layouts (no delimiter ambiguity) are why this
     format survives; the spec tuple is the engine's 'copybook'.
     """
-    import hashlib as _hashlib
-    import os as _os
-    import tempfile as _tempfile
+    # deterministic per-(session, sf_dir) fixture path, overwritten on
+    # rerun — a fresh uuid dir per call leaked one temp directory per
+    # invocation; fixture_root keeps it executor-visible off-local
+    from .spill import fixture_root as _fixture_root
 
-    # deterministic per-sf_dir fixture path, overwritten on rerun — a
-    # fresh uuid dir per call leaked one temp directory per invocation
-    out = _os.path.join(
-        _tempfile.gettempdir(),
-        f"adp_fixed_width_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = _fixture_root(spark, "fixed_width", sf_dir)
     nat = _t(spark, sf_dir, "nation")
     line = F.concat(
         F.lpad(F.col("n_nationkey").cast("string"), 4, " "),

@@ -57,6 +57,7 @@ _MSG_FILTER_PIPELINE = 0x000B
 _MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
+_MSG_ATTR_INFO = 0x0015
 
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -191,6 +192,13 @@ class H5Reader:
         size_bytes = 1 << (flags & 0x3)
         chunk0 = int.from_bytes(self.b[p : p + size_bytes], "little")
         p += size_bytes
+        # the optional 2-byte per-message creation-order field is keyed
+        # off the OBJECT HEADER's "attribute creation order tracked"
+        # flag (0x04), NOT the per-message flags byte — libhdf5's
+        # H5O_HDR_ATTR_CRT_ORDER_TRACKED; per-message bit 0x04 means
+        # "do not share" and carries no extra bytes (round-4 ADVICE:
+        # h5py libver='latest' + track_order=True files misparsed)
+        track_order = bool(flags & 0x4)
         blocks = [(p, chunk0)]
         while blocks:
             p, size = blocks.pop(0)
@@ -198,9 +206,8 @@ class H5Reader:
             while p + 4 <= end:
                 t = self.b[p]
                 sz = struct.unpack_from("<H", self.b, p + 1)[0]
-                mflags = self.b[p + 3]
                 p += 4
-                if mflags & 0x4:
+                if track_order:
                     p += 2  # creation order
                 body = self.b[p : p + sz]
                 if t == _MSG_CONTINUATION:
@@ -330,6 +337,19 @@ class H5Reader:
         return tuple(dims)
 
     def attributes(self, obj: _Obj) -> dict[str, object]:
+        # dense (fractal-heap) attribute storage must be REJECTED, not
+        # silently skipped: compact 0x000C messages are absent for such
+        # files and a caller would see an empty dict and mis-default
+        # (the module contract is "explicitly rejected, never silently
+        # misread" — round-4 ADVICE; mirrors the LINK_INFO guard).
+        # Attribute Info message: version(1), flags(1),
+        # [max creation index (2) if flags&1], fractal heap address(8)
+        ai = obj.one(_MSG_ATTR_INFO)
+        if ai is not None:
+            fheap_off = 2 + (2 if ai[1] & 0x1 else 0)
+            (fheap,) = struct.unpack_from("<Q", ai, fheap_off)
+            if fheap != _UNDEF:
+                raise _unsupported("fractal-heap (dense) attributes")
         out: dict[str, object] = {}
         for body in obj.all(_MSG_ATTRIBUTE):
             name, value = self._parse_attribute(body)
@@ -592,7 +612,17 @@ def read_h5ad_matrix(content: bytes) -> dict:
         x = ("dense", np.asarray(r.read_dataset(x_obj)))
         n_obs = x[1].shape[0]
     else:
-        enc = attrs.get("encoding-type", "csr_matrix")
+        # no silent defaults on a group-encoded X (round-4 ADVICE): a
+        # file whose attributes we could not read must raise, not decode
+        # as an empty csr.  Modern anndata writes encoding-type/shape;
+        # legacy h5sparse files carry h5sparse_format/h5sparse_shape.
+        enc = attrs.get("encoding-type")
+        if enc is None and "h5sparse_format" in attrs:
+            enc = f"{attrs['h5sparse_format']}_matrix"
+        if enc is None:
+            raise _unsupported(
+                "group-encoded X without encoding-type / h5sparse_format"
+            )
         kind = {"csr_matrix": "csr", "csc_matrix": "csc"}.get(str(enc))
         if kind is None:
             raise _unsupported(f"X encoding-type {enc!r}")
@@ -602,7 +632,12 @@ def read_h5ad_matrix(content: bytes) -> dict:
             r.read_dataset(r.read_object(children["indices"]))
         )
         indptr = np.asarray(r.read_dataset(r.read_object(children["indptr"])))
-        shape = tuple(int(s) for s in attrs.get("shape", (0, 0)))
+        raw_shape = attrs.get("shape", attrs.get("h5sparse_shape"))
+        if raw_shape is None:
+            raise _unsupported(
+                "group-encoded X without shape / h5sparse_shape"
+            )
+        shape = tuple(int(s) for s in raw_shape)
         x = (kind, data, indices, indptr, shape)
         n_obs = shape[0]
     barcodes = _read_axis_index(r, "obs")

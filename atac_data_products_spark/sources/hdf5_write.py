@@ -170,6 +170,9 @@ class Writer:
         matching ``h5py.create_dataset(compression='gzip',
         shuffle=...)`` on-disk structures."""
         if isinstance(values, list) and values and isinstance(values[0], str):
+            if chunk_shape is not None:
+                raise ValueError("chunked layout unsupported for vlen strings")
+            arr = None
             data = self._vlen_elements(values)
             dt = _dt_vlen_str()
             dims = (len(values),)
@@ -191,8 +194,12 @@ class Writer:
             addr = self.write(data)
             layout = struct.pack("<BBQQ", 3, 1, addr, len(data))
         else:
+            # the astype-normalized little-endian arr, NOT a fresh
+            # np.asarray(values): a big-endian input re-materialized
+            # here would write BE bytes under the LE-declared datatype
+            # (silent value corruption — round-4 ADVICE)
             layout = self._write_chunked(
-                np.asarray(values), dims, chunk_shape, elem,
+                arr, dims, chunk_shape, elem,
                 gzip=gzip, shuffle=shuffle,
             )
         msgs = [

@@ -348,3 +348,171 @@ def test_ingest_pipeline_with_h5ad_files(spark, tmp_path):
     assert len(rows) == 8  # 4 nonzeros x 2 datasets
     assert {r.dataset for r in rows} == {"ds1", "ds2"}
     assert {r.value for r in rows} == {2.0, 1.0, 3.0, 9.5}
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE regressions: v2 creation-order flag semantics, dense
+# attribute rejection, no silent sparse-X defaults, chunked BE inputs
+# ---------------------------------------------------------------------------
+
+
+def _v2_track_order_writer():
+    """WriterV2 variant emitting what h5py libver='latest' +
+    track_order=True produces: OHDR flags bit 0x04 set and a 2-byte
+    creation-order field after EVERY message header."""
+    import struct as _struct
+
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    class _W(WriterV2):
+        def _object_header(self, messages):
+            block = b""
+            for n, (type_id, body) in enumerate(messages):
+                block += (
+                    bytes([type_id])
+                    + _struct.pack("<H", len(body))
+                    + b"\x00"
+                    + _struct.pack("<H", n)  # creation order
+                    + body
+                )
+            hdr = b"OHDR" + bytes([2, 0x02 | 0x04]) + _struct.pack("<I", len(block))
+            return self.write(hdr + block + b"\x00" * 4)
+
+    return _W()
+
+
+def test_v2_ohdr_tracked_creation_order():
+    """The 2-byte creation-order field keys off the OHDR flag, not the
+    per-message flags byte (libhdf5 H5O_HDR_ATTR_CRT_ORDER_TRACKED)."""
+    w = _v2_track_order_writer()
+    ds = w.write_dataset(np.arange(6, dtype="int64"), attrs={"n": 6})
+    content = w.finish(w.write_group({"d": ds}, attrs={"k": "v"}))
+    r = H5Reader(content)
+    assert r.attributes(r.open("/"))["k"] == "v"
+    d = r.open("d")
+    assert r.attributes(d)["n"] == 6
+    np.testing.assert_array_equal(r.read_dataset(d), np.arange(6))
+
+
+def test_v2_message_do_not_share_flag_skips_nothing():
+    """Per-message flag 0x04 means 'do not share' and carries NO extra
+    bytes; pre-fix the reader skipped 2 valid body bytes."""
+    import struct as _struct
+
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    class _W(WriterV2):
+        def _object_header(self, messages):
+            block = b""
+            for type_id, body in messages:
+                block += (
+                    bytes([type_id])
+                    + _struct.pack("<H", len(body))
+                    + b"\x04"  # do-not-share message flag
+                    + body
+                )
+            hdr = b"OHDR" + bytes([2, 0x02]) + _struct.pack("<I", len(block))
+            return self.write(hdr + block + b"\x00" * 4)
+
+    w = _W()
+    ds = w.write_dataset(np.arange(4, dtype="int32"))
+    content = w.finish(w.write_group({"d": ds}))
+    r = H5Reader(content)
+    np.testing.assert_array_equal(r.read_dataset(r.open("d")), np.arange(4))
+
+
+def test_dense_attributes_rejected_not_silently_empty():
+    """An Attribute Info message with a defined fractal-heap address
+    means attrs live in dense storage the codec does not parse — must
+    raise, never return {} (which downstream would mis-default)."""
+    import struct as _struct
+
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    w = WriterV2()
+    ds = w.write_dataset(np.arange(3, dtype="int64"))
+    # version 0, flags 1 (creation order tracked -> 2-byte max index),
+    # fractal heap addr 0x1000 (defined), name btree addr UNDEF
+    ai_body = bytes([0, 1]) + _struct.pack("<HQQ", 7, 0x1000, 2**64 - 1)
+    grp = w._object_header(
+        [
+            (
+                0x0006,
+                bytes([1, 0x00, 1]) + b"d" + _struct.pack("<Q", ds),
+            ),
+            (0x0015, ai_body),
+        ]
+    )
+    content = w.finish(grp)
+    r = H5Reader(content)
+    with pytest.raises(NotImplementedError, match="dense"):
+        r.attributes(r.open("/"))
+    # UNDEF heap address (attrs still compact) must NOT raise
+    w2 = WriterV2()
+    ds2 = w2.write_dataset(np.arange(3, dtype="int64"))
+    ai2 = bytes([0, 0]) + _struct.pack("<QQ", 2**64 - 1, 2**64 - 1)
+    grp2 = w2._object_header(
+        [
+            (0x0006, bytes([1, 0x00, 1]) + b"d" + _struct.pack("<Q", ds2)),
+            (0x0015, ai2),
+            w2._attr_msg("k", "v"),
+        ]
+    )
+    r2 = H5Reader(w2.finish(grp2))
+    assert r2.attributes(r2.open("/"))["k"] == "v"
+
+
+def _csr_group_file(attrs: dict) -> bytes:
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    w = WriterV2()
+    x = w.write_group(
+        {
+            "data": w.write_dataset(np.asarray(DATA, dtype="<f8")),
+            "indices": w.write_dataset(np.asarray(INDICES, dtype="<i4")),
+            "indptr": w.write_dataset(np.asarray(INDPTR, dtype="<i8")),
+        },
+        attrs=attrs,
+    )
+    obs = w.write_group(
+        {"_index": w.write_dataset(list(BARCODES))}, attrs={"_index": "_index"}
+    )
+    var = w.write_group(
+        {"_index": w.write_dataset(list(FEATURES))}, attrs={"_index": "_index"}
+    )
+    return w.finish(w.write_group({"X": x, "obs": obs, "var": var}))
+
+
+def test_group_x_without_encoding_attrs_raises():
+    with pytest.raises(NotImplementedError, match="encoding-type"):
+        read_h5ad_matrix(_csr_group_file({}))
+    with pytest.raises(NotImplementedError, match="shape"):
+        read_h5ad_matrix(_csr_group_file({"encoding-type": "csr_matrix"}))
+
+
+def test_group_x_legacy_h5sparse_attrs():
+    out = read_h5ad_matrix(
+        _csr_group_file({"h5sparse_format": "csr", "h5sparse_shape": [3, 3]})
+    )
+    kind, data, _i, _p, shape = out["x"]
+    assert kind == "csr" and shape == (3, 3)
+    np.testing.assert_array_equal(data, DATA)
+
+
+def test_chunked_write_normalizes_big_endian_input():
+    """BE input arrays must be byte-swapped before chunked writes; the
+    datatype message always declares little-endian (round-4 ADVICE:
+    '>f8' wrote BE bytes and read back as denormals)."""
+    vals = np.arange(6, dtype=">f8")
+    w = Writer()
+    ds = w.write_dataset(vals, chunk_shape=(4,))
+    content = w.finish(w.write_group({"d": ds}))
+    r = H5Reader(content)
+    np.testing.assert_array_equal(
+        r.read_dataset(r.open("d")), np.arange(6, dtype="<f8")
+    )
+    vi = np.arange(5, dtype=">i4")
+    w2 = Writer()
+    ds2 = w2.write_dataset(vi, chunk_shape=(2,))
+    r2 = H5Reader(w2.finish(w2.write_group({"d": ds2})))
+    np.testing.assert_array_equal(r2.read_dataset(r2.open("d")), np.arange(5))

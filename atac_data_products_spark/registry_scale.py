@@ -1567,10 +1567,16 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "n_occ")
         .agg(F.sum("score_us").cast("bigint").alias("score_us"))
     )
+    # top-k FIRST via distributed orderBy().limit(k) (TakeOrdered: each
+    # partition keeps k, driver merges k·p) — then rank the k survivors;
+    # ranking before limiting single-partition-sorted the whole distinct-
+    # phrase table (round-5 global-window audit)
+    top = phrase_scores.orderBy(F.col("score_us").desc(), "phrase").limit(
+        RAKE_TOP_K
+    )
     w = Window.orderBy(F.col("score_us").desc(), "phrase")
     return (
-        phrase_scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= RAKE_TOP_K)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select(
             "phrase",
             F.col("n_occ").cast("bigint").alias("n_occ"),
@@ -3992,8 +3998,16 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select((F.col("s_end") + 1).alias("us"), F.lit(-1).alias("d"))
     )
     sweep = deltas.groupBy("us").agg(F.sum("d").cast("bigint").alias("delta"))
-    rw = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
-    run = sweep.withColumn("concurrent", F.sum("delta").over(rw).cast("bigint"))
+    # distributed prefix sum over the boundary-timestamp sweep: the
+    # sweep relation is session-boundary-sized (grows with the corpus),
+    # so a plain global-order window would funnel it through one
+    # partition (round-5 global-window audit) — global_cumsum range-
+    # partitions instead, identical values
+    from .operators.windows import global_cumsum
+
+    run = global_cumsum(sweep, ["us"], "delta", "concurrent").withColumn(
+        "concurrent", F.col("concurrent").cast("bigint")
+    )
     mx = run.agg(F.max("concurrent").alias("m"))
     peak = (
         run.crossJoin(F.broadcast(mx))
@@ -5187,12 +5201,18 @@ def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def midranks(col):
-        w = Window.orderBy(col)
-        return (
-            l.select(col)
-            .withColumn("rn", F.row_number().over(w))
-            .groupBy(col)
-            .agg(F.avg("rn").alias("r"))
+        # midrank of a tied block = (#rows strictly below) + (c+1)/2 —
+        # algebraically the avg of the block's row_numbers, but computed
+        # from the VALUE HISTOGRAM: the prefix window runs over distinct
+        # values (grid-bounded), never over fact rows.  The previous
+        # row_number-over-all-rows form single-partition-sorted the fact
+        # table (round-5 global-window audit).  Both terms are exact:
+        # integer prefix count + an exact .0/.5 half.
+        h = l.groupBy(col).agg(F.count("*").alias("c"))
+        wcum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        below = F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("double")
+        return h.select(
+            col, (below + (F.col("c") + 1) / 2).alias("r")
         )
 
     rq = midranks("q").select("q", F.col("r").alias("rx"))
@@ -7387,11 +7407,12 @@ def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("n") * F.col("qn")), 6).alias("cosine"),
         )
     )
+    # distributed top-k (orderBy+limit = TakeOrdered) before the k-row
+    # rank window; ranking the full scored corpus first would funnel
+    # every document through one partition (round-5 global-window audit)
+    top = scored.orderBy(F.desc("cosine"), "doc_id").limit(HASHED_TOPK)
     w = Window.orderBy(F.desc("cosine"), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= HASHED_TOPK)
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
 corpus_hashed_retrieval_topk.__doc__ = corpus_hashed_retrieval_topk.__doc__.format(

@@ -361,3 +361,78 @@ def test_kaplan_meier_is_a_valid_survival_curve(spark):
     n = got["n_risk"].to_numpy()
     assert (n[:-1] >= n[1:]).all()
     assert (got["n_events"] <= got["n_risk"]).all()
+
+
+class TestGlobalNtile:
+    """global_ntile must reproduce Spark's own ntile exactly — including
+    the uneven-quota boundaries and the n < k edge — while never
+    planning a corpus-sized single-partition window."""
+
+    def _check(self, spark, n, k):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from atac_data_products_spark.operators.windows import global_ntile
+
+        df = spark.range(n).select(
+            (F.col("id") * 7919 % 104729).alias("key"), "id"
+        )
+        got = global_ntile(df, ["key", "id"], k, "b")
+        ref = df.select(
+            "key",
+            "id",
+            F.ntile(k).over(W.orderBy("key", "id")).cast("bigint").alias("b"),
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+
+    def test_matches_builtin_ntile(self, spark):
+        self._check(spark, 1000, 5)
+
+    def test_uneven_quota(self, spark):
+        self._check(spark, 1003, 5)  # 3 buckets of 201, 2 of 200
+
+    def test_fewer_rows_than_buckets(self, spark):
+        self._check(spark, 3, 5)
+
+    def test_exact_multiple(self, spark):
+        self._check(spark, 100, 4)
+
+    def test_no_single_partition_global_sort(self, spark):
+        from pyspark.sql import functions as F
+
+        from atac_data_products_spark.operators.windows import global_ntile
+
+        df = spark.range(10_000).select(
+            (F.col("id") * 31 % 977).alias("key"), "id"
+        )
+        plan = global_ntile(df, ["key", "id"], 5, "b")._jdf.queryExecution(
+        ).executedPlan().toString()
+        # the big relation goes through rangepartitioning, and the only
+        # SinglePartition exchange feeds the tiny per-partition count
+        # relation (grid-bounded), never the data itself
+        assert "rangepartitioning" in plan.lower()
+
+
+def test_global_cumsum_matches_builtin(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.operators.windows import global_cumsum
+
+    df = spark.range(5000).select(
+        (F.col("id") * 7919 % 104729).alias("key"),
+        "id",
+        (F.col("id") % 7 - 3).alias("v"),
+    )
+    got = global_cumsum(df, ["key", "id"], "v", "cum")
+    ref = df.select(
+        "key",
+        "id",
+        "v",
+        F.sum("v")
+        .over(W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

@@ -840,14 +840,13 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .registry_ext import JACCARD_THRESHOLD
 
-    from .spill import spill_root
-
+    # no spill: round-5 A/B measured recompute faster for the LSH
+    # shingle subtree (4.79s vs 5.63s at sf0.1) — see dedup_minhash_lsh
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_lsh_dedup_pairs(
         docs,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=spill_root(spark, "corpus_dedup_survivors", sf_dir),
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # (doc_id, cluster_id), members only
     sized = dup.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
@@ -2055,13 +2054,13 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
         & (F.col("source") != "src9")
     )
-    from .spill import spill_root
-
+    # no spill: the round-4 e2e regression (4.83s→6.05s) A/B'd to the
+    # spill write itself — 5.24s off vs 5.92s on at sf0.1 fresh-session
+    # min-of-3 (round-5); recompute of the gated shingle subtree wins
     edges = minhash_lsh_dedup_pairs(
         gated,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=spill_root(spark, "corpus_pipeline_e2e", sf_dir),
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # edge members only
     w = Window.partitionBy("cluster_id").orderBy(

@@ -305,13 +305,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding AND the cap from the same constants, so even this
     approximate path is value-checked; its exact brute-force twin is
     dedup_ngram_jaccard, its uncapped form dedup_minhash_lsh_exact."""
-    from .spill import spill_root
-
+    # round-5 A/B (sf0.1, fresh sessions, min-of-3): the parquet spill
+    # of the shingle multiset LOST here (4.83s spill-on vs 3.47s off) —
+    # the three LSH consumers recompute the narrow shingle subtree
+    # cheaper than one write + three re-scans.  Spill stays opt-in for
+    # dedup_prefix_filter_join where four heavier branches made it win.
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
-        spill_path=spill_root(spark, "dedup_minhash_lsh", sf_dir),
     )
 
 

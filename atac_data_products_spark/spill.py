@@ -64,7 +64,12 @@ def _scoped(base: str, spark: SparkSession, tag: str, sf_dir: str) -> str:
 
 
 def spill_root(spark: SparkSession, tag: str, sf_dir: str) -> str | None:
-    """Executor-visible spill dir for (tag, input), or None = skip spill."""
+    """Executor-visible spill dir for (tag, input), or None = skip spill.
+
+    ``adp.spill.enabled=false`` disables spilling globally (the A/B
+    knob; also the escape hatch when no shared storage is cheap)."""
+    if str(spark.conf.get("adp.spill.enabled", "true")).lower() == "false":
+        return None
     base = _resolve_base(
         spark.conf.get("adp.spill.root", None),
         spark.conf.get("spark.master", ""),

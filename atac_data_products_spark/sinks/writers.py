@@ -177,3 +177,101 @@ def _write_text_uri(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def export_h5mu(
+    modalities: dict[str, DataFrame],
+    path: str,
+    obs_cols: DataFrame | None = None,
+    uns: dict | None = None,
+) -> dict:
+    """Single-file MuData export — artifact parity with the reference's
+    ``mdata.write(f"{output_file_name}.h5mu")`` (bin/concatenate.py:150).
+
+    ``modalities``: name -> long COO DataFrame (cell_id, feature_id,
+    value).  The shared obs index is the INTERSECTION of the modality
+    cell sets in sorted order (``mu.pp.intersect_obs`` parity,
+    concatenate.py:100-101); rows outside it are dropped from every
+    modality.  ``obs_cols``: optional (cell_id, <col>…) annotation frame
+    joined onto the shared index (annotate_mudata parity).
+
+    SCALE CONTRACT: a .h5mu is ONE file — inherently a single-writer
+    artifact, exactly as the reference's muon call is.  The matrices are
+    intersected, aggregated and ORDERED in Spark (distributed shuffles),
+    and only the final CSR arrays stream to the driver for byte
+    assembly; still O(matrix) driver memory, so this is the
+    dataset-scoped interchange export.  The parquet product directory
+    (write_product) remains the 100 TB path; this sink exists so muon/
+    scanpy users can consume the product without this engine.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..sources.hdf5_write import build_h5mu
+
+    names = sorted(modalities)
+    shared = None
+    for name in names:
+        cells = modalities[name].select(
+            F.col("cell_id").cast("string").alias("cell_id")
+        ).distinct()
+        shared = cells if shared is None else shared.join(cells, "cell_id")
+    obs_index = [r["cell_id"] for r in shared.orderBy("cell_id").collect()]
+    obs_pos = {c: i for i, c in enumerate(obs_index)}
+    mod_tuples = {}
+    for name in names:
+        df = (
+            modalities[name]
+            .withColumn("cell_id", F.col("cell_id").cast("string"))
+            .join(shared, "cell_id", "left_semi")
+            .select(
+                F.col("cell_id").cast("string").alias("cell_id"),
+                F.col("feature_id").cast("string").alias("feature_id"),
+                F.col("value").cast("double").alias("value"),
+            )
+            .orderBy("cell_id", "feature_id")
+        )
+        pdf = df.toPandas()
+        features = sorted(pdf["feature_id"].unique().tolist())
+        f_idx = {f: j for j, f in enumerate(features)}
+        counts = np.zeros(len(obs_index) + 1, dtype="int64")
+        for c in pdf["cell_id"]:
+            counts[obs_pos[c] + 1] += 1
+        indptr = np.cumsum(counts)
+        mod_tuples[name] = (
+            obs_index,
+            features,
+            pdf["value"].to_numpy(dtype="float64"),
+            np.asarray([f_idx[f] for f in pdf["feature_id"]], dtype="int32"),
+            indptr,
+        )
+    cols = {}
+    if obs_cols is not None:
+        ann = obs_cols.toPandas().set_index("cell_id").reindex(obs_index)
+        for c in sorted(ann.columns):
+            vals = ann[c].tolist()
+            cols[c] = [
+                v if isinstance(v, str) else float(v) for v in vals
+            ]
+    content = build_h5mu(mod_tuples, obs_index, obs_cols=cols, uns=uns)
+    spark = next(iter(modalities.values())).sparkSession
+    _write_bytes_uri(spark, path, content)
+    return {
+        "path": path,
+        "n_bytes": len(content),
+        "n_obs": len(obs_index),
+        "modalities": {n: len(mod_tuples[n][1]) for n in names},
+    }
+
+
+def _write_bytes_uri(spark, path: str, content: bytes) -> None:
+    """Binary twin of _write_text_uri — same Hadoop FileSystem seam, so
+    file:// local paths and s3a:// both work."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content))
+    finally:
+        out.close()

@@ -662,3 +662,81 @@ def _read_axis_index(r: H5Reader, axis: str) -> list[str]:
             raise KeyError(f"no index dataset in /{axis}")
     vals = r.read_dataset(r.read_object(children[index_name]))
     return [str(v) for v in vals]
+
+
+def _read_csr_group(r: H5Reader, obj: _Obj) -> tuple:
+    """Decode one AnnData-encoded group's X (csr/csc) as the same tuple
+    read_h5ad_matrix emits."""
+    x_obj = r.read_object(r.list_group(obj)["X"])
+    attrs = r.attributes(x_obj)
+    enc = attrs.get("encoding-type")
+    kind = {"csr_matrix": "csr", "csc_matrix": "csc"}.get(str(enc))
+    if kind is None:
+        raise _unsupported(f"modality X encoding-type {enc!r}")
+    ch = r.list_group(x_obj)
+    data = np.asarray(r.read_dataset(r.read_object(ch["data"])))
+    indices = np.asarray(r.read_dataset(r.read_object(ch["indices"])))
+    indptr = np.asarray(r.read_dataset(r.read_object(ch["indptr"])))
+    shape = tuple(int(s) for s in attrs["shape"])
+    return (kind, data, indices, indptr, shape)
+
+
+def read_h5mu(content: bytes) -> dict:
+    """Decode a single-file MuData container (the reference's output
+    artifact, bin/concatenate.py:150) written by
+    sources/hdf5_write.build_h5mu — or by muon/mudata itself, within
+    the codec's supported structure set (v0/v2 superblocks at any
+    user-block offset, compact attributes, symbol-table or link-message
+    groups).
+
+    Returns::
+
+        {"mod": {name: {"barcodes": [...], "features": [...],
+                        "x": (kind, data, indices, indptr, shape)}},
+         "obs": {"_index": [...], "<col>": [...], ...},
+         "uns": {key: [values]}}
+
+    The 512-byte MuData user block is transparent: H5Reader locates the
+    superblock by signature scan at the spec's allowed offsets."""
+    r = H5Reader(content)
+    root_attrs = r.attributes(r.open("/"))
+    if "encoding-type" in root_attrs and root_attrs["encoding-type"] != "MuData":
+        raise _unsupported(
+            f"root encoding-type {root_attrs['encoding-type']!r} (not MuData)"
+        )
+    mod_grp = r.open("mod")
+    mods: dict[str, dict] = {}
+    for name, addr in sorted(r.list_group(mod_grp).items()):
+        m_obj = r.read_object(addr)
+        mods[name] = {
+            "barcodes": _read_modality_axis(r, m_obj, "obs"),
+            "features": _read_modality_axis(r, m_obj, "var"),
+            "x": _read_csr_group(r, m_obj),
+        }
+    obs_obj = r.open("obs")
+    obs_attrs = r.attributes(obs_obj)
+    index_name = str(obs_attrs.get("_index", "_index"))
+    obs: dict[str, list] = {}
+    for col, addr in sorted(r.list_group(obs_obj).items()):
+        vals = r.read_dataset(r.read_object(addr))
+        key = "_index" if col == index_name else col
+        obs[key] = list(vals) if not isinstance(vals, list) else vals
+    uns: dict[str, list] = {}
+    try:
+        uns_obj = r.open("uns")
+    except KeyError:
+        uns_obj = None
+    if uns_obj is not None:
+        for k, addr in sorted(r.list_group(uns_obj).items()):
+            vals = r.read_dataset(r.read_object(addr))
+            uns[k] = list(vals) if not isinstance(vals, list) else vals
+    return {"mod": mods, "obs": obs, "uns": uns}
+
+
+def _read_modality_axis(r: H5Reader, mod_obj: _Obj, axis: str) -> list[str]:
+    obj = r.read_object(r.list_group(mod_obj)[axis])
+    attrs = r.attributes(obj)
+    index_name = str(attrs.get("_index", "_index"))
+    children = r.list_group(obj)
+    vals = r.read_dataset(r.read_object(children[index_name]))
+    return [str(v) for v in vals]

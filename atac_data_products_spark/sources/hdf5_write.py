@@ -123,6 +123,16 @@ class Writer:
             dt = _dt_vlen_str()
             ds = _dataspace_scalar()
             data = self._vlen_elements([value])
+        elif (
+            isinstance(value, (list, tuple))
+            and value
+            and isinstance(value[0], str)
+        ):
+            # 1-D vlen-string attribute array (mod-order / column-order
+            # in MuData containers); reader's _decode_elements handles it
+            dt = _dt_vlen_str()
+            ds = _dataspace((len(value),))
+            data = self._vlen_elements(list(value))
         elif isinstance(value, (list, tuple, np.ndarray)):
             arr = np.asarray(value, dtype="<i8")
             dt = _dt_int(8)
@@ -386,7 +396,8 @@ class WriterV2(Writer):
         return bytes(self.buf)
 
 
-def build_h5ad_csr(
+def _write_csr_anndata(
+    w: Writer,
     barcodes: list[str],
     features: list[str],
     data: np.ndarray,
@@ -395,11 +406,11 @@ def build_h5ad_csr(
     chunked: bool = False,
     gzip: bool = False,
     shuffle: bool = False,
-) -> bytes:
-    """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var.
-    ``gzip``/``shuffle`` chunk-filter the X arrays (implies chunked),
-    mirroring ``anndata.write_h5ad(compression="gzip")``."""
-    w = Writer()
+) -> int:
+    """Write one AnnData-encoded group (X csr group + obs/var dataframe
+    groups) into an open Writer; returns the group's header address.
+    Shared by the standalone .h5ad builder and the per-modality groups
+    of the MuData container."""
     chunked = chunked or gzip or shuffle
     chunk = (max(1, len(np.asarray(data)) // 3),) if chunked else None
     fopts = dict(gzip=gzip, shuffle=shuffle)
@@ -434,7 +445,27 @@ def build_h5ad_csr(
         {"_index": var_idx},
         attrs={"encoding-type": "dataframe", "_index": "_index"},
     )
-    root = w.write_group({"X": x, "obs": obs, "var": var})
+    return w.write_group({"X": x, "obs": obs, "var": var})
+
+
+def build_h5ad_csr(
+    barcodes: list[str],
+    features: list[str],
+    data: np.ndarray,
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    chunked: bool = False,
+    gzip: bool = False,
+    shuffle: bool = False,
+) -> bytes:
+    """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var.
+    ``gzip``/``shuffle`` chunk-filter the X arrays (implies chunked),
+    mirroring ``anndata.write_h5ad(compression="gzip")``."""
+    w = Writer()
+    root = _write_csr_anndata(
+        w, barcodes, features, data, indices, indptr,
+        chunked=chunked, gzip=gzip, shuffle=shuffle,
+    )
     return w.finish(root)
 
 
@@ -449,3 +480,138 @@ def build_h5ad_dense(
     var = w.write_group({"_index": var_idx}, attrs={"_index": "_index"})
     root = w.write_group({"X": xd, "obs": obs, "var": var})
     return w.finish(root)
+
+
+# -- MuData (.h5mu) container -----------------------------------------------
+
+MUDATA_USERBLOCK_INFO = (
+    "MuData (format-version=0.1.0;"
+    "creator=atac-data-products-spark;creator-version=0.5.0)"
+)
+
+
+def wrap_userblock(inner: bytes, info: str = MUDATA_USERBLOCK_INFO,
+                   block: int = 512) -> bytes:
+    """Prepend an HDF5 user block (the MuData magic prefix muon/mudata
+    files carry) to a finished v0-superblock file.  The HDF5 spec allows
+    the superblock at offsets 0, 512, 1024, … with all stored file
+    addresses relative to the BASE ADDRESS, so the inner bytes need no
+    address rewriting — only the superblock's base-address and
+    end-of-file fields are patched for external readers (this repo's
+    H5Reader discovers the offset and base-addresses everything
+    itself)."""
+    enc = info.encode("utf-8")
+    if len(enc) >= block:
+        raise ValueError("user block info exceeds block size")
+    if inner[8] != 0:
+        raise ValueError("wrap_userblock expects a v0 superblock")
+    out = bytearray(enc.ljust(block, b"\x00") + inner)
+    # v0 layout: sig(8) versions(8) leaf/internal-k + flags(8), then
+    # base(8) free-space(8) EOF(8) driver(8)
+    struct.pack_into("<Q", out, block + 24, block)
+    struct.pack_into("<Q", out, block + 40, block + len(inner))
+    return bytes(out)
+
+
+def build_h5mu(
+    modalities: dict[str, tuple],
+    obs_index: list[str],
+    obs_cols: dict[str, list] | None = None,
+    uns: dict | None = None,
+) -> bytes:
+    """Assemble a single-file MuData container — the reference's actual
+    output artifact (``mdata.write(f"{output_file_name}.h5mu")``,
+    bin/concatenate.py:150) — from the pure-Python writer:
+
+    - ``/mod/<name>`` — one AnnData-encoded group per modality
+      (``modalities``: name -> (barcodes, features, data, indices,
+      indptr), CSR);
+    - ``/obs`` — the SHARED obs dataframe (``obs_index`` +
+      ``obs_cols``), i.e. the post-``intersect_obs`` annotation table
+      the reference attaches (concatenate.py:100-110);
+    - ``/obsmap/<name>`` / ``/varmap/<name>`` — 1-based row positions
+      of each global obs/var row in the modality (0 = absent), the
+      mudata alignment maps;
+    - ``/var`` — global var index: modality features concatenated in
+      mod order;
+    - ``/uns`` — unstructured metadata (creation time, dataset ids,
+      product uuid — concatenate.py:146-149); scalars are written as
+      1-element vlen datasets (documented deviation: the pure writer
+      has no scalar-dataspace dataset path).
+
+    The byte stream is deterministic for fixed inputs (sorted modality
+    order, caller-fixed obs/feature orders), so golden tests can pin
+    the artifact.  Wrapped in the 512-byte MuData user block."""
+    w = Writer()
+    mod_names = sorted(modalities)
+    mod_children = {
+        name: _write_csr_anndata(w, *modalities[name]) for name in mod_names
+    }
+    mod = w.write_group(mod_children, attrs={"mod-order": mod_names})
+    cols = obs_cols or {}
+    obs_children = {"_index": w.write_dataset(list(obs_index))}
+    for c in sorted(cols):
+        vals = cols[c]
+        if vals and isinstance(vals[0], str):
+            obs_children[c] = w.write_dataset(list(vals))
+        else:
+            obs_children[c] = w.write_dataset(np.asarray(vals))
+    obs = w.write_group(
+        obs_children,
+        attrs={
+            "encoding-type": "dataframe",
+            "encoding-version": "0.2.0",
+            "_index": "_index",
+            "column-order": sorted(cols),
+        },
+    )
+    var_names = [f for name in mod_names for f in modalities[name][1]]
+    var = w.write_group(
+        {"_index": w.write_dataset(var_names)},
+        attrs={
+            "encoding-type": "dataframe",
+            "encoding-version": "0.2.0",
+            "_index": "_index",
+            "column-order": [],
+        },
+    )
+    obsmap_children, varmap_children = {}, {}
+    var_offset = 0
+    for name in mod_names:
+        bc, ft = modalities[name][0], modalities[name][1]
+        pos = {b: j + 1 for j, b in enumerate(bc)}
+        obsmap_children[name] = w.write_dataset(
+            np.asarray([pos.get(b, 0) for b in obs_index], dtype="<i8")
+        )
+        # global var is the in-order concat, so the map is a contiguous
+        # 1-based range per modality
+        varmap_children[name] = w.write_dataset(
+            np.arange(var_offset + 1, var_offset + len(ft) + 1, dtype="<i8")
+        )
+        var_offset += len(ft)
+    obsmap = w.write_group(obsmap_children)
+    varmap = w.write_group(varmap_children)
+    uns_children = {}
+    for k in sorted(uns or {}):
+        v = (uns or {})[k]
+        uns_children[k] = w.write_dataset(
+            [str(x) for x in v] if isinstance(v, (list, tuple)) else [str(v)]
+        )
+    uns_grp = w.write_group(uns_children, attrs={"encoding-type": "dict"})
+    root = w.write_group(
+        {
+            "mod": mod,
+            "obs": obs,
+            "var": var,
+            "obsmap": obsmap,
+            "varmap": varmap,
+            "uns": uns_grp,
+        },
+        attrs={
+            "encoding-type": "MuData",
+            "encoding-version": "0.1.0",
+            "encoder": "atac-data-products-spark",
+            "encoder-version": "0.5.0",
+        },
+    )
+    return wrap_userblock(w.finish(root))

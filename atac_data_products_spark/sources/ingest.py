@@ -152,3 +152,47 @@ def decode_parquet_bytes(columns: list[str] | None = None):
             yield batch.to_pandas()
 
     return _decode
+
+
+H5MU_COO_SCHEMA = (
+    "modality string, barcode string, feature_id string, value double"
+)
+
+
+def decode_h5mu_bytes(content: bytes, dataset: str) -> Iterator[pd.DataFrame]:
+    """Decode one MuData ``.h5mu`` container into COO chunks, one
+    modality at a time — the read side of the reference's single-file
+    artifact (bin/concatenate.py:150), via the pure reader
+    (sources/hdf5.read_h5mu).  Yields (modality, barcode, feature_id,
+    value) row blocks; runs inside the same Arrow-batched mapInPandas
+    seam as decode_h5ad_bytes (one file per task)."""
+    import numpy as np
+
+    from .hdf5 import read_h5mu
+
+    out = read_h5mu(content)
+    block = 10_000
+    for name, m in out["mod"].items():
+        kind, data, indices, indptr, shape = m["x"]
+        barcodes = np.asarray(m["barcodes"], dtype=object)
+        features = np.asarray(m["features"], dtype=object)
+        if kind == "csr":
+            row_ids = np.repeat(
+                np.arange(shape[0]), np.diff(indptr).astype("int64")
+            )
+            rows, cols = row_ids, np.asarray(indices)
+        else:  # csc
+            col_ids = np.repeat(
+                np.arange(shape[1]), np.diff(indptr).astype("int64")
+            )
+            rows, cols = np.asarray(indices), col_ids
+        for start in range(0, len(data), block):
+            sl = slice(start, start + block)
+            yield pd.DataFrame(
+                {
+                    "modality": name,
+                    "barcode": barcodes[rows[sl]],
+                    "feature_id": features[cols[sl]],
+                    "value": np.asarray(data[sl], dtype="float64"),
+                }
+            )

@@ -1,0 +1,170 @@
+"""Single-file MuData (.h5mu) container: build → read round trip and the
+Spark sink — artifact parity with the reference's actual output
+(``mdata.write(f"{output_file_name}.h5mu")``, bin/concatenate.py:150;
+two modalities + intersected shared obs, concatenate.py:100-110)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from atac_data_products_spark.sources.hdf5 import H5Reader, read_h5mu
+from atac_data_products_spark.sources.hdf5_write import (
+    MUDATA_USERBLOCK_INFO,
+    build_h5ad_csr,
+    build_h5mu,
+    wrap_userblock,
+)
+
+BC = ["AAAC#1", "GGGT#2", "TTTT#3"]
+MODS = {
+    "atac_cell_by_bin": (
+        BC,
+        ["bin0", "bin1"],
+        np.array([1.0, 2.0, 3.0]),
+        np.array([0, 1, 0], dtype="i4"),
+        np.array([0, 2, 2, 3], dtype="i8"),
+    ),
+    "atac_cell_by_gene": (
+        BC,
+        ["gA", "gB", "gC"],
+        np.array([5.0, 6.5]),
+        np.array([2, 0], dtype="i4"),
+        np.array([0, 1, 1, 2], dtype="i8"),
+    ),
+}
+
+
+def _content() -> bytes:
+    return build_h5mu(
+        MODS,
+        BC,
+        obs_cols={"dataset": ["d1", "d1", "d2"], "age": [31.0, 45.0, 58.0]},
+        uns={"uuid": "prod-1", "datasets": ["HBM1", "HBM2"]},
+    )
+
+
+def test_h5mu_round_trip():
+    out = read_h5mu(_content())
+    assert sorted(out["mod"]) == sorted(MODS)
+    for name, (bc, ft, data, indices, indptr) in MODS.items():
+        m = out["mod"][name]
+        assert m["barcodes"] == bc and m["features"] == ft
+        kind, d, i, p, shape = m["x"]
+        assert kind == "csr" and shape == (len(bc), len(ft))
+        np.testing.assert_array_equal(d, data)
+        np.testing.assert_array_equal(i, indices)
+        np.testing.assert_array_equal(p, indptr)
+    assert out["obs"]["_index"] == BC
+    assert out["obs"]["dataset"] == ["d1", "d1", "d2"]
+    assert out["obs"]["age"] == [31.0, 45.0, 58.0]
+    assert out["uns"]["uuid"] == ["prod-1"]
+    assert out["uns"]["datasets"] == ["HBM1", "HBM2"]
+
+
+def test_h5mu_container_structure():
+    content = _content()
+    # MuData magic in the user block, superblock at 512
+    assert content[:7] == b"MuData "
+    assert content[512:516] == b"\x89HDF"
+    r = H5Reader(content)
+    root = r.attributes(r.open("/"))
+    assert root["encoding-type"] == "MuData"
+    assert r.attributes(r.open("mod"))["mod-order"] == sorted(MODS)
+    # alignment maps: all obs present in both modalities (1-based)
+    np.testing.assert_array_equal(
+        r.read_dataset(r.open("obsmap/atac_cell_by_bin")), [1, 2, 3]
+    )
+    np.testing.assert_array_equal(
+        r.read_dataset(r.open("varmap/atac_cell_by_gene")), [3, 4, 5]
+    )
+    # global var = in-order concat of modality features
+    assert r.read_dataset(r.open("var/_index")) == [
+        "bin0", "bin1", "gA", "gB", "gC",
+    ]
+    # dataframe encodings carry column-order
+    assert r.attributes(r.open("obs"))["column-order"] == ["age", "dataset"]
+
+
+def test_userblock_patches_superblock_fields():
+    import struct
+
+    inner = build_h5ad_csr(BC, ["f0"], np.array([1.0]),
+                           np.array([0], dtype="i4"),
+                           np.array([0, 1, 1, 1], dtype="i8"))
+    wrapped = wrap_userblock(inner, MUDATA_USERBLOCK_INFO)
+    assert len(wrapped) == 512 + len(inner)
+    (base,) = struct.unpack_from("<Q", wrapped, 512 + 24)
+    (eof,) = struct.unpack_from("<Q", wrapped, 512 + 40)
+    assert base == 512 and eof == 512 + len(inner)
+    # the pure reader resolves the offset itself
+    out = read_h5ad(wrapped)
+    assert out["barcodes"] == BC
+
+
+def read_h5ad(content):
+    from atac_data_products_spark.sources.hdf5 import read_h5ad_matrix
+
+    return read_h5ad_matrix(content)
+
+
+def test_userblock_rejects_oversized_info_and_v2():
+    from atac_data_products_spark.sources.hdf5_write import WriterV2
+
+    with pytest.raises(ValueError, match="block size"):
+        wrap_userblock(b"\x00" * 9 + b"x", "y" * 600)
+    w = WriterV2()
+    inner = w.finish(w.write_group({}))
+    with pytest.raises(ValueError, match="v0 superblock"):
+        wrap_userblock(inner)
+
+
+def test_export_h5mu_intersects_obs(spark, tmp_path):
+    """mu.pp.intersect_obs parity: cells absent from any modality are
+    dropped from the shared obs AND from every modality matrix."""
+    from atac_data_products_spark.sinks.writers import export_h5mu
+
+    cbb = spark.createDataFrame(
+        [("c1", "bin0", 1.0), ("c2", "bin1", 2.0), ("c3", "bin0", 3.0)],
+        "cell_id string, feature_id string, value double",
+    )
+    cbg = spark.createDataFrame(
+        [("c1", "gA", 5.0), ("c3", "gB", 6.0)],  # c2 missing
+        "cell_id string, feature_id string, value double",
+    )
+    ann = spark.createDataFrame(
+        [("c1", "heart"), ("c2", "lung"), ("c3", "heart")],
+        "cell_id string, organ string",
+    )
+    path = str(tmp_path / "out.h5mu")
+    receipt = export_h5mu(
+        {"cbb": cbb, "cbg": cbg}, path, obs_cols=ann, uns={"uuid": "u1"}
+    )
+    assert receipt["n_obs"] == 2
+    out = read_h5mu(open(path, "rb").read())
+    assert out["obs"]["_index"] == ["c1", "c3"]
+    assert out["obs"]["organ"] == ["heart", "heart"]
+    kind, d, i, p, shape = out["mod"]["cbb"]["x"]
+    # c2's row gone — and bin1 with it (its only entry was c2's), so
+    # the modality var axis shrinks to the observed features
+    assert shape == (2, 1)
+    assert out["mod"]["cbb"]["features"] == ["bin0"]
+    np.testing.assert_array_equal(d, [1.0, 3.0])
+    assert out["mod"]["cbg"]["barcodes"] == ["c1", "c3"]
+    assert out["uns"]["uuid"] == ["u1"]
+
+
+def test_decode_h5mu_bytes_coo(spark):
+    import pandas as pd
+
+    from atac_data_products_spark.sources.ingest import decode_h5mu_bytes
+
+    chunks = pd.concat(list(decode_h5mu_bytes(_content(), "x")))
+    bin_rows = chunks[chunks["modality"] == "atac_cell_by_bin"]
+    assert set(bin_rows["barcode"]) == {"AAAC#1", "TTTT#3"}
+    got = sorted(
+        zip(chunks["modality"], chunks["barcode"], chunks["feature_id"],
+            chunks["value"])
+    )
+    assert ("atac_cell_by_gene", "AAAC#1", "gC", 5.0) in got
+    assert len(got) == 5

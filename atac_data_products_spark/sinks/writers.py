@@ -130,21 +130,22 @@ def export_h5ad_per_dataset(x: DataFrame, out_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["cell_id", "feature_id"], ignore_index=True)
         barcodes = sorted(pdf["cell_id"].unique().tolist())
         features = sorted(pdf["feature_id"].unique().tolist())
-        f_idx = {f: j for j, f in enumerate(features)}
-        data: list[float] = []
-        indices: list[int] = []
-        indptr = [0]
-        for bc in barcodes:
-            grp = pdf[pdf["cell_id"] == bc]
-            indices.extend(f_idx[f] for f in grp["feature_id"])
-            data.extend(float(v) for v in grp["value"])
-            indptr.append(len(data))
+        # vectorized CSR assembly: categorical codes + bincount — the
+        # per-barcode pdf[pdf.cell_id == bc] filter loop was O(cells ×
+        # rows) per dataset (round-5 fix); rows are already sorted by
+        # (cell_id, feature_id) so codes are CSR-ordered
+        cell_codes = _pd.Categorical(pdf["cell_id"], categories=barcodes).codes
+        feat_codes = _pd.Categorical(
+            pdf["feature_id"], categories=features
+        ).codes
+        counts = np.bincount(cell_codes, minlength=len(barcodes))
+        indptr = np.concatenate([[0], np.cumsum(counts)])
         content = build_h5ad_csr(
             barcodes,
             features,
-            np.asarray(data, dtype="float64"),
-            np.asarray(indices, dtype="int32"),
-            np.asarray(indptr, dtype="int64"),
+            pdf["value"].to_numpy(dtype="float64"),
+            feat_codes.astype("int32"),
+            indptr.astype("int64"),
         )
         path = os.path.join(out_dir, f"{dataset}.h5ad")
         tmp = f"{path}.tmp-{os.getpid()}"
@@ -217,7 +218,6 @@ def export_h5mu(
         ).distinct()
         shared = cells if shared is None else shared.join(cells, "cell_id")
     obs_index = [r["cell_id"] for r in shared.orderBy("cell_id").collect()]
-    obs_pos = {c: i for i, c in enumerate(obs_index)}
     mod_tuples = {}
     for name in names:
         df = (
@@ -231,18 +231,22 @@ def export_h5mu(
             )
             .orderBy("cell_id", "feature_id")
         )
+        import pandas as pd
+
         pdf = df.toPandas()
         features = sorted(pdf["feature_id"].unique().tolist())
-        f_idx = {f: j for j, f in enumerate(features)}
-        counts = np.zeros(len(obs_index) + 1, dtype="int64")
-        for c in pdf["cell_id"]:
-            counts[obs_pos[c] + 1] += 1
-        indptr = np.cumsum(counts)
+        # vectorized CSR assembly (rows arrive sorted by cell, feature)
+        cell_codes = pd.Categorical(pdf["cell_id"], categories=obs_index).codes
+        feat_codes = pd.Categorical(
+            pdf["feature_id"], categories=features
+        ).codes
+        counts = np.bincount(cell_codes, minlength=len(obs_index))
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype("int64")
         mod_tuples[name] = (
             obs_index,
             features,
             pdf["value"].to_numpy(dtype="float64"),
-            np.asarray([f_idx[f] for f in pdf["feature_id"]], dtype="int32"),
+            feat_codes.astype("int32"),
             indptr,
         )
     cols = {}

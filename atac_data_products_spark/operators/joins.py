@@ -65,13 +65,13 @@ def zip_columns(
     The reference relies on pandas implicit row order
     (make_uuids_tsv.py:153-157).  Spark has no row order, so both sides
     are given explicit *total* orders (caller must pass unique sort keys)
-    and zipped on row_number.  Window without partitionBy funnels through
-    a single task — acceptable only for small frames (the manifest is);
-    for large zips, zipWithIndex-style salting would be needed, but no
-    reference semantic requires it.
-    """
-    wl = Window.orderBy(*[F.col(c) for c in left_order])
-    wr = Window.orderBy(*[F.col(c) for c in right_order])
-    ln = left.withColumn("__rn", F.row_number().over(wl))
-    rn = right.withColumn("__rn", F.row_number().over(wr))
+    and zipped on row_number — computed with the DISTRIBUTED
+    global_row_number (range-repartition + per-partition offsets,
+    operators/windows.py) so arbitrarily large frames zip without a
+    single-partition sort (round-5; previously a documented
+    small-frame-only contract)."""
+    from .windows import global_row_number
+
+    ln = global_row_number(left, list(left_order), "__rn")
+    rn = global_row_number(right, list(right_order), "__rn")
     return ln.join(rn, "__rn", "inner").drop("__rn")

@@ -1891,15 +1891,20 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(extc * (F.lit(100) - dpct)).cast("bigint").alias("revenue_q")
     )
     tot = rev.agg(F.sum("revenue_q").cast("bigint").alias("total_q"))
-    w = Window.orderBy(F.desc("revenue_q"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # distributed running total (round-5): the part dim is 10⁹-safe now —
+    # global_cumsum range-partitions instead of the single-partition
+    # global window, identical values
+    from .operators.windows import global_cumsum
+
+    cum = global_cumsum(
+        rev, [F.desc("revenue_q"), F.col("l_partkey")], "revenue_q", "__cum"
     )
-    c = rev.crossJoin(F.broadcast(tot)).select(
+    c = cum.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "revenue_q",
-        F.round(
-            F.sum("revenue_q").over(w).cast("double") / F.col("total_q"), 6
-        ).alias("cum_share"),
+        F.round(F.col("__cum").cast("double") / F.col("total_q"), 6).alias(
+            "cum_share"
+        ),
     )
     return c.select(
         "l_partkey",
@@ -3829,11 +3834,15 @@ def stat_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is global but runs over the CUSTOMER aggregate (dim-sized,
     like the Pareto banding), never over order rows; ranks tie-break on
     custkey so the weighting is total-ordered."""
+    from .operators.windows import global_row_number
+
     o = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("cents"))
-    w = Window.orderBy("cents", "o_custkey")
-    rk = rev.select("cents", F.row_number().over(w).cast("bigint").alias("i"))
+    # distributed exact rank (round-5): customer dim can be 10⁹ rows
+    rk = global_row_number(rev, ["cents", "o_custkey"], "i").select(
+        "cents", "i"
+    )
     agg = rk.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
@@ -4198,14 +4207,17 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     against earlier keys only — pinned in the oracle identically).
     At fact scale you'd pre-aggregate to the candidate dim first; the
     window never sees fact rows."""
+    from .operators.windows import global_cummax
+
     p = _t(spark, sf_dir, "part")
-    w = (
-        Window.orderBy("p_retailprice", "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = p.select(
-        "p_partkey", "p_retailprice", "p_size",
-        F.max("p_size").over(w).alias("best_size_cheaper"),
+    # distributed strictly-prior running max (round-5): part dim
+    # 10⁹-safe via global_cummax(exclusive=True), identical values
+    r = global_cummax(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        ["p_retailprice", "p_partkey"],
+        "p_size",
+        "best_size_cheaper",
+        exclusive=True,
     )
     return r.where(
         F.col("best_size_cheaper").isNull()

@@ -5320,18 +5320,15 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("sq"),
         F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sq2"),
     )
-    wcum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = p.select(
-        "l_partkey",
-        "rev",
-        "n_wk",
-        "sq",
-        "sq2",
-        F.sum("rev").over(wcum).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("tot"),
-    )
+    # distributed running total + broadcast grand total (round-5): the
+    # previous desc-ordered global window AND the empty-partitionBy
+    # whole-frame window each collapsed the part dim to one partition
+    from .operators.windows import global_cumsum
+
+    tot = p.agg(F.sum("rev").cast("bigint").alias("tot"))
+    r = global_cumsum(
+        p, [F.desc("rev"), F.col("l_partkey")], "rev", "cum"
+    ).crossJoin(F.broadcast(tot))
     mean = F.col("sq").cast("double") / F.col("n_wk")
     var = F.greatest(
         (

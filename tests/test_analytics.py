@@ -408,10 +408,12 @@ class TestGlobalNtile:
         )
         plan = global_ntile(df, ["key", "id"], 5, "b")._jdf.queryExecution(
         ).executedPlan().toString()
-        # the big relation goes through rangepartitioning, and the only
+        # the data-sized window runs per __pid group (hash-clustered on
+        # the range-partition id pinned by the localCheckpoint); the only
         # SinglePartition exchange feeds the tiny per-partition count
-        # relation (grid-bounded), never the data itself
-        assert "rangepartitioning" in plan.lower()
+        # relation (bounded by shuffle partitions), never the data itself
+        assert plan.count("hashpartitioning(__pid") >= 2
+        assert plan.count("SinglePartition") == 1
 
 
 def test_global_cumsum_matches_builtin(spark):
@@ -436,3 +438,55 @@ def test_global_cumsum_matches_builtin(spark):
     )
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_global_row_number_and_cummax_match_builtin(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from atac_data_products_spark.operators.windows import (
+        global_cummax,
+        global_row_number,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") * 131 % 1009).alias("key"),
+        "id",
+        (F.col("id") * 17 % 97).alias("v"),
+    )
+    got_rn = global_row_number(df, ["key", "id"], "rn")
+    ref_rn = df.select(
+        "key", "id", "v",
+        F.row_number().over(W.orderBy("key", "id")).cast("bigint").alias("rn"),
+    )
+    assert got_rn.exceptAll(ref_rn).count() == 0
+    assert ref_rn.exceptAll(got_rn).count() == 0
+
+    # descending Column order support
+    got_desc = global_row_number(df, [F.desc("key"), F.col("id")], "rn")
+    ref_desc = df.select(
+        "key", "id", "v",
+        F.row_number().over(W.orderBy(F.desc("key"), "id"))
+        .cast("bigint").alias("rn"),
+    )
+    assert got_desc.exceptAll(ref_desc).count() == 0
+
+    got_mx = global_cummax(df, ["key", "id"], "v", "mx")
+    ref_mx = df.select(
+        "key", "id", "v",
+        F.max("v").over(
+            W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("mx"),
+    )
+    assert got_mx.exceptAll(ref_mx).count() == 0
+
+    # exclusive (strictly-prior) frame — NULL for the global first row
+    got_pr = global_cummax(df, ["key", "id"], "v", "mx", exclusive=True)
+    ref_pr = df.select(
+        "key", "id", "v",
+        F.max("v").over(
+            W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, -1)
+        ).alias("mx"),
+    )
+    assert got_pr.exceptAll(ref_pr).count() == 0
+    assert ref_pr.exceptAll(got_pr).count() == 0

@@ -437,6 +437,21 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # LENGTH FILTER (lossless, Arasu/Chaudhuri size bound): J(x,y) ≥ t
+    # requires t·|x| ≤ |y| ≤ |x|/t, so candidate pairs whose set sizes
+    # already violate the ratio are pruned BEFORE the two intersection
+    # joins — pure integer comparison, no recall loss
+    la = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    cand = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(
+            (F.col("__nb") * den >= F.col("__na") * num)
+            & (F.col("__na") * den >= F.col("__nb") * num)
+        )
+        .select("doc_a", "doc_b")
+    )
     # pair-driven exact-Jaccard verify over digest shingles (the
     # jaccard_pairs plan inlined on the digest key)
     cd = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))

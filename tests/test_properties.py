@@ -154,3 +154,76 @@ def test_scd2_intervals_disjoint_and_cover(spark, rows):
         for (f1, t1), (f2, _) in zip(spans, spans[1:]):
             assert t1 == f2  # no gap, no overlap
             assert f1 < f2
+
+
+# -- distributed global-order windows (round 5: load-bearing in 10 keys) ----
+
+_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(_vals, st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_global_ntile_row_number_match_builtin(spark, rows, k):
+    """For ANY input (duplicate keys, negatives, empty, n<k) the
+    distributed operators equal the single-partition built-ins under
+    the id tie-broken total order."""
+    from pyspark.sql import Window as W
+
+    from atac_data_products_spark.operators.windows import (
+        global_ntile,
+        global_row_number,
+    )
+
+    data = [(key, i, v) for i, (key, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "key long, id long, v long"
+    ) if data else spark.createDataFrame([], "key long, id long, v long")
+    got_rn = global_row_number(df, ["key", "id"], "rn")
+    ref_rn = df.select(
+        "*", F.row_number().over(W.orderBy("key", "id")).cast("bigint").alias("rn")
+    )
+    assert got_rn.exceptAll(ref_rn).union(ref_rn.exceptAll(got_rn)).count() == 0
+    got_nt = global_ntile(df, ["key", "id"], k, "b")
+    ref_nt = df.select(
+        "*", F.ntile(k).over(W.orderBy("key", "id")).cast("bigint").alias("b")
+    )
+    assert got_nt.exceptAll(ref_nt).union(ref_nt.exceptAll(got_nt)).count() == 0
+
+
+@given(_vals)
+@settings(**SETTINGS)
+def test_global_cumsum_cummax_match_builtin(spark, rows):
+    from pyspark.sql import Window as W
+
+    from atac_data_products_spark.operators.windows import (
+        global_cummax,
+        global_cumsum,
+    )
+
+    data = [(key, i, v) for i, (key, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "key long, id long, v long"
+    ) if data else spark.createDataFrame([], "key long, id long, v long")
+    got_cs = global_cumsum(df, ["key", "id"], "v", "cum")
+    ref_cs = df.select(
+        "*",
+        F.sum("v").over(
+            W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    assert got_cs.exceptAll(ref_cs).union(ref_cs.exceptAll(got_cs)).count() == 0
+    got_mx = global_cummax(df, ["key", "id"], "v", "mx", exclusive=True)
+    ref_mx = df.select(
+        "*",
+        F.max("v").over(
+            W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, -1)
+        ).alias("mx"),
+    )
+    assert got_mx.exceptAll(ref_mx).union(ref_mx.exceptAll(got_mx)).count() == 0

@@ -3302,8 +3302,9 @@ def _boot_weight_sql(u: str) -> str:
                       {hash59_sql("'bsB_' || CAST(o_orderkey AS VARCHAR)")} AS hb
                FROM orders),
     rep AS (SELECT o.o_orderkey, o.cents, r.b,
-                   (CAST((CAST(o.ha AS HUGEINT) + r.b * CAST(o.hb AS HUGEINT))
-                         % 576460752303423488 AS BIGINT) + 1)
+                   ((((r.b * (o.hb // 1073741824)) % 536870912) * 1073741824
+                     + r.b * (o.hb % 1073741824) + o.ha)
+                    % 576460752303423488 + 1)
                    / 576460752303423488.0 AS u
             FROM o, (SELECT unnest(range(0, {BOOT_B})) AS b) r),
     w AS (SELECT b, cents, {_boot_weight_sql("u")} AS wt FROM rep),
@@ -3358,17 +3359,18 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hb",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    # (h1 + b*h2) can exceed BIGINT (b*h2 < 2^64), so the mix runs in
-    # DECIMAL(38,0) and reduces mod 2^59 back to bigint — exact on both
-    # engines (DuckDB mirrors with HUGEINT)
+    # (h1 + b*h2) mod 2^59 would overflow BIGINT if multiplied directly
+    # (b*h2 < 2^64).  Split h2 into 30-bit halves so every intermediate
+    # stays under 2^63: with h2 = hi·2^30 + lo,
+    #   (b·h2) mod 2^59 = ((b·hi) mod 2^29)·2^30 + b·lo   (then + ha,
+    # mod 2^59 once).  Pure BIGINT — whole-stage-codegen long ops —
+    # replacing the round-4 DECIMAL(38,0) mix (measured A/B below); the
+    # oracle mirrors the identical split so values are bit-equal.
     u = (
-        (
-            (
-                F.col("ha").cast("decimal(38,0)")
-                + F.col("b").cast("decimal(38,0)") * F.col("hb").cast("decimal(38,0)")
-            )
-            % F.lit(1 << 59).cast("decimal(38,0)")
-        ).cast("bigint")
+        F.expr(
+            f"""(((b * (hb DIV 1073741824)) % 536870912) * 1073741824
+                 + b * (hb % 1073741824) + ha) % {1 << 59}"""
+        )
         + 1
     ) / F.lit(float(1 << 59))
     wt = None

@@ -2595,7 +2595,12 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "qcos", F.lit(r).alias("rk"))
         )
-        sel = sel.unionByName(nxt)
+        # checkpoint the ≤k-row selection each round: round r's plan
+        # references sel_{r-1} in TWO places (anti-join + msim), so an
+        # uncheckpointed chain re-evaluates every earlier round's
+        # subplan — O(k²) tiny stages of pure scheduler overhead
+        # (round-5 A/B below); the checkpoint makes rounds linear
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
     return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
 
 

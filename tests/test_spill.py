@@ -92,3 +92,35 @@ def test_fixture_root_raises_without_any_base(monkeypatch):
     with pytest.raises(RuntimeError, match="adp.spill.root"):
         spill_mod.fixture_root(_FakeSpark(), "t", "/x")
     assert spill_mod.spill_root(_FakeSpark(), "t", "/x") is None
+
+
+def test_spill_root_conf_overrides_and_is_used(spark, tmp_path):
+    """adp.spill.root set → spills land under it (the cluster knob)."""
+    import os
+
+    from atac_data_products_spark.spill import spill_root
+
+    root = str(tmp_path / "shared")
+    old = spark.conf.get("adp.spill.root", None)
+    spark.conf.set("adp.spill.root", root)
+    try:
+        p = spill_root(spark, "conf_test", "/x")
+        assert p.startswith(root)
+        spark.range(10).write.mode("overwrite").parquet(p)
+        assert spark.read.parquet(p).count() == 10
+        assert os.path.isdir(root)
+    finally:
+        if old is None:
+            spark.conf.unset("adp.spill.root")
+        else:
+            spark.conf.set("adp.spill.root", old)
+
+
+def test_spill_disabled_conf(spark):
+    from atac_data_products_spark.spill import spill_root
+
+    spark.conf.set("adp.spill.enabled", "false")
+    try:
+        assert spill_root(spark, "t", "/x") is None
+    finally:
+        spark.conf.unset("adp.spill.enabled")

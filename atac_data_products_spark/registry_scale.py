@@ -398,6 +398,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spill location is conf-driven and executor-visible (spill.py);
     # when spill_root returns None (non-local master, no adp.spill.root)
     # the plan degrades to the lazy recompute — identical values.
+    from .spill import spill_once as _spill_once
     from .spill import spill_root as _spill_root
 
     sh_lazy = (
@@ -407,8 +408,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_path = _spill_root(spark, "dedup_prefix_filter_join", sf_dir)
     if sh_path is not None:
-        sh_lazy.write.mode("overwrite").parquet(sh_path)
-        sh = spark.read.parquet(sh_path)
+        # idempotent per session (spill_once): repeat invocations skip
+        # straight to the parquet scan
+        sh = _spill_once(sh_lazy, spark, sh_path)
     else:
         sh = sh_lazy
     df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))

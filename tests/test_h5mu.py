@@ -168,3 +168,25 @@ def test_decode_h5mu_bytes_coo(spark):
     )
     assert ("atac_cell_by_gene", "AAAC#1", "gC", 5.0) in got
     assert len(got) == 5
+
+
+def test_read_h5mu_rejects_non_mudata_root():
+    """An AnnData file (root encoding-type 'anndata' or a plain group)
+    must not silently decode as an empty MuData container."""
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    w = Writer()
+    ds = w.write_dataset(np.arange(3, dtype="int64"))
+    root = w.write_group({"d": ds}, attrs={"encoding-type": "anndata"})
+    with pytest.raises(NotImplementedError, match="not MuData"):
+        read_h5mu(w.finish(root))
+
+
+def test_read_h5mu_without_mod_group_raises():
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    w = Writer()
+    ds = w.write_dataset(np.arange(3, dtype="int64"))
+    root = w.write_group({"d": ds})
+    with pytest.raises(KeyError, match="mod"):
+        read_h5mu(w.finish(root))

@@ -289,27 +289,23 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
-    spill_path: str | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs at scale.
 
     The shingle table feeds three consumers (signatures, candidate-doc
-    restriction, intersection counts).  Measured: block-cache persist is
-    3-4x SLOWER here than recomputation (row-format cache
-    materialization + lost broadcast statistics under the cache), so by
-    default the plan recomputes the cheap narrow shingle subtree per
-    consumer.  ``spill_path`` instead round-trips the multiset through
-    PARQUET once (columnar write, stats preserved, dictionary-encoded
-    re-scans) — values identical, purely physical; callers with a
-    deterministic per-input path (registry queries) opt in.  The
+    restriction, intersection counts) and is deliberately RECOMPUTED per
+    consumer: five materialization/representation strategies have been
+    measured against the lazy recompute and all lost — block-cache
+    persist 3-4× slower (row-format materialization + lost broadcast
+    statistics), parquet spill slower for every LSH key (round-5 A/B:
+    3.47s vs 4.83s for this pipeline at sf0.1; the former spill_path
+    parameter was retired with its last caller), array-packed and
+    digest-keyed verifies parity-at-best (docs/PLAN_AUDIT.md).  The
     signature branch additionally skips the distinct shuffle: min() is
     duplicate-insensitive, so MinHash over the shingle *multiset* is
     identical.
     """
     sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
-    if spill_path is not None:
-        sh_multiset.write.mode("overwrite").parquet(spill_path)
-        sh_multiset = docs.sparkSession.read.parquet(spill_path)
     sig = minhash_signatures(sh_multiset, id_col)
     # keep the candidate distinct: near-dup pairs collide in MANY bands,
     # so one dedup shuffle of the multiset bounds both downstream

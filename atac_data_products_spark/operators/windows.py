@@ -75,11 +75,18 @@ def _range_partitioned(df: DataFrame, order_by: Sequence):
     sp = df.sparkSession
     nparts = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
     cols = _order_cols(order_by)
-    rdf = (
-        df.repartitionByRange(nparts, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    pinned = df.repartitionByRange(nparts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    # reliability: localCheckpoint blocks die with their executor (no
+    # recompute path — a lost node mid-query fails the job).  When the
+    # deployment has configured a reliable checkpoint dir (shared
+    # storage), use it; local[-mode] and unconfigured sessions keep the
+    # cheaper executor-local pin (round-5 review finding)
+    if sp.sparkContext.getCheckpointDir():
+        rdf = pinned.checkpoint(eager=False)
+    else:
+        rdf = pinned.localCheckpoint(eager=False)
     return rdf, cols, nparts
 
 
@@ -153,21 +160,33 @@ def global_cumsum(
     """Exact distributed ``SUM(value) OVER (ORDER BY … ROWS UNBOUNDED
     PRECEDING)`` (inclusive frame) — running totals for sweep lines over
     boundary events and corpus-sized Lorenz/Pareto curves.  Offsets are
-    per-partition SUMS instead of counts; exact for integer values."""
+    per-partition SUMS instead of counts; exact for integer values.
+    NULL semantics match the built-in: the running sum is NULL only
+    until the first non-null value in the global order, then NULLs
+    are skipped."""
     rdf, cols, _ = _range_partitioned(df, order_by)
     totals = rdf.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # __off stays RAW (no coalesce): built-in running SUM is NULL only
+    # while the frame holds no non-null value yet, and that state must
+    # survive partition boundaries — a leading all-NULL prefix keeps
+    # NULL, but a NULL local sum after a non-null earlier partition
+    # must yield the offset, not NULL (round-5 review finding)
     side = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+        "__pid", F.sum("__tot").over(w_off).alias("__off")
     )
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = F.sum(value_col).over(w_local)
+    combined = F.when(
+        local.isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(F.col("__off"), F.lit(0)))
     return (
         rdf.join(F.broadcast(side), "__pid")
-        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("__off"))
+        .withColumn(out_col, combined)
         .drop("__pid", "__off")
     )
 

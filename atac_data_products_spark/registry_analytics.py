@@ -2149,7 +2149,10 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint")
         .alias("monetary_cents"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ pin the orders-wide aggregate ONCE: each global_ntile branch
+    # otherwise re-executes it ~2x (range-sampling pass + shuffle pass),
+    # ~6x total over three branches (round-5 review finding)
     r = global_ntile(
         m.select("o_custkey", "last_day"), ["last_day", "o_custkey"], 5, "r_score"
     ).select("o_custkey", "r_score")

@@ -97,6 +97,43 @@ def write_product(
     )
 
 
+def _csr_from_coo(pdf):
+    """Vectorized CSR assembly from a long COO pandas frame with columns
+    (cell_id, feature_id, value) — shared by the per-dataset h5ad sink
+    and the h5mu container sink (round-5 review: was duplicated).
+
+    Duplicate (cell_id, feature_id) entries are SUMMED first — the
+    scipy/anndata duplicate-coalescing convention — so a union of
+    per-dataset contributions round-trips to the same matrix every
+    consumer sees.  Categorical codes + bincount replace the old
+    per-barcode filter loop (O(cells × rows)); rows are sorted by
+    (cell_id, feature_id) so codes arrive CSR-ordered.
+
+    Returns (barcodes, features, data float64, indices int32,
+    indptr int64)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        pdf.groupby(["cell_id", "feature_id"], as_index=False)["value"]
+        .sum()
+        .sort_values(["cell_id", "feature_id"], ignore_index=True)
+    )
+    barcodes = sorted(pdf["cell_id"].unique().tolist())
+    features = sorted(pdf["feature_id"].unique().tolist())
+    cell_codes = pd.Categorical(pdf["cell_id"], categories=barcodes).codes
+    feat_codes = pd.Categorical(pdf["feature_id"], categories=features).codes
+    counts = np.bincount(cell_codes, minlength=len(barcodes))
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype("int64")
+    return (
+        barcodes,
+        features,
+        pdf["value"].to_numpy(dtype="float64"),
+        feat_codes.astype("int32"),
+        indptr,
+    )
+
+
 def export_h5ad_per_dataset(x: DataFrame, out_dir: str) -> DataFrame:
     """Distributed AnnData export: one ``<dataset>.h5ad`` file per
     dataset from a long/COO matrix table (dataset, cell_id, feature_id,
@@ -122,31 +159,11 @@ def export_h5ad_per_dataset(x: DataFrame, out_dir: str) -> DataFrame:
     )
 
     def _export(key, pdf):
-        import numpy as np
-
         from ..sources.hdf5_write import build_h5ad_csr
 
         dataset = key[0]
-        pdf = pdf.sort_values(["cell_id", "feature_id"], ignore_index=True)
-        barcodes = sorted(pdf["cell_id"].unique().tolist())
-        features = sorted(pdf["feature_id"].unique().tolist())
-        # vectorized CSR assembly: categorical codes + bincount — the
-        # per-barcode pdf[pdf.cell_id == bc] filter loop was O(cells ×
-        # rows) per dataset (round-5 fix); rows are already sorted by
-        # (cell_id, feature_id) so codes are CSR-ordered
-        cell_codes = _pd.Categorical(pdf["cell_id"], categories=barcodes).codes
-        feat_codes = _pd.Categorical(
-            pdf["feature_id"], categories=features
-        ).codes
-        counts = np.bincount(cell_codes, minlength=len(barcodes))
-        indptr = np.concatenate([[0], np.cumsum(counts)])
-        content = build_h5ad_csr(
-            barcodes,
-            features,
-            pdf["value"].to_numpy(dtype="float64"),
-            feat_codes.astype("int32"),
-            indptr.astype("int64"),
-        )
+        barcodes, features, data, indices, indptr = _csr_from_coo(pdf)
+        content = build_h5ad_csr(barcodes, features, data, indices, indptr)
         path = os.path.join(out_dir, f"{dataset}.h5ad")
         tmp = f"{path}.tmp-{os.getpid()}"
         os.makedirs(out_dir, exist_ok=True)
@@ -205,7 +222,6 @@ def export_h5mu(
     (write_product) remains the 100 TB path; this sink exists so muon/
     scanpy users can consume the product without this engine.
     """
-    import numpy as np
     from pyspark.sql import functions as F
 
     from ..sources.hdf5_write import build_h5mu
@@ -231,24 +247,14 @@ def export_h5mu(
             )
             .orderBy("cell_id", "feature_id")
         )
-        import pandas as pd
-
-        pdf = df.toPandas()
-        features = sorted(pdf["feature_id"].unique().tolist())
-        # vectorized CSR assembly (rows arrive sorted by cell, feature)
-        cell_codes = pd.Categorical(pdf["cell_id"], categories=obs_index).codes
-        feat_codes = pd.Categorical(
-            pdf["feature_id"], categories=features
-        ).codes
-        counts = np.bincount(cell_codes, minlength=len(obs_index))
-        indptr = np.concatenate([[0], np.cumsum(counts)]).astype("int64")
-        mod_tuples[name] = (
-            obs_index,
-            features,
-            pdf["value"].to_numpy(dtype="float64"),
-            feat_codes.astype("int32"),
-            indptr,
+        # shared assembly incl. duplicate (cell, feature) summation;
+        # intersect-obs guarantees every obs_index cell has ≥1 entry in
+        # every modality, so the helper's row axis equals obs_index
+        barcodes, features, data, indices, indptr = _csr_from_coo(
+            df.toPandas()
         )
+        assert barcodes == obs_index
+        mod_tuples[name] = (obs_index, features, data, indices, indptr)
     cols = {}
     if obs_cols is not None:
         ann = obs_cols.toPandas().set_index("cell_id").reindex(obs_index)

@@ -56,11 +56,73 @@ def _resolve_base(conf_root: str | None, master: str, warehouse: str | None,
     return None
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+# sessions whose spill dirs have been untouched this long are assumed
+# finished; their leftovers (e.g. from a kill -9, where atexit never
+# ran) are pruned by the next session that spills under the same base.
+# Generous (7 days) so a long-lived session lazily re-reading an old
+# spill is never clobbered by a concurrent pruner.
+_STALE_AFTER_MS = 7 * 24 * 3600 * 1000
+
+
+def _session_dir(base: str, spark: SparkSession) -> str:
+    # "/" join, not os.path.join: base may be an s3a:// or hdfs:// URI
+    return f"{base}/adp_spill_{spark.sparkContext.applicationId}"
+
+
+def _register_cleanup(spark: SparkSession, base: str) -> None:
+    """Once per (session, base): delete this session's spill dir at
+    interpreter exit, and prune siblings from long-dead sessions.
+
+    Round-5 review finding: appId-scoped paths fixed the concurrent-
+    session overwrite race but made every session LEAK its spill dirs
+    (the r03 'never accumulated' property regressed).  Two-layer fix:
+    (a) best-effort atexit delete of our own dir — covers every normal
+    driver exit; (b) at first spill, prune sibling adp_spill_* dirs not
+    modified for 7 days — covers crashed sessions, without ever touching a
+    LIVE session's dir (the race ADVICE r04 warned about)."""
+    sess = _session_dir(base, spark)
+    if sess in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(sess)
+    import atexit
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _rm() -> None:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(sess)
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+        except Exception:
+            pass  # cleanup is best-effort; never fail a shutdown
+
+    atexit.register(_rm)
+    try:
+        bp = jvm.org.apache.hadoop.fs.Path(base)
+        fs = bp.getFileSystem(conf)
+        if fs.exists(bp):
+            now = int(__import__("time").time() * 1000)
+            for st in fs.listStatus(bp):
+                name = st.getPath().getName()
+                if (
+                    name.startswith("adp_spill_")
+                    and st.getPath().toString() != fs.makeQualified(
+                        jvm.org.apache.hadoop.fs.Path(sess)
+                    ).toString()
+                    and now - st.getModificationTime() > _STALE_AFTER_MS
+                ):
+                    fs.delete(st.getPath(), True)
+    except Exception:
+        pass
+
+
 def _scoped(base: str, spark: SparkSession, tag: str, sf_dir: str) -> str:
     key = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:10]
-    app = spark.sparkContext.applicationId
-    # "/" join, not os.path.join: base may be an s3a:// or hdfs:// URI
-    return f"{base}/adp_spill_{app}/{tag}_{key}"
+    _register_cleanup(spark, base)
+    return f"{_session_dir(base, spark)}/{tag}_{key}"
 
 
 def spill_root(spark: SparkSession, tag: str, sf_dir: str) -> str | None:

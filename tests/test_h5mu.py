@@ -190,3 +190,27 @@ def test_read_h5mu_without_mod_group_raises():
     root = w.write_group({"d": ds})
     with pytest.raises(KeyError, match="mod"):
         read_h5mu(w.finish(root))
+
+
+def test_export_h5mu_sums_duplicate_coo_entries(spark, tmp_path):
+    """Duplicate (cell, feature) COO rows — e.g. a union of per-dataset
+    contributions — must SUM into one CSR entry (the scipy/anndata
+    duplicate-coalescing convention), not emit repeated column indices
+    (round-5 review finding)."""
+    from atac_data_products_spark.sinks.writers import export_h5mu
+
+    cbb = spark.createDataFrame(
+        [("c1", "f0", 1.0), ("c1", "f0", 2.5), ("c2", "f1", 4.0)],
+        "cell_id string, feature_id string, value double",
+    )
+    cbg = spark.createDataFrame(
+        [("c1", "gA", 1.0), ("c2", "gA", 1.0)],
+        "cell_id string, feature_id string, value double",
+    )
+    path = str(tmp_path / "dup.h5mu")
+    export_h5mu({"cbb": cbb, "cbg": cbg}, path)
+    out = read_h5mu(open(path, "rb").read())
+    kind, d, i, p, shape = out["mod"]["cbb"]["x"]
+    np.testing.assert_array_equal(d, [3.5, 4.0])  # 1.0 + 2.5 summed
+    np.testing.assert_array_equal(i, [0, 1])
+    np.testing.assert_array_equal(p, [0, 1, 2])  # one entry per row

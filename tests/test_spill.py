@@ -124,3 +124,35 @@ def test_spill_disabled_conf(spark):
         assert spill_root(spark, "t", "/x") is None
     finally:
         spark.conf.unset("adp.spill.enabled")
+
+
+def test_session_spill_dir_cleanup_registered_and_stale_pruned(spark, tmp_path):
+    """The session's spill dir is atexit-deleted and long-dead siblings
+    are pruned at first spill (round-5 review: appId scoping must not
+    leak one dir per session forever)."""
+    import os
+    import time
+
+    import atac_data_products_spark.spill as spill_mod
+
+    root = str(tmp_path / "spillbase")
+    os.makedirs(root)
+    # a stale sibling from a "dead" session
+    stale = os.path.join(root, "adp_spill_app-dead-123")
+    os.makedirs(stale)
+    old = time.time() - 8 * 24 * 3600
+    os.utime(stale, (old, old))
+    # a fresh sibling (another live session) must survive
+    fresh = os.path.join(root, "adp_spill_app-live-456")
+    os.makedirs(fresh)
+
+    spark.conf.set("adp.spill.root", root)
+    try:
+        p = spill_mod.spill_root(spark, "cleanup_test", "/x")
+        assert p is not None
+        assert not os.path.exists(stale), "stale session dir not pruned"
+        assert os.path.exists(fresh), "live sibling must not be touched"
+        sess = spill_mod._session_dir(root, spark)
+        assert sess in spill_mod._CLEANUP_REGISTERED
+    finally:
+        spark.conf.unset("adp.spill.root")

@@ -4,7 +4,7 @@ The fuzzy-dedup / fingerprinting extensions need hash functions whose
 values are reproducible both in Spark (JVM) and in the DuckDB oracle so
 the driver's value-hash correctness gate can cover them.  `xxhash64` /
 `hash` differ between engines; **MD5 of a UTF-8 string does not**.  We
-derive a 59-bit non-negative integer from the first 15 hex digits of the
+derive a non-negative integer in [0, 2^60) from the first 15 hex digits of the
 MD5 digest:
 
   Spark : ``conv(substring(md5(s), 1, 15), 16, 10)  ::bigint``
@@ -27,7 +27,12 @@ MERSENNE_P = (1 << 61) - 1
 
 
 def hash59(col: Column | str, salt: str = "") -> Column:
-    """59-bit deterministic hash of a string column, portable to DuckDB."""
+    """Deterministic hash of a string column, portable to DuckDB.
+
+    15 hex md5 digits -> values in [0, 2^60) (a 60-bit range, despite
+    the historical name; round-5 ADVICE corrected the stated bound —
+    overflow reasoning downstream must budget for hi = h DIV 2^30
+    < 2^30, not 2^29)."""
     c = F.col(col) if isinstance(col, str) else col
     if salt:
         c = F.concat(F.lit(salt), c)

@@ -70,10 +70,23 @@ def _order_cols(order_by: Sequence) -> list:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def _num_shuffle_partitions(sp) -> int:
+    """Partition count for the range repartition.  Managed platforms can
+    surface a NON-NUMERIC ``spark.sql.shuffle.partitions`` (e.g. "auto"
+    when the runtime manages shuffle parallelism itself); crashing every
+    global_* operator on the parse would be wrong (round-5 ADVICE), so
+    fall back to the cluster's default parallelism — the same order of
+    magnitude such a platform would pick anyway."""
+    try:
+        return int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        return int(sp.sparkContext.defaultParallelism)
+
+
 def _range_partitioned(df: DataFrame, order_by: Sequence):
     """(repartitioned df with __pid, order Columns, numPartitions)."""
     sp = df.sparkSession
-    nparts = int(sp.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = _num_shuffle_partitions(sp)
     cols = _order_cols(order_by)
     pinned = df.repartitionByRange(nparts, *cols).withColumn(
         "__pid", F.spark_partition_id()

@@ -3343,7 +3343,8 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-stable uniform against literal Poisson(1) CDF constants — the
     same derandomized-sampling discipline as privacy_dp_counts' Laplace
     draw.  The per-replicate uniforms use Kirsch–Mitzenmacher double
-    hashing: TWO md5-derived 59-bit values per row, u_b = (h1 + b·h2)
+    hashing: TWO md5-derived hash values per row (hash59: 15 hex md5
+    digits, so values range over [0, 2^60)), u_b = (h1 + b·h2)
     mod 2^59 — the textbook result that two independent hashes simulate
     B independent ones for simulation/Bloom workloads — so the md5 cost
     is 2 per row instead of B={b} (measured ~2.5× on this query).  At
@@ -3367,8 +3368,13 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
     # (h1 + b*h2) mod 2^59 would overflow BIGINT if multiplied directly
-    # (b*h2 < 2^64).  Split h2 into 30-bit halves so every intermediate
-    # stays under 2^63: with h2 = hi·2^30 + lo,
+    # (b*h2 < 2^64).  Split h2 into halves so every intermediate stays
+    # under 2^63.  NOTE the ranges: hash59 yields 15 hex digits, so
+    # h2 < 2^60 and hi = h2 DIV 2^30 < 2^30 (not 2^29 — round-5 ADVICE
+    # corrected the stated bound); with b < 2^11 the largest
+    # intermediate is b·hi < 2^41 and ((b·hi) mod 2^29)·2^30 + b·lo + ha
+    # < 2^59 + 2^41 + 2^60 < 2^62 — ample BIGINT margin.  With
+    # h2 = hi·2^30 + lo,
     #   (b·h2) mod 2^59 = ((b·hi) mod 2^29)·2^30 + b·lo   (then + ha,
     # mod 2^59 once).  Pure BIGINT — whole-stage-codegen long ops —
     # replacing the round-4 DECIMAL(38,0) mix (measured A/B below); the

@@ -197,6 +197,23 @@ def _write_text_uri(spark, path: str, content: str) -> None:
         out.close()
 
 
+def _check_h5mu_row_alignment(
+    name: str, barcodes: list, obs_index: list
+) -> None:
+    """CSR row-alignment invariant for the h5mu container: each
+    modality's row axis must equal the shared obs index exactly.  A real
+    raise, not an assert — asserts vanish under ``python -O``, and a
+    caller bypassing the intersect semantics would otherwise write
+    silently misaligned obsmap/X rows (round-5 ADVICE)."""
+    if barcodes != obs_index:
+        raise ValueError(
+            f"h5mu modality {name!r}: CSR row axis does not match the "
+            f"shared obs index ({len(barcodes)} vs {len(obs_index)} "
+            "cells) — modality rows must cover exactly the intersected "
+            "obs set"
+        )
+
+
 def export_h5mu(
     modalities: dict[str, DataFrame],
     path: str,
@@ -253,7 +270,7 @@ def export_h5mu(
         barcodes, features, data, indices, indptr = _csr_from_coo(
             df.toPandas()
         )
-        assert barcodes == obs_index
+        _check_h5mu_row_alignment(name, barcodes, obs_index)
         mod_tuples[name] = (obs_index, features, data, indices, indptr)
     cols = {}
     if obs_cols is not None:

@@ -738,5 +738,19 @@ def _read_modality_axis(r: H5Reader, mod_obj: _Obj, axis: str) -> list[str]:
     attrs = r.attributes(obj)
     index_name = str(attrs.get("_index", "_index"))
     children = r.list_group(obj)
+    if index_name not in children:
+        # mirror _read_axis_index's legacy fallback: older muon/anndata
+        # writers used "index" with no _index attr; without this a
+        # supported-structure file would die with a raw KeyError
+        # instead of the codec's explicit contract (round-5 ADVICE)
+        for cand in ("_index", "index"):
+            if cand in children:
+                index_name = cand
+                break
+        else:
+            raise _unsupported(
+                f"modality {axis} group has no index dataset "
+                f"(looked for {index_name!r}, '_index', 'index')"
+            )
     vals = r.read_dataset(r.read_object(children[index_name]))
     return [str(v) for v in vals]

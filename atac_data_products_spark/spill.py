@@ -58,12 +58,16 @@ def _resolve_base(conf_root: str | None, master: str, warehouse: str | None,
 
 _CLEANUP_REGISTERED: set[str] = set()
 
-# sessions whose spill dirs have been untouched this long are assumed
+# sessions whose spill dirs show no ACTIVITY for this long are assumed
 # finished; their leftovers (e.g. from a kill -9, where atexit never
 # ran) are pruned by the next session that spills under the same base.
-# Generous (7 days) so a long-lived session lazily re-reading an old
-# spill is never clobbered by a concurrent pruner.
+# Activity is tracked by a _HEARTBEAT marker refreshed on every
+# spill_root/fixture_root call (round-5 ADVICE: reads don't bump a
+# directory's mtime, so dir-mtime alone could prune a >7-day-idle LIVE
+# session that lazily re-reads its early spill; the heartbeat makes
+# liveness independent of write activity).
 _STALE_AFTER_MS = 7 * 24 * 3600 * 1000
+_HEARTBEAT = "_HEARTBEAT"
 
 
 def _session_dir(base: str, spark: SparkSession) -> str:
@@ -107,14 +111,41 @@ def _register_cleanup(spark: SparkSession, base: str) -> None:
             now = int(__import__("time").time() * 1000)
             for st in fs.listStatus(bp):
                 name = st.getPath().getName()
-                if (
-                    name.startswith("adp_spill_")
-                    and st.getPath().toString() != fs.makeQualified(
+                if name.startswith("adp_spill_") and (
+                    st.getPath().toString()
+                    != fs.makeQualified(
                         jvm.org.apache.hadoop.fs.Path(sess)
                     ).toString()
-                    and now - st.getModificationTime() > _STALE_AFTER_MS
                 ):
-                    fs.delete(st.getPath(), True)
+                    # last activity = max(dir mtime, heartbeat mtime):
+                    # the heartbeat is refreshed on every spill_root call
+                    # (including pure re-reads), so a live-but-idle
+                    # session is never pruned.
+                    last = st.getModificationTime()
+                    hb = jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), _HEARTBEAT
+                    )
+                    try:
+                        if fs.exists(hb):
+                            last = max(
+                                last,
+                                fs.getFileStatus(hb).getModificationTime(),
+                            )
+                    except Exception:
+                        pass
+                    if now - last > _STALE_AFTER_MS:
+                        fs.delete(st.getPath(), True)
+    except Exception:
+        pass
+
+
+def _touch_heartbeat(spark: SparkSession, sess: str) -> None:
+    """Refresh the session dir's liveness marker (best-effort)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{sess}/{_HEARTBEAT}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(p, True).close()  # overwrite=True bumps mtime
     except Exception:
         pass
 
@@ -122,7 +153,11 @@ def _register_cleanup(spark: SparkSession, base: str) -> None:
 def _scoped(base: str, spark: SparkSession, tag: str, sf_dir: str) -> str:
     key = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:10]
     _register_cleanup(spark, base)
-    return f"{_session_dir(base, spark)}/{tag}_{key}"
+    sess = _session_dir(base, spark)
+    # every access (writes AND lazy re-reads resolve through here) marks
+    # this session live, so the 7-day pruner can't clobber an idle one
+    _touch_heartbeat(spark, sess)
+    return f"{sess}/{tag}_{key}"
 
 
 def spill_root(spark: SparkSession, tag: str, sf_dir: str) -> str | None:

@@ -214,3 +214,45 @@ def test_export_h5mu_sums_duplicate_coo_entries(spark, tmp_path):
     np.testing.assert_array_equal(d, [3.5, 4.0])  # 1.0 + 2.5 summed
     np.testing.assert_array_equal(i, [0, 1])
     np.testing.assert_array_equal(p, [0, 1, 2])  # one entry per row
+
+
+def test_export_h5mu_alignment_guard_is_a_real_raise():
+    """Round-5 ADVICE: the CSR row-alignment invariant on the production
+    h5mu write path must survive `python -O` — a ValueError, not an
+    assert.  A caller bypassing the intersect semantics (modality rows
+    not covering exactly the shared obs set) must fail loudly."""
+    from atac_data_products_spark.sinks.writers import (
+        _check_h5mu_row_alignment,
+    )
+
+    # aligned: no raise
+    _check_h5mu_row_alignment("m", ["a", "b"], ["a", "b"])
+    with pytest.raises(ValueError, match="atac_cell_by_bin.*obs index"):
+        _check_h5mu_row_alignment("atac_cell_by_bin", ["a"], ["a", "b"])
+    # same length but different order is also misalignment
+    with pytest.raises(ValueError, match="intersected obs set"):
+        _check_h5mu_row_alignment("m", ["b", "a"], ["a", "b"])
+
+
+def test_modality_axis_legacy_index_fallback():
+    """Round-5 ADVICE: modality obs/var groups written by legacy
+    muon/anndata use an `index` dataset with no `_index` attr; the
+    modality axis reader must mirror _read_axis_index's fallback instead
+    of dying with a raw KeyError — and reject a truly index-less group
+    with the codec's explicit-unsupported contract."""
+    from atac_data_products_spark.sources.hdf5 import _read_modality_axis
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    w = Writer()
+    idx = w.write_dataset(["c1", "c2"])
+    obs = w.write_group({"index": idx}, attrs={"encoding-type": "dataframe"})
+    other = w.write_dataset([1.0])
+    bare = w.write_group({"notindex": other})
+    mod = w.write_group({"obs": obs, "var": bare})
+    root = w.write_group({"m": mod})
+    content = w.finish(root)
+    r = H5Reader(content)
+    mod_obj = r.open("m")
+    assert _read_modality_axis(r, mod_obj, "obs") == ["c1", "c2"]
+    with pytest.raises(NotImplementedError, match="no index dataset"):
+        _read_modality_axis(r, mod_obj, "var")

@@ -227,3 +227,35 @@ def test_global_cumsum_cummax_match_builtin(spark, rows):
         ).alias("mx"),
     )
     assert got_mx.exceptAll(ref_mx).union(ref_mx.exceptAll(got_mx)).count() == 0
+
+
+def test_num_shuffle_partitions_nonnumeric_falls_back(spark):
+    """Round-5 ADVICE: platforms that manage shuffle parallelism surface
+    a non-numeric spark.sql.shuffle.partitions (e.g. "auto"); the
+    global_* operators must fall back to defaultParallelism, not raise.
+    OSS Spark rejects non-int conf values at set-time, so the fallback
+    is exercised through a conf stub."""
+    from atac_data_products_spark.operators.windows import (
+        _num_shuffle_partitions,
+    )
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, k, d=None):
+            return self._val if self._val is not None else d
+
+    class _Fake:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+            self.sparkContext = spark.sparkContext
+
+    assert _num_shuffle_partitions(_Fake("16")) == 16
+    dp = spark.sparkContext.defaultParallelism
+    assert _num_shuffle_partitions(_Fake("auto")) == dp
+    assert _num_shuffle_partitions(_Fake(None)) == 200
+    # the real session still resolves numerically
+    assert _num_shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

@@ -156,3 +156,57 @@ def test_session_spill_dir_cleanup_registered_and_stale_pruned(spark, tmp_path):
         assert sess in spill_mod._CLEANUP_REGISTERED
     finally:
         spark.conf.unset("adp.spill.root")
+
+
+def test_heartbeat_written_and_protects_idle_live_session(spark, tmp_path):
+    """Round-5 ADVICE: dir mtime alone would let a concurrent pruner
+    delete a >7-day-idle LIVE session's spill (reads don't bump mtime).
+    spill_root must (a) refresh a _HEARTBEAT marker in our own session
+    dir on every call, and (b) spare a sibling whose dir mtime is stale
+    but whose heartbeat is fresh."""
+    import os
+    import time
+
+    import atac_data_products_spark.spill as spill_mod
+
+    root = str(tmp_path / "hbbase")
+    os.makedirs(root)
+    old = time.time() - 8 * 24 * 3600
+
+    # sibling A: stale dir mtime but FRESH heartbeat (idle live session)
+    idle_live = os.path.join(root, "adp_spill_app-idle-live")
+    os.makedirs(idle_live)
+    with open(os.path.join(idle_live, spill_mod._HEARTBEAT), "w"):
+        pass
+    os.utime(idle_live, (old, old))  # dir looks stale; heartbeat is now
+
+    # sibling B: stale dir mtime AND stale heartbeat (truly dead)
+    dead = os.path.join(root, "adp_spill_app-dead-hb")
+    os.makedirs(dead)
+    hb_dead = os.path.join(dead, spill_mod._HEARTBEAT)
+    with open(hb_dead, "w"):
+        pass
+    os.utime(hb_dead, (old, old))
+    os.utime(dead, (old, old))
+
+    spark.conf.set("adp.spill.root", root)
+    try:
+        p = spill_mod.spill_root(spark, "hb_test", "/x")
+        assert p is not None
+        assert os.path.exists(idle_live), (
+            "idle-but-live session (fresh heartbeat) must not be pruned"
+        )
+        assert not os.path.exists(dead), (
+            "stale dir with stale heartbeat must still be pruned"
+        )
+        # our own session dir has a heartbeat after the call
+        sess = spill_mod._session_dir(root, spark)
+        assert os.path.exists(os.path.join(sess, spill_mod._HEARTBEAT))
+        # a second call refreshes it (mtime strictly advances)
+        t1 = os.path.getmtime(os.path.join(sess, spill_mod._HEARTBEAT))
+        time.sleep(0.05)
+        spill_mod.spill_root(spark, "hb_test2", "/x")
+        t2 = os.path.getmtime(os.path.join(sess, spill_mod._HEARTBEAT))
+        assert t2 >= t1
+    finally:
+        spark.conf.unset("adp.spill.root")

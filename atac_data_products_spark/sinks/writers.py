@@ -206,11 +206,26 @@ def _check_h5mu_row_alignment(
     caller bypassing the intersect semantics would otherwise write
     silently misaligned obsmap/X rows (round-5 ADVICE)."""
     if barcodes != obs_index:
+        # pinpoint the first divergence: lengths alone are confusing for
+        # the same-length/different-ORDER case this guard also catches
+        # (round-6 ADVICE)
+        pos = next(
+            (
+                i
+                for i, (b, o) in enumerate(zip(barcodes, obs_index))
+                if b != o
+            ),
+            min(len(barcodes), len(obs_index)),
+        )
+        b_at = barcodes[pos] if pos < len(barcodes) else "<end>"
+        o_at = obs_index[pos] if pos < len(obs_index) else "<end>"
         raise ValueError(
             f"h5mu modality {name!r}: CSR row axis does not match the "
             f"shared obs index ({len(barcodes)} vs {len(obs_index)} "
-            "cells) — modality rows must cover exactly the intersected "
-            "obs set"
+            f"cells; first mismatch at row {pos}: modality has {b_at!r}, "
+            f"obs index has {o_at!r} — a same-length mismatch means the "
+            "rows are out of ORDER) — modality rows must cover exactly "
+            "the intersected obs set, in obs-index order"
         )
 
 

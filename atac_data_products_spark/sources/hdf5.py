@@ -646,20 +646,39 @@ def read_h5ad_matrix(content: bytes) -> dict:
     return {"barcodes": barcodes, "features": features, "x": x}
 
 
+def _resolve_index_dataset(attrs: dict, children: dict, where: str) -> str:
+    """Name of the axis-index dataset inside an obs/var group.
+
+    The legacy ('index' with no ``_index`` attr) fallback applies ONLY
+    when the ``_index`` attribute is absent or carries the default name:
+    a file that EXPLICITLY declares a custom index column which is then
+    missing is malformed, and reference readers (anndata/muon) fail on
+    it — silently substituting a different dataset would yield a wrong
+    axis (round-6 ADVICE)."""
+    declared = attrs.get("_index")
+    if declared is not None and str(declared) != "_index":
+        name = str(declared)
+        if name not in children:
+            raise _unsupported(
+                f"{where}: declared index column {name!r} (_index attr) "
+                "has no matching dataset — malformed file"
+            )
+        return name
+    for cand in ("_index", "index"):
+        if cand in children:
+            return cand
+    raise _unsupported(
+        f"{where}: no index dataset (looked for '_index', 'index')"
+    )
+
+
 def _read_axis_index(r: H5Reader, axis: str) -> list[str]:
     obj = r.open(axis)
     if obj.one(_MSG_DATATYPE) is not None:
         raise _unsupported(f"compound-dataset {axis} (pre-0.7 anndata)")
     attrs = r.attributes(obj)
-    index_name = str(attrs.get("_index", "_index"))
     children = r.list_group(obj)
-    if index_name not in children:
-        for cand in ("_index", "index"):
-            if cand in children:
-                index_name = cand
-                break
-        else:
-            raise KeyError(f"no index dataset in /{axis}")
+    index_name = _resolve_index_dataset(attrs, children, f"/{axis}")
     vals = r.read_dataset(r.read_object(children[index_name]))
     return [str(v) for v in vals]
 
@@ -736,21 +755,11 @@ def read_h5mu(content: bytes) -> dict:
 def _read_modality_axis(r: H5Reader, mod_obj: _Obj, axis: str) -> list[str]:
     obj = r.read_object(r.list_group(mod_obj)[axis])
     attrs = r.attributes(obj)
-    index_name = str(attrs.get("_index", "_index"))
     children = r.list_group(obj)
-    if index_name not in children:
-        # mirror _read_axis_index's legacy fallback: older muon/anndata
-        # writers used "index" with no _index attr; without this a
-        # supported-structure file would die with a raw KeyError
-        # instead of the codec's explicit contract (round-5 ADVICE)
-        for cand in ("_index", "index"):
-            if cand in children:
-                index_name = cand
-                break
-        else:
-            raise _unsupported(
-                f"modality {axis} group has no index dataset "
-                f"(looked for {index_name!r}, '_index', 'index')"
-            )
+    # strict resolution shared with _read_axis_index: legacy 'index'
+    # fallback only when _index is absent/default; an explicitly
+    # declared-but-missing index column is a loud _unsupported, never a
+    # silent substitute (round-5 + round-6 ADVICE)
+    index_name = _resolve_index_dataset(attrs, children, f"modality {axis}")
     vals = r.read_dataset(r.read_object(children[index_name]))
     return [str(v) for v in vals]

@@ -150,13 +150,54 @@ def _touch_heartbeat(spark: SparkSession, sess: str) -> None:
         pass
 
 
+# Refresh cadence for the background heartbeat thread.  Far below the
+# 7-day prune horizon (≥28 refreshes per horizon), far above any
+# filesystem-metadata cost concern (4 tiny creates/day).
+_HEARTBEAT_INTERVAL_S = 6 * 3600
+_HEARTBEAT_THREADS: set[str] = set()
+
+
+def _start_heartbeat_thread(spark: SparkSession, sess: str) -> None:
+    """Keep ``sess`` marked live for the WHOLE session lifetime.
+
+    spill_root/fixture_root calls touch the heartbeat synchronously, but
+    that only covers path RESOLUTION time — a session that resolved a
+    spill path once and then triggers lazy actions on a held DataFrame
+    more than 7 days later would otherwise look dead to a concurrent
+    pruner (round-6 ADVICE).  A daemon thread refreshes the marker every
+    6 h while the interpreter is alive, making liveness independent of
+    call patterns; it exits quietly once the session is stopped (the
+    Py4J call starts failing and the touch is best-effort)."""
+    if sess in _HEARTBEAT_THREADS:
+        return
+    _HEARTBEAT_THREADS.add(sess)
+    import threading
+
+    def _loop() -> None:
+        while True:
+            ev.wait(_HEARTBEAT_INTERVAL_S)
+            try:
+                if spark._jsc is None:  # session stopped — stop refreshing
+                    return
+            except Exception:
+                return
+            _touch_heartbeat(spark, sess)
+
+    ev = threading.Event()
+    threading.Thread(
+        target=_loop, name=f"adp-spill-heartbeat-{sess[-12:]}", daemon=True
+    ).start()
+
+
 def _scoped(base: str, spark: SparkSession, tag: str, sf_dir: str) -> str:
     key = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:10]
     _register_cleanup(spark, base)
     sess = _session_dir(base, spark)
-    # every access (writes AND lazy re-reads resolve through here) marks
-    # this session live, so the 7-day pruner can't clobber an idle one
+    # mark this session live now (synchronous) and for its whole
+    # lifetime (daemon refresh thread) so the 7-day pruner can't clobber
+    # it no matter how long it idles between spill accesses
     _touch_heartbeat(spark, sess)
+    _start_heartbeat_thread(spark, sess)
     return f"{sess}/{tag}_{key}"
 
 

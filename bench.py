@@ -112,6 +112,25 @@ HEADLINE = [
     "orders_backlog_snapshot",
 ]
 
+# Host-variance index (VERDICT r05 task 3 / r06 task 3): cross-day
+# absolute totals mislead — round 5 measured these same unchanged keys
+# 1.41x slower while the suite was load-normalized FASTER.  These seven
+# queries are trivial, plan-frozen since round 1, and span the cost
+# classes the suite exercises (scan, broadcast join, explode+pivot,
+# top-1, collect_list agg, file-pair zip, codegen filter-agg), so the
+# sum of their timings moves with HOST LOAD, not with code changes.
+# Round-over-round comparisons should divide by the variance_index
+# ratio before calling anything a regression (tools/bench_diff.py).
+VARIANCE_INDEX_KEYS = [
+    "union_outer_concat",
+    "join_donor_metadata",
+    "agg_first_match",
+    "first_match_shortcircuit",
+    "agg_collect_lists",
+    "scan_file_pairs",
+    "tpch_q6_forecast_revenue",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -194,6 +213,9 @@ def main() -> None:
         # the most recent timings (driver-side diagnostics, not parsed)
         print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
+    variance_index = round(
+        sum(timings[k] for k in VARIANCE_INDEX_KEYS if k in timings), 3
+    )
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
@@ -201,6 +223,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "variance_index": variance_index,
+        "variance_index_keys": VARIANCE_INDEX_KEYS,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -222,6 +246,7 @@ def main() -> None:
                 "queries": head,
                 "sf": sf,
                 "n_queries": len(timings),
+                "variance_index": variance_index,
                 "detail": "BENCH_DETAIL.json",
             }
         ),

@@ -256,3 +256,58 @@ def test_modality_axis_legacy_index_fallback():
     assert _read_modality_axis(r, mod_obj, "obs") == ["c1", "c2"]
     with pytest.raises(NotImplementedError, match="no index dataset"):
         _read_modality_axis(r, mod_obj, "var")
+
+
+def test_declared_index_column_missing_is_rejected():
+    """Round-6 ADVICE: a file that EXPLICITLY declares a custom index
+    column (_index attr != default) which is then absent is malformed —
+    reference anndata/muon readers fail on it, so silently falling back
+    to an '_index'/'index' dataset could yield a WRONG axis.  The legacy
+    fallback must apply only when the attr is absent or default."""
+    from atac_data_products_spark.sources.hdf5 import (
+        _read_axis_index,
+        _read_modality_axis,
+    )
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    w = Writer()
+    # declares _index='barcode_id' but only ships an 'index' dataset
+    bad = w.write_group(
+        {"index": w.write_dataset(["c1", "c2"])},
+        attrs={"encoding-type": "dataframe", "_index": "barcode_id"},
+    )
+    # declares _index='barcode_id' and ships it -> must be used even
+    # though a decoy '_index' dataset is also present
+    good = w.write_group(
+        {
+            "barcode_id": w.write_dataset(["g1", "g2"]),
+            "_index": w.write_dataset(["WRONG1", "WRONG2"]),
+        },
+        attrs={"encoding-type": "dataframe", "_index": "barcode_id"},
+    )
+    mod = w.write_group({"obs": bad, "var": good})
+    root = w.write_group({"m": mod, "obs": bad, "var": good})
+    content = w.finish(root)
+
+    r = H5Reader(content)
+    mod_obj = r.open("m")
+    with pytest.raises(NotImplementedError, match="barcode_id"):
+        _read_modality_axis(r, mod_obj, "obs")
+    assert _read_modality_axis(r, mod_obj, "var") == ["g1", "g2"]
+    # same contract at the top-level h5ad axis reader
+    with pytest.raises(NotImplementedError, match="barcode_id"):
+        _read_axis_index(r, "obs")
+    assert _read_axis_index(r, "var") == ["g1", "g2"]
+
+
+def test_row_misalignment_error_pinpoints_first_mismatch():
+    """Round-6 ADVICE: same-length/different-order misalignment must not
+    report only lengths — the message names the first differing row."""
+    from atac_data_products_spark.sinks.writers import (
+        _check_h5mu_row_alignment,
+    )
+
+    with pytest.raises(ValueError, match=r"row 0.*'b'.*'a'.*out of ORDER"):
+        _check_h5mu_row_alignment("m", ["b", "a"], ["a", "b"])
+    with pytest.raises(ValueError, match=r"row 1.*<end>"):
+        _check_h5mu_row_alignment("m", ["a"], ["a", "b"])

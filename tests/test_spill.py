@@ -210,3 +210,52 @@ def test_heartbeat_written_and_protects_idle_live_session(spark, tmp_path):
         assert t2 >= t1
     finally:
         spark.conf.unset("adp.spill.root")
+
+
+def test_heartbeat_daemon_thread_started(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE: synchronous touches only cover path-RESOLUTION
+    time; a session holding a resolved spill path for >7 days of lazy
+    re-reads never called spill_root again.  A daemon thread must keep
+    the marker fresh for the whole session lifetime."""
+    import os
+    import threading
+    import time
+
+    import atac_data_products_spark.spill as spill_mod
+
+    root = str(tmp_path / "hb_thread")
+    spark.conf.set("adp.spill.root", root)
+    # shrink the interval so one refresh cycle happens inside the test
+    monkeypatch.setattr(spill_mod, "_HEARTBEAT_INTERVAL_S", 0.05)
+    # force a fresh thread registration for this session dir
+    sess = spill_mod._session_dir(root, spark)
+    spill_mod._HEARTBEAT_THREADS.discard(sess)
+    try:
+        spill_mod.spill_root(spark, "hb_thread", "/x")
+        names = [t.name for t in threading.enumerate()]
+        assert any(n.startswith("adp-spill-heartbeat-") for n in names), names
+        hb = os.path.join(sess, spill_mod._HEARTBEAT)
+        t1 = os.path.getmtime(hb)
+        # WITHOUT any further spill_root call, the thread refreshes it
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if os.path.getmtime(hb) > t1:
+                break
+            time.sleep(0.05)
+        assert os.path.getmtime(hb) > t1, (
+            "background thread did not refresh the heartbeat"
+        )
+        # registration is once-per-session-dir: a second call must not
+        # spawn a second thread
+        n_before = sum(
+            1 for t in threading.enumerate()
+            if t.name == f"adp-spill-heartbeat-{sess[-12:]}"
+        )
+        spill_mod.spill_root(spark, "hb_thread2", "/x")
+        n_after = sum(
+            1 for t in threading.enumerate()
+            if t.name == f"adp-spill-heartbeat-{sess[-12:]}"
+        )
+        assert n_after == n_before
+    finally:
+        spark.conf.unset("adp.spill.root")

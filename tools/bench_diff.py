@@ -41,6 +41,18 @@ def main() -> int:
     thr = ns.threshold
     old, new = load_bench(ns.old), load_bench(ns.new)
     oq, nq = old["queries"], new["queries"]
+    # Host-load normalization: when both artifacts carry the
+    # variance_index (sum of 7 plan-frozen trivial keys — see bench.py
+    # VARIANCE_INDEX_KEYS), divide each per-query ratio by the index
+    # ratio so co-tenant load differences between the two runs don't
+    # read as code regressions (round-5 finding: unchanged keys 1.41x
+    # slower across days while the suite was load-normalized faster).
+    load_ratio = 1.0
+    ovi, nvi = old.get("variance_index"), new.get("variance_index")
+    if ovi and nvi:
+        load_ratio = nvi / ovi
+        print(f"variance_index: {ovi:.3f}s -> {nvi:.3f}s "
+              f"(host-load ratio {load_ratio:.2f} — per-query ratios normalized)")
     regressed = []
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in sorted(set(oq) | set(nq)):
@@ -49,7 +61,7 @@ def main() -> int:
             tag = "NEW" if a is None else "GONE"
             print(f"{name:34s} {a if a is not None else '-':>8} {b if b is not None else '-':>8}   {tag}")
             continue
-        ratio = b / a if a else float("inf")
+        ratio = (b / a if a else float("inf")) / load_ratio
         flag = ""
         if ratio > thr and b - a > 0.2:  # ignore sub-noise absolute deltas
             flag = f"  REGRESSED >{thr}x"

@@ -1363,6 +1363,74 @@ def sink_h5mu_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coo.select("modality", "barcode", "feature_id", "value")
 
 
+@query(
+    "sink_h5mu_file_gzip",
+    oracle="""
+    SELECT 'embeddings' AS modality,
+           'v' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS barcode,
+           'd' || lpad(CAST(generate_subscripts(embedding, 1) - 1
+                            AS VARCHAR), 2, '0') AS feature_id,
+           CAST(unnest(embedding) AS DOUBLE) AS value
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 1024)
+    """,
+)
+def sink_h5mu_file_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed ``.h5mu`` sink + distributed read-back at BENCH
+    scale (VERDICT r06 task 4) — ``mdata.write(..., compression="gzip")``
+    parity on top of sink_h5mu_file's container parity
+    (bin/concatenate.py:150).
+
+    A real matrix this time: the lowest 1024 embedding vectors (dim 64 →
+    65,536 nonzeros at sf0.1) exploded to COO in Spark, exported as ONE
+    MuData container whose /mod X arrays are shuffle+deflate chunk-
+    filtered, then decoded back through the distributed binaryFile →
+    Arrow mapInPandas seam (sources/hdf5.py's filter-pipeline decode:
+    byte-unshuffle + zlib per chunk).  Values survive the full
+    compress → decompress → unshuffle round trip bit-exactly, checked
+    against the oracle's relational recomputation.
+
+    SCALE CONTRACT: same as sink_h5mu_file — a .h5mu is one file, the
+    dataset-scoped interchange artifact (the cap keeps driver assembly
+    bounded and the bench row honest); the parquet product dir remains
+    the 100 TB path."""
+    from .sinks.writers import export_h5mu
+    from .sources.ingest import (
+        H5MU_COO_SCHEMA,
+        decode_h5mu_bytes,
+        ingest_binary_files,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coo = (
+        emb.orderBy("vec_id")
+        .limit(1024)
+        .select(
+            F.concat(
+                F.lit("v"), F.lpad(F.col("vec_id").cast("string"), 6, "0")
+            ).alias("cell_id"),
+            F.posexplode("embedding").alias("dim", "comp"),
+        )
+        .select(
+            "cell_id",
+            F.concat(
+                F.lit("d"), F.lpad(F.col("dim").cast("string"), 2, "0")
+            ).alias("feature_id"),
+            F.col("comp").cast("double").alias("value"),
+        )
+    )
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = _staging_dir(f"h5mu_gz_{tag}")
+    path = os.path.join(stage, "embeddings.h5mu")
+    export_h5mu({"embeddings": coo}, path, compression="gzip")
+    coo_back = ingest_binary_files(
+        spark, path, decode_h5mu_bytes, H5MU_COO_SCHEMA
+    )
+    return coo_back.select("modality", "barcode", "feature_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # Ingestion robustness scans
 # ---------------------------------------------------------------------------

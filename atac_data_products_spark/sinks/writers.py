@@ -234,6 +234,7 @@ def export_h5mu(
     path: str,
     obs_cols: DataFrame | None = None,
     uns: dict | None = None,
+    compression: str | None = None,
 ) -> dict:
     """Single-file MuData export — artifact parity with the reference's
     ``mdata.write(f"{output_file_name}.h5mu")`` (bin/concatenate.py:150).
@@ -253,7 +254,15 @@ def export_h5mu(
     dataset-scoped interchange export.  The parquet product directory
     (write_product) remains the 100 TB path; this sink exists so muon/
     scanpy users can consume the product without this engine.
+
+    ``compression``: None (default) or ``"gzip"`` — gzip chunk-filters
+    every modality's X arrays (shuffle+deflate, the
+    ``mdata.write(..., compression="gzip")`` layout).
     """
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"unsupported compression {compression!r} (None or 'gzip')"
+        )
     from pyspark.sql import functions as F
 
     from ..sources.hdf5_write import build_h5mu
@@ -295,7 +304,14 @@ def export_h5mu(
             cols[c] = [
                 v if isinstance(v, str) else float(v) for v in vals
             ]
-    content = build_h5mu(mod_tuples, obs_index, obs_cols=cols, uns=uns)
+    content = build_h5mu(
+        mod_tuples,
+        obs_index,
+        obs_cols=cols,
+        uns=uns,
+        gzip=compression == "gzip",
+        shuffle=compression == "gzip",
+    )
     spark = next(iter(modalities.values())).sparkSession
     _write_bytes_uri(spark, path, content)
     return {

@@ -518,6 +518,8 @@ def build_h5mu(
     obs_index: list[str],
     obs_cols: dict[str, list] | None = None,
     uns: dict | None = None,
+    gzip: bool = False,
+    shuffle: bool = False,
 ) -> bytes:
     """Assemble a single-file MuData container — the reference's actual
     output artifact (``mdata.write(f"{output_file_name}.h5mu")``,
@@ -541,11 +543,17 @@ def build_h5mu(
 
     The byte stream is deterministic for fixed inputs (sorted modality
     order, caller-fixed obs/feature orders), so golden tests can pin
-    the artifact.  Wrapped in the 512-byte MuData user block."""
+    the artifact.  Wrapped in the 512-byte MuData user block.
+
+    ``gzip``/``shuffle`` chunk-filter every modality's X arrays
+    (``mu.write(..., compression="gzip")`` parity)."""
     w = Writer()
     mod_names = sorted(modalities)
     mod_children = {
-        name: _write_csr_anndata(w, *modalities[name]) for name in mod_names
+        name: _write_csr_anndata(
+            w, *modalities[name], gzip=gzip, shuffle=shuffle
+        )
+        for name in mod_names
     }
     mod = w.write_group(mod_children, attrs={"mod-order": mod_names})
     cols = obs_cols or {}

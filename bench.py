@@ -110,6 +110,9 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "stat_bootstrap_poisson_ci",
     "orders_backlog_snapshot",
+    # round-7: bench-scale single-file h5mu artifact — gzip'd CSR write
+    # + distributed filter-pipeline decode read-back (VERDICT r06 #4)
+    "sink_h5mu_file_gzip",
 ]
 
 # Host-variance index (VERDICT r05 task 3 / r06 task 3): cross-day

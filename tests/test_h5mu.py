@@ -311,3 +311,41 @@ def test_row_misalignment_error_pinpoints_first_mismatch():
         _check_h5mu_row_alignment("m", ["b", "a"], ["a", "b"])
     with pytest.raises(ValueError, match=r"row 1.*<end>"):
         _check_h5mu_row_alignment("m", ["a"], ["a", "b"])
+
+
+def test_h5mu_gzip_round_trip():
+    """VERDICT r06 task 4: gzip-compressed /mod groups end to end —
+    every modality's X arrays chunk-filtered with shuffle+deflate
+    (``mdata.write(..., compression='gzip')`` layout) must decode
+    bit-exactly through read_h5mu's filter pipeline."""
+    content = build_h5mu(
+        MODS,
+        BC,
+        obs_cols={"dataset": ["d1", "d1", "d2"]},
+        uns={"uuid": "prod-gz"},
+        gzip=True,
+        shuffle=True,
+    )
+    # compressed container must differ from the uncompressed bytes but
+    # decode to identical values
+    assert content != _content()
+    out = read_h5mu(content)
+    for name, (bc, ft, data, indices, indptr) in MODS.items():
+        m = out["mod"][name]
+        assert m["barcodes"] == bc and m["features"] == ft
+        kind, d, i, p, shape = m["x"]
+        assert kind == "csr" and shape == (len(bc), len(ft))
+        np.testing.assert_array_equal(d, data)
+        np.testing.assert_array_equal(i, indices)
+        np.testing.assert_array_equal(p, indptr)
+    assert out["obs"]["_index"] == BC
+
+
+def test_export_h5mu_rejects_unknown_compression(spark):
+    from atac_data_products_spark.sinks.writers import export_h5mu
+
+    df = spark.createDataFrame(
+        [("c1", "f1", 1.0)], "cell_id string, feature_id string, value double"
+    )
+    with pytest.raises(ValueError, match="unsupported compression"):
+        export_h5mu({"m": df}, "/tmp/never_written.h5mu", compression="lzf")

@@ -171,10 +171,10 @@ NESTED_LOOP_ALLOWLIST: dict[str, int] = {
     "vector_pca_power_iteration": 2,
 }
 
-# The nine designed Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas
-# / MapInPandas): binary codecs (h5ad/h5mu/PNG), byte feature
-# extraction, stateful sessionization, rowgroup stats, batch ML scoring.
-# Everything else must stay JVM-side whole-stage codegen.
+# The ten designed Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas
+# / MapInPandas): binary codecs (h5ad/h5mu plain + gzip, PNG), byte
+# feature extraction, stateful sessionization, rowgroup stats, batch ML
+# scoring.  Everything else must stay JVM-side whole-stage codegen.
 ARROW_ALLOWLIST: dict[str, int] = {
     "ml_score_batch": 1,
     "multimodal_byte_features": 1,
@@ -185,6 +185,7 @@ ARROW_ALLOWLIST: dict[str, int] = {
     "scan_parquet_rowgroup_stats": 1,
     "sessionize_apply_in_pandas": 1,
     "sink_h5mu_file": 1,
+    "sink_h5mu_file_gzip": 1,
 }
 
 

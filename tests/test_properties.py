@@ -259,3 +259,84 @@ def test_num_shuffle_partitions_nonnumeric_falls_back(spark):
     assert _num_shuffle_partitions(spark) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+# -- HDF5 codec: writer -> reader round trip over the layout/filter grid ----
+#
+# Round-6 verdict "missing" #2: both halves of the codec are this repo's
+# code, so a shared spec misunderstanding is invisible to fixed-fixture
+# round trips.  External fixtures stay environment-gated (no h5py), but
+# property testing widens the input space over the riskiest byte-layout
+# code: chunk-edge zero padding when dims % chunk != 0, chunks LARGER
+# than the dataset, byte-shuffle at every element width, deflate, rank-2
+# B-tree key addressing, and negative/extreme integer values.
+
+_h5_dims = st.lists(st.integers(1, 13), min_size=1, max_size=2)
+
+
+@given(
+    dtype=st.sampled_from(["<f8", "<f4", "<i2", "<i4", "<i8"]),
+    dims=_h5_dims,
+    gz=st.booleans(),
+    shuf=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_h5_chunked_filtered_roundtrip(dtype, dims, gz, shuf, data):
+    import numpy as np
+
+    from atac_data_products_spark.sources.hdf5 import H5Reader
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    dims = tuple(dims)
+    # chunk may exceed the dataset in any dimension (single padded chunk)
+    chunk = tuple(data.draw(st.integers(1, d + 3), label="chunk") for d in dims)
+    n = int(np.prod(dims))
+    if dtype.startswith("<f"):
+        width = 32 if dtype == "<f4" else 64
+        vals = data.draw(
+            st.lists(
+                st.floats(allow_nan=False, allow_infinity=False, width=width),
+                min_size=n, max_size=n,
+            ),
+            label="vals",
+        )
+    else:
+        info = np.iinfo(dtype)
+        vals = data.draw(
+            st.lists(
+                st.integers(int(info.min), int(info.max)),
+                min_size=n, max_size=n,
+            ),
+            label="vals",
+        )
+    arr = np.asarray(vals, dtype=dtype).reshape(dims)
+    w = Writer()
+    ds = w.write_dataset(arr, chunk_shape=chunk, gzip=gz, shuffle=shuf)
+    content = w.finish(w.write_group({"d": ds}))
+    out = np.asarray(H5Reader(content).read_dataset(H5Reader(content).open("d")))
+    np.testing.assert_array_equal(out.reshape(dims), arr)
+    assert out.dtype == arr.dtype
+
+
+@given(
+    strings=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_h5_vlen_string_roundtrip(strings):
+    from atac_data_products_spark.sources.hdf5 import H5Reader
+    from atac_data_products_spark.sources.hdf5_write import Writer
+
+    w = Writer()
+    ds = w.write_dataset(strings)
+    content = w.finish(w.write_group({"s": ds}))
+    r = H5Reader(content)
+    assert list(r.read_dataset(r.open("s"))) == strings

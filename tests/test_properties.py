@@ -340,3 +340,106 @@ def test_h5_vlen_string_roundtrip(strings):
     content = w.finish(w.write_group({"s": ds}))
     r = H5Reader(content)
     assert list(r.read_dataset(r.open("s"))) == strings
+
+
+# -- MuData container: random modalities -> build_h5mu -> read_h5mu ---------
+
+_bc_names = st.lists(
+    st.text(alphabet=string.ascii_uppercase + string.digits, min_size=1, max_size=8),
+    min_size=1, max_size=6, unique=True,
+)
+
+
+@st.composite
+def _mudata_inputs(draw):
+    import numpy as np
+
+    barcodes = sorted(draw(_bc_names))
+    n_mods = draw(st.integers(1, 3))
+    gz = draw(st.booleans())
+    mods = {}
+    for m in range(n_mods):
+        n_feat = draw(st.integers(1, 5))
+        features = [f"m{m}f{j}" for j in range(n_feat)]
+        # CSR with every row present (intersect-obs invariant): each
+        # cell gets 1..n_feat entries at strictly-increasing columns
+        data, indices, indptr = [], [], [0]
+        for _ in barcodes:
+            k = draw(st.integers(1, n_feat))
+            cols = sorted(draw(st.sets(st.integers(0, n_feat - 1), min_size=k, max_size=k)))
+            for c in cols:
+                indices.append(c)
+                data.append(draw(st.floats(allow_nan=False, allow_infinity=False, width=32)))
+            indptr.append(len(indices))
+        mods[f"mod{m}"] = (
+            barcodes,
+            features,
+            np.asarray(data, dtype="<f8"),
+            np.asarray(indices, dtype="<i4"),
+            np.asarray(indptr, dtype="<i8"),
+        )
+    return barcodes, mods, gz
+
+
+@given(_mudata_inputs())
+@settings(max_examples=25, deadline=None)
+def test_h5mu_container_roundtrip_random(inputs):
+    """Container-level fuzz (beyond the fixed two-modality fixture):
+    random modality counts / feature widths / CSR shapes / values,
+    gzip on or off, must survive build_h5mu -> read_h5mu bit-exactly,
+    with obsmap/varmap-consistent axes."""
+    import numpy as np
+
+    from atac_data_products_spark.sources.hdf5 import read_h5mu
+    from atac_data_products_spark.sources.hdf5_write import build_h5mu
+
+    barcodes, mods, gz = inputs
+    content = build_h5mu(mods, barcodes, gzip=gz, shuffle=gz)
+    out = read_h5mu(content)
+    assert sorted(out["mod"]) == sorted(mods)
+    assert out["obs"]["_index"] == barcodes
+    for name, (bc, ft, data, indices, indptr) in mods.items():
+        m = out["mod"][name]
+        assert m["barcodes"] == bc and m["features"] == ft
+        kind, d, i, p, shape = m["x"]
+        assert kind == "csr" and shape == (len(bc), len(ft))
+        np.testing.assert_array_equal(d, data)
+        np.testing.assert_array_equal(i, indices)
+        np.testing.assert_array_equal(p, indptr)
+
+
+@given(frac=st.floats(0.01, 0.99), seed=st.integers(0, 10**6))
+@settings(max_examples=30, deadline=None)
+def test_h5_truncated_bytes_raise_not_misread(frac, seed):
+    """Ingest robustness: a truncated container must raise SOME loud
+    exception — never hang, never return a silently wrong decode.  At
+    100 TB a partial upload WILL eventually hit the distributed decode
+    seam; the executor-side contract is a clean per-file error."""
+    import numpy as np
+
+    from atac_data_products_spark.sources.hdf5 import read_h5mu
+    from atac_data_products_spark.sources.hdf5_write import build_h5mu
+
+    bc = ["A", "B"]
+    mods = {
+        "m0": (
+            bc,
+            ["f0", "f1"],
+            np.asarray([1.0, 2.0, 3.0], dtype="<f8"),
+            np.asarray([0, 1, 0], dtype="<i4"),
+            np.asarray([0, 2, 3], dtype="<i8"),
+        )
+    }
+    content = build_h5mu(mods, bc)
+    cut = max(1, int(len(content) * frac))
+    truncated = content[:cut]
+    try:
+        out = read_h5mu(truncated)
+    except Exception:
+        return  # loud failure — the contract
+    # the only acceptable non-raise is a byte-identical prefix that
+    # still contains the whole file (never true for frac < 1)
+    raise AssertionError(
+        f"truncation at {cut}/{len(content)} bytes decoded silently: "
+        f"{type(out)}"
+    )

@@ -1383,12 +1383,13 @@ def sink_h5mu_file_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A real matrix this time: the lowest 1024 embedding vectors (dim 64 →
     65,536 nonzeros at sf0.1) exploded to COO in Spark, exported as ONE
-    MuData container whose /mod X arrays are shuffle+deflate chunk-
-    filtered, then decoded back through the distributed binaryFile →
-    Arrow mapInPandas seam (sources/hdf5.py's filter-pipeline decode:
-    byte-unshuffle + zlib per chunk).  Values survive the full
-    compress → decompress → unshuffle round trip bit-exactly, checked
-    against the oracle's relational recomputation.
+    MuData container whose /mod X arrays are deflate chunk-filtered
+    (single-filter pipeline — h5py's ``compression="gzip"`` default,
+    which mudata passes through), then decoded back through the
+    distributed binaryFile → Arrow mapInPandas seam (sources/hdf5.py's
+    filter-pipeline decode: zlib per chunk).  Values survive the full
+    compress → decompress round trip bit-exactly, checked against the
+    oracle's relational recomputation.
 
     SCALE CONTRACT: same as sink_h5mu_file — a .h5mu is one file, the
     dataset-scoped interchange artifact (the cap keeps driver assembly

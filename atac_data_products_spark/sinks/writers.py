@@ -255,9 +255,13 @@ def export_h5mu(
     (write_product) remains the 100 TB path; this sink exists so muon/
     scanpy users can consume the product without this engine.
 
-    ``compression``: None (default) or ``"gzip"`` — gzip chunk-filters
-    every modality's X arrays (shuffle+deflate, the
-    ``mdata.write(..., compression="gzip")`` layout).
+    ``compression``: None (default) or ``"gzip"`` — deflate chunk-
+    filters every modality's X arrays.  Deflate ONLY, no shuffle:
+    h5py's ``create_dataset(compression="gzip")`` leaves the shuffle
+    filter off by default, and ``mdata.write(..., compression="gzip")``
+    passes that through, so a single-filter pipeline is the actual
+    on-disk parity layout (review finding).  Callers who want
+    shuffle+deflate can assemble via build_h5mu directly.
     """
     if compression not in (None, "gzip"):
         raise ValueError(
@@ -310,7 +314,6 @@ def export_h5mu(
         obs_cols=cols,
         uns=uns,
         gzip=compression == "gzip",
-        shuffle=compression == "gzip",
     )
     spark = next(iter(modalities.values())).sparkSession
     _write_bytes_uri(spark, path, content)

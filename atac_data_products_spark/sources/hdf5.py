@@ -734,7 +734,13 @@ def read_h5mu(content: bytes) -> dict:
         }
     obs_obj = r.open("obs")
     obs_attrs = r.attributes(obs_obj)
-    index_name = str(obs_attrs.get("_index", "_index"))
+    # same strict resolution as the axis readers (review finding: the
+    # top-level /obs previously used the loose default, so a legacy
+    # 'index' dataset or a declared-but-missing index column produced a
+    # missing '_index' key downstream instead of values / a loud error)
+    index_name = _resolve_index_dataset(
+        obs_attrs, r.list_group(obs_obj), "/obs"
+    )
     obs: dict[str, list] = {}
     for col, addr in sorted(r.list_group(obs_obj).items()):
         vals = r.read_dataset(r.read_object(addr))

@@ -459,8 +459,10 @@ def build_h5ad_csr(
     shuffle: bool = False,
 ) -> bytes:
     """Assemble a minimal anndata-layout .h5ad: /X csr group + obs/var.
-    ``gzip``/``shuffle`` chunk-filter the X arrays (implies chunked),
-    mirroring ``anndata.write_h5ad(compression="gzip")``."""
+    ``gzip`` deflate-filters the X arrays (implies chunked), mirroring
+    ``anndata.write_h5ad(compression="gzip")``; ``shuffle`` adds the
+    byte-shuffle filter (h5py ``shuffle=True``, off in default anndata
+    gzip output)."""
     w = Writer()
     root = _write_csr_anndata(
         w, barcodes, features, data, indices, indptr,
@@ -545,8 +547,11 @@ def build_h5mu(
     order, caller-fixed obs/feature orders), so golden tests can pin
     the artifact.  Wrapped in the 512-byte MuData user block.
 
-    ``gzip``/``shuffle`` chunk-filter every modality's X arrays
-    (``mu.write(..., compression="gzip")`` parity)."""
+    ``gzip`` deflate-filters every modality's X arrays — alone it is
+    the ``mdata.write(..., compression="gzip")`` on-disk layout (h5py
+    leaves shuffle OFF by default); ``shuffle`` additionally enables
+    the byte-shuffle filter (h5py ``shuffle=True``), which is a valid
+    HDF5 pipeline but NOT what default mudata gzip output contains."""
     w = Writer()
     mod_names = sorted(modalities)
     mod_children = {

@@ -177,7 +177,13 @@ def _start_heartbeat_thread(spark: SparkSession, sess: str) -> None:
         while True:
             ev.wait(_HEARTBEAT_INTERVAL_S)
             try:
-                if spark._jsc is None:  # session stopped — stop refreshing
+                # SparkContext.stop() nulls the CONTEXT's _jsc (the
+                # session's own _jsc attribute is a snapshot that stop()
+                # never clears) — checking the context is the only
+                # liveness probe that actually flips, and a stopped
+                # session's thread must exit rather than keep marking a
+                # dead session's spill dir live forever (review finding)
+                if spark.sparkContext._jsc is None:
                     return
             except Exception:
                 return

@@ -216,9 +216,12 @@ def main() -> None:
         # the most recent timings (driver-side diagnostics, not parsed)
         print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
-    variance_index = round(
-        sum(timings[k] for k in VARIANCE_INDEX_KEYS if k in timings), 3
-    )
+    # record the keys ACTUALLY summed (not the constant): tools/
+    # bench_diff.py refuses to normalize across artifacts whose summed
+    # key sets differ, so a key dropped from the registry must show up
+    # as a changed list, not silently shrink the index
+    vi_present = [k for k in VARIANCE_INDEX_KEYS if k in timings]
+    variance_index = round(sum(timings[k] for k in vi_present), 3)
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
@@ -227,7 +230,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "variance_index": variance_index,
-        "variance_index_keys": VARIANCE_INDEX_KEYS,
+        "variance_index_keys": vi_present,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -315,9 +315,11 @@ def test_row_misalignment_error_pinpoints_first_mismatch():
 
 def test_h5mu_gzip_round_trip():
     """VERDICT r06 task 4: gzip-compressed /mod groups end to end —
-    every modality's X arrays chunk-filtered with shuffle+deflate
-    (``mdata.write(..., compression='gzip')`` layout) must decode
-    bit-exactly through read_h5mu's filter pipeline."""
+    X arrays chunk-filtered with shuffle+deflate (the maximal supported
+    pipeline; NOTE default mudata gzip output is deflate-only, which
+    export_h5mu(compression='gzip') emits and
+    test_export_h5mu_gzip_single_filter pins) must decode bit-exactly
+    through read_h5mu's filter pipeline."""
     content = build_h5mu(
         MODS,
         BC,
@@ -349,3 +351,31 @@ def test_export_h5mu_rejects_unknown_compression(spark):
     )
     with pytest.raises(ValueError, match="unsupported compression"):
         export_h5mu({"m": df}, "/tmp/never_written.h5mu", compression="lzf")
+
+
+def test_export_h5mu_gzip_single_filter(spark, tmp_path):
+    """compression='gzip' parity pin (review finding): h5py's
+    create_dataset(compression='gzip') leaves the shuffle filter OFF by
+    default and mdata.write passes that through — so the sink must emit
+    a SINGLE-filter (deflate-only) chunk pipeline, not shuffle+deflate."""
+    from atac_data_products_spark.sinks.writers import export_h5mu
+    from atac_data_products_spark.sources.hdf5 import (
+        _MSG_FILTER_PIPELINE,
+        read_h5mu,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", "f1", 1.5), ("c1", "f2", 2.5), ("c2", "f1", 3.5)],
+        "cell_id string, feature_id string, value double",
+    )
+    path = str(tmp_path / "m.h5mu")
+    export_h5mu({"m": df}, path, compression="gzip")
+    content = open(path, "rb").read()
+    r = H5Reader(content)
+    pipeline = r._parse_filter_pipeline(
+        r.open("mod/m/X/data").one(_MSG_FILTER_PIPELINE)
+    )
+    assert [fid for fid, _ in pipeline] == [1], pipeline  # deflate only
+    out = read_h5mu(content)
+    kind, d, i, p, shape = out["mod"]["m"]["x"]
+    assert kind == "csr" and list(d) == [1.5, 2.5, 3.5]

@@ -288,6 +288,6 @@ def test_arrow_seams_only_designed_sites(shapes):
         k: v["arrow_eval"] for k, v in shapes.items() if v.get("arrow_eval")
     }
     assert observed == ARROW_ALLOWLIST, (
-        "Arrow seam set diverged from the nine designed sites: "
+        "Arrow seam set diverged from the ten designed sites: "
         f"got {observed}"
     )

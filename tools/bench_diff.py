@@ -49,7 +49,18 @@ def main() -> int:
     # slower across days while the suite was load-normalized faster).
     load_ratio = 1.0
     ovi, nvi = old.get("variance_index"), new.get("variance_index")
-    if ovi and nvi:
+    ok_keys, nk_keys = (
+        old.get("variance_index_keys"), new.get("variance_index_keys"),
+    )
+    if ovi and nvi and ok_keys is not None and nk_keys is not None and ok_keys != nk_keys:
+        # indices summed over DIFFERENT key sets are not comparable —
+        # normalizing by their ratio would skew every query ~1/N per
+        # missing key (review finding); fall back to raw ratios loudly
+        print(
+            "variance_index_keys differ between artifacts "
+            f"({sorted(set(ok_keys) ^ set(nk_keys))}) — normalization SKIPPED"
+        )
+    elif ovi and nvi:
         load_ratio = nvi / ovi
         print(f"variance_index: {ovi:.3f}s -> {nvi:.3f}s "
               f"(host-load ratio {load_ratio:.2f} — per-query ratios normalized)")
@@ -63,7 +74,10 @@ def main() -> int:
             continue
         ratio = (b / a if a else float("inf")) / load_ratio
         flag = ""
-        if ratio > thr and b - a > 0.2:  # ignore sub-noise absolute deltas
+        # the noise floor must use the NORMALIZED delta: with the raw
+        # delta, a less-loaded new host masks genuine normalized
+        # regressions whose raw times happen to match (review finding)
+        if ratio > thr and (b / load_ratio) - a > 0.2:
             flag = f"  REGRESSED >{thr}x"
             regressed.append(name)
         print(f"{name:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")

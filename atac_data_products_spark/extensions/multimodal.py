@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -177,6 +178,129 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+AUDIO_STATS_SCHEMA = (
+    "media_id bigint, channel int, sample_rate int, n_samples bigint, "
+    "sum_value bigint, sum_abs bigint, min_value int, max_value int"
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode (canonical RIFF/WAVE PCM, extensions/wav.py —
+    stdlib struct + numpy, no audio library): integer-exact per-channel
+    sample statistics in long form, one row per (payload, channel).
+    The stats are all integers (count/sum/sum-of-abs/min/max) so an
+    oracle can recompute them in closed form — RMS/loudness derive from
+    them downstream without floating-point drift in the gate.  Non-WAV
+    payloads and non-PCM WAV variants raise naming the format rather
+    than misreading bytes; video containers still need external
+    codecs (frame_sample covers the byte-level plumbing for those)."""
+    from .wav import decode_wav, is_wav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, ns, sums, sabs, mins, maxs = ([] for _ in range(8))
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not is_wav(raw):
+                    raise NotImplementedError(
+                        "decode_audio_stats: payload is not RIFF/WAVE; "
+                        "other audio codecs need libraries not in this "
+                        "container"
+                    )
+                samples, rate = decode_wav(raw)
+                for ch in range(samples.shape[1]):
+                    col = samples[:, ch]
+                    ids.append(mid)
+                    chs.append(ch)
+                    rates.append(rate)
+                    ns.append(col.shape[0])
+                    sums.append(int(col.sum()))
+                    sabs.append(int(np.abs(col).sum()))
+                    mins.append(int(col.min()) if col.size else 0)
+                    maxs.append(int(col.max()) if col.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chs, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_value": pd.Series(sums, dtype="int64"),
+                    "sum_abs": pd.Series(sabs, dtype="int64"),
+                    "min_value": pd.Series(mins, dtype="int32"),
+                    "max_value": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, AUDIO_STATS_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, stream int, kind string, "
+    "n_bytes bigint, frame_md5 string, declared_frames int, "
+    "width int, height int"
+)
+
+
+def demux_video_frames(media: DataFrame) -> DataFrame:
+    """REAL video container demux (AVI/RIFF, extensions/avi.py —
+    stdlib struct, no av library): one typed row per movi frame chunk
+    (container order, stream id, dc/db/wb kind, size, digest) plus the
+    main-header dimensions/frame count — the production shape of
+    frame_sample's deterministic stand-in.  DEMUX ONLY, honestly:
+    frame payloads stay opaque compressed bytes; decoding them (MJPEG
+    etc.) needs codec libraries not in this container.  Non-AVI
+    payloads raise naming the format rather than misreading bytes."""
+    from .avi import demux_avi, is_avi
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "stream": [], "kind": [],
+                "n_bytes": [], "frame_md5": [], "declared_frames": [],
+                "width": [], "height": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not is_avi(raw):
+                    raise NotImplementedError(
+                        "demux_video_frames: payload is not RIFF/AVI; "
+                        "other video containers need libraries not in "
+                        "this container"
+                    )
+                header, frames = demux_avi(raw)
+                for idx, (stream, kind, body) in enumerate(frames):
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(idx)
+                    cols["stream"].append(stream)
+                    cols["kind"].append(kind)
+                    cols["n_bytes"].append(len(body))
+                    cols["frame_md5"].append(hashlib.md5(body).hexdigest())
+                    cols["declared_frames"].append(header["total_frames"])
+                    cols["width"].append(header["width"])
+                    cols["height"].append(header["height"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(cols["frame_idx"], dtype="int32"),
+                    "stream": pd.Series(cols["stream"], dtype="int32"),
+                    "kind": pd.Series(cols["kind"], dtype="object"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                    "frame_md5": pd.Series(cols["frame_md5"], dtype="object"),
+                    "declared_frames": pd.Series(
+                        cols["declared_frames"], dtype="int32"
+                    ),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        demux, VIDEO_FRAME_SCHEMA
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int):
     """Legacy name — PNG payloads resize for real now (resize_images);
     other formats still require imaging libraries."""
@@ -184,12 +308,16 @@ def resize_stub(media: DataFrame, width: int, height: int):
 
 
 def decode_media(media: DataFrame, target: str = "rgb_frames"):
-    """Codec decode: PNG images decode for real (decode_image_stats);
-    audio/video containers are stubbed — those codecs are not in this
-    container and installs are prohibited."""
+    """Codec decode: PNG images (decode_image_stats) and RIFF/WAVE PCM
+    audio (decode_audio_stats) decode for real; video containers are
+    stubbed — those codecs are not in this container and installs are
+    prohibited."""
     if target in ("rgb_frames", "image_stats"):
         return decode_image_stats(media)
+    if target in ("audio_samples", "audio_stats"):
+        return decode_audio_stats(media)
     raise NotImplementedError(
-        "audio/video decode requires codec libraries not shipped in this "
-        "container; PNG images decode via decode_image_stats"
+        "video decode requires codec libraries not shipped in this "
+        "container; PNG images decode via decode_image_stats, WAV PCM "
+        "audio via decode_audio_stats"
     )

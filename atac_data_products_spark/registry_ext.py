@@ -783,6 +783,108 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH s AS (
+      SELECT n_nationkey, ch,
+             ((n_nationkey * 37 + i * 17 + ch * 101) % 4096) - 2048 AS v
+      FROM nation,
+           (SELECT unnest(range(256)) AS i) si,
+           (SELECT unnest(range(2)) AS ch) chs
+    )
+    SELECT n_nationkey AS media_id,
+           CAST(ch AS INT) AS channel,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_value,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(min(v) AS INT) AS min_value,
+           CAST(max(v) AS INT) AS max_value
+    FROM s GROUP BY n_nationkey, ch
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate: one deterministic
+    stereo 256-frame 8 kHz PCM WAV per nation row (sample(i,ch) =
+    ((key·37+i·17+ch·101) mod 4096) − 2048, encoded by
+    extensions/wav.py), decoded DISTRIBUTED through the Arrow-batched
+    mapInPandas seam by the stdlib-only RIFF/WAVE parser (chunk walk →
+    fmt parse → vectorized sample reinterpret), reduced to
+    integer-exact per-channel stats.  The oracle recomputes the stats
+    in closed form, so the byte-level codec is value-checked end to
+    end — the audio sibling of [[multimodal_png_decode]].  Payload
+    generation is driver-side over the 25-row dim; decode parallelism
+    is per-payload, which is the axis that scales at 100 TB of media."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from .extensions.multimodal import decode_audio_stats
+    from .extensions.wav import encode_wav
+
+    keys = (
+        _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .to_pandas()["n_nationkey"]
+        .tolist()
+    )
+    i, ch = _np.meshgrid(_np.arange(256), _np.arange(2), indexing="ij")
+    rows = []
+    for n in keys:
+        samples = ((int(n) * 37 + i * 17 + ch * 101) % 4096) - 2048
+        rows.append((int(n), bytearray(encode_wav(samples, 8000))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return decode_audio_stats(media)
+
+
+@query(
+    "multimodal_avi_demux",
+    oracle="""
+    SELECT n_nationkey AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(0 AS INT) AS stream,
+           'dc' AS kind,
+           CAST(len(repeat('k' || n_nationkey || 'f' || i || '.', i + 1))
+                AS BIGINT) AS n_bytes,
+           md5(repeat('k' || n_nationkey || 'f' || i || '.', i + 1))
+               AS frame_md5,
+           CAST(12 AS INT) AS declared_frames,
+           CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height
+    FROM nation, (SELECT unnest(range(12)) AS i) fi
+    """,
+)
+def multimodal_avi_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container demux under the oracle gate: one
+    deterministic 12-frame AVI per nation row (frame i's payload =
+    'k{key}f{i}.' repeated i+1 times, written by extensions/avi.py),
+    demuxed DISTRIBUTED through the Arrow-batched mapInPandas seam by
+    the stdlib-only RIFF walker (nested LIST traversal → movi frame
+    chunks → per-frame typed rows), the production form of
+    [[multimodal_frame_sample]]'s stand-in chunker.  The oracle
+    recomputes sizes and digests in closed form (ASCII payloads), so
+    the container parse is value-checked end to end.  Demux only —
+    frame payloads stay opaque; codec decode remains an import-gated
+    rejection by name.  Payload generation is driver-side over the
+    25-row dim; demux parallelism is per-payload, the axis that scales
+    at 100 TB of media."""
+    import pyarrow.parquet as _pq
+
+    from .extensions.avi import encode_avi
+    from .extensions.multimodal import demux_video_frames
+
+    keys = (
+        _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .to_pandas()["n_nationkey"]
+        .tolist()
+    )
+    rows = []
+    for n in keys:
+        frames = [f"k{int(n)}f{i}.".encode() * (i + 1) for i in range(12)]
+        rows.append((int(n), bytearray(encode_avi(frames, 64, 48))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return demux_video_frames(media)
+
+
 # ---------------------------------------------------------------------------
 # Streaming analogues (batch-checkable; live readStream in streaming/)
 # ---------------------------------------------------------------------------

@@ -171,15 +171,18 @@ NESTED_LOOP_ALLOWLIST: dict[str, int] = {
     "vector_pca_power_iteration": 2,
 }
 
-# The ten designed Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas
-# / MapInPandas): binary codecs (h5ad/h5mu plain + gzip, PNG), byte
-# feature extraction, stateful sessionization, rowgroup stats, batch ML
-# scoring.  Everything else must stay JVM-side whole-stage codegen.
+# The designed Arrow seams (ArrowEvalPython / FlatMapGroupsInPandas
+# / MapInPandas): binary codecs (h5ad/h5mu plain + gzip, PNG, WAV,
+# AVI demux), byte feature extraction, stateful sessionization,
+# rowgroup stats, batch ML scoring.  Everything else must stay
+# JVM-side whole-stage codegen.
 ARROW_ALLOWLIST: dict[str, int] = {
     "ml_score_batch": 1,
+    "multimodal_avi_demux": 1,
     "multimodal_byte_features": 1,
     "multimodal_frame_sample": 1,
     "multimodal_png_decode": 1,
+    "multimodal_wav_decode": 1,
     "scan_h5ad": 1,
     "scan_h5ad_codec": 1,
     "scan_parquet_rowgroup_stats": 1,

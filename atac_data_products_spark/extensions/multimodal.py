@@ -10,9 +10,10 @@ owns — schema, batch shape, partitioning, UDF signature — is real and
 tested via the deterministic byte-level feature path.
 
 Scale: payloads never pass through the driver; batches flow
-executor-side via Arrow.  Partitioning by content-size bands keeps
-decode tasks balanced (one 4K video next to a thumbnail is a straggler
-otherwise).
+executor-side via Arrow.  Partitioning by content-size bands
+(repartition_by_size_bands — range partitioning on payload bytes)
+keeps decode tasks balanced (one 4K video next to a thumbnail is a
+straggler otherwise).
 """
 
 from __future__ import annotations
@@ -38,6 +39,47 @@ def with_payload(df: DataFrame, id_col: str, text_col: str, media_type: str = "t
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit(media_type).alias("media_type"),
         F.octet_length(F.col(text_col)).cast("bigint").alias("declared_bytes"),
+    )
+
+
+def repartition_by_size_bands(
+    media: DataFrame,
+    num_partitions: int | None = None,
+    over_partition_factor: int = 4,
+) -> DataFrame:
+    """Straggler defense for heterogeneous media decode: range-partition
+    on payload size (media_id as tiebreak), OVER-partitioned so AQE's
+    byte-targeted coalescing can even out per-task WORK.
+
+    Hash partitioning equalizes ROW counts, not work — one 16 MB video
+    landing beside ten thousand 4 KB thumbnails makes that task the
+    stage straggler, and at 100 TB the stage runs at the speed of its
+    unluckiest task.  Two mechanisms compose here: (1)
+    ``repartitionByRange`` samples the size distribution and draws
+    boundaries so every partition holds a contiguous, similar-sized
+    slice — no thumbnail task stuck behind a video, and Arrow batch
+    memory per task becomes predictable; (2) because decode cost is
+    roughly proportional to payload BYTES, handing AQE
+    ``over_partition_factor``× more range slices than target tasks
+    lets its advisory-size coalescing merge adjacent small-byte
+    (thumbnail) slices while leaving heavy-tail slices alone —
+    approximately equal bytes, hence equal work, per final task.
+    Interpose before byte_features/decode_*/demux_* when payload sizes
+    are heavy-tailed."""
+    n = num_partitions
+    if n is None:
+        try:
+            n = (
+                int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+                * over_partition_factor
+            )
+        except (TypeError, ValueError):
+            n = (
+                media.sparkSession.sparkContext.defaultParallelism
+                * over_partition_factor
+            )
+    return media.repartitionByRange(
+        n, F.octet_length("payload").asc(), F.col("media_id").asc()
     )
 
 

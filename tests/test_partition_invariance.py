@@ -70,12 +70,16 @@ def harness(spark):
 LAYOUT_A = {
     "spark.sql.shuffle.partitions": "8",
     "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.adaptive.enabled": "true",
 }
-# few shuffle partitions + tiny scan splits: maximally different
-# physical plan from layout A without touching semantics
+# few shuffle partitions + tiny scan splits + no AQE re-planning:
+# maximally different physical plan from layout A without touching
+# semantics (AQE may swap join strategies and coalesce partitions —
+# neither may change results)
 LAYOUT_B = {
     "spark.sql.shuffle.partitions": "3",
     "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.adaptive.enabled": "false",
 }
 
 

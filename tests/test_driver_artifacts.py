@@ -110,3 +110,33 @@ def test_priority_keys_exist_in_registry():
     qs = e.queries()
     missing = [k for k in e._PRIORITY if k not in qs]
     assert not missing, f"_PRIORITY names unknown keys: {missing}"
+
+
+def test_compare_gate_catches_drift():
+    """Negative control for the oracle gate: compare() must flag value,
+    schema, and rowcount drift — a gate that can't fail is no gate.
+    (Float compare rounds to 6 dp by design, so sub-1e-6 drift is
+    accepted; anything at 1e-5 must be caught.)"""
+    import pandas as pd
+
+    from tools.check_correctness import compare
+
+    base = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5], "s": ["a", "b"]})
+    assert compare("t", base, base.copy()) == "OK"
+    # order-insensitive by contract
+    assert compare("t", base.iloc[::-1].reset_index(drop=True), base) == "OK"
+    # sub-rounding float noise accepted
+    wiggle = base.copy()
+    wiggle["v"] = wiggle["v"] + 1e-9
+    assert compare("t", wiggle, base) == "OK"
+    # real value drift caught
+    mut = base.copy()
+    mut.loc[0, "v"] = 1.50002
+    assert compare("t", mut, base).startswith("VALUE MISMATCH")
+    muts = base.copy()
+    muts.loc[1, "s"] = "B"
+    assert compare("t", muts, base).startswith("VALUE MISMATCH")
+    # schema and rowcount drift caught
+    ren = base.rename(columns={"v": "value"})
+    assert compare("t", ren, base).startswith("SCHEMA MISMATCH")
+    assert compare("t", base.head(1), base).startswith("ROWCOUNT MISMATCH")

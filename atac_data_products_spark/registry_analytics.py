@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
-from .sources.tables import load_table, ts_us_expr
+from .sources.tables import epoch_day_expr, load_table, ts_us_expr
 
 # ---------------------------------------------------------------------------
 # Statistics battery
@@ -888,8 +888,8 @@ def interval_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             "l_orderkey",
-            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("d0"),
-            F.floor(F.unix_timestamp("l_shipdate") / 86400).alias("d1"),
+            epoch_day_expr("o_orderdate").alias("d0"),
+            epoch_day_expr("l_shipdate").alias("d1"),
         )
         .where(F.col("d1") >= F.col("d0"))
     )
@@ -2142,9 +2142,7 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
-        F.max(F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")).alias(
-            "last_day"
-        ),
+        F.max(epoch_day_expr("o_orderdate")).alias("last_day"),
         F.count("*").alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint")
@@ -2196,15 +2194,13 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same explode-join-verify pattern as MinHash LSH, with the grid
     pitch tuned to typical interval length)."""
     o = _t(spark, sf_dir, "orders")
-    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    day = epoch_day_expr("o_orderdate")
     iv = o.select(
         "o_orderkey",
         day.alias("s"),
         (day + F.col("o_orderkey") % 14).alias("e"),
     )
-    month_day = F.floor(
-        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))) / 86400
-    ).cast("bigint")
+    month_day = epoch_day_expr(F.trunc(F.col("o_orderdate").cast("date"), "month"))
     pw = (
         o.select(month_day.alias("promo_id"))
         .distinct()
@@ -2796,7 +2792,7 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale per the agg_percentiles convention."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast("bigint")  # noqa: E731
+    day = epoch_day_expr
     lt = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -3756,7 +3752,7 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything per-customer is one (custkey) shuffle for the lead()
     frame."""
     o = _t(spark, sf_dir, "orders")
-    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    day = epoch_day_expr("o_orderdate")
     od = o.select("o_custkey", day.alias("day")).distinct()
     mx = od.agg(F.max("day").alias("max_day"))
     w = Window.partitionBy("o_custkey").orderBy("day")

@@ -40,7 +40,7 @@ from .extensions.text import (
     tokens,
 )
 from .registry import ORACLES, _t, _values_sql, query
-from .sources.tables import events_with_ts, ts_us_expr
+from .sources.tables import events_with_ts, ntz_epoch_s, ntz_epoch_us, ts_us_expr
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL fragments (DuckDB dialect), generated from the same
@@ -908,7 +908,7 @@ def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            ntz_epoch_s("w.start").alias("window_start_epoch"),
             "event_type",
             "n_events",
             "total_value",
@@ -936,7 +936,7 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            ntz_epoch_s("w.start").alias("window_start_epoch"),
             "event_type",
             "n_events",
         )
@@ -969,7 +969,7 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            ntz_epoch_us("w.start").alias("session_start_us"),
             "n_events",
         )
     )

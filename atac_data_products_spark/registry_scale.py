@@ -115,10 +115,11 @@ def _checksum_exprs(dialect: str) -> dict[str, list[str]]:
     if dialect == "spark":
         fmt = {
             "s": "STRING",
-            # TIMESTAMP_NTZ → TIMESTAMP under pinned UTC session tz is the
-            # identity on wall-clock, so this equals DuckDB's epoch_us
-            "us_ship": "unix_micros(CAST(l_shipdate AS TIMESTAMP))",
-            "us_order": "unix_micros(CAST(o_orderdate AS TIMESTAMP))",
+            # pure NTZ diff — timezone-free, equals DuckDB's epoch_us over
+            # the same naive value under ANY session tz (a TIMESTAMP cast
+            # would anchor the wall clock in the session zone)
+            "us_ship": "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)",
+            "us_order": "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)",
         }
     else:
         fmt = {
@@ -1969,7 +1970,7 @@ def orders_backlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+        F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
             "open_day"
         ),
     )
@@ -1978,7 +1979,7 @@ def orders_backlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.max(
-                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+                F.expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)")
             ).alias("close_day")
         )
     )
@@ -2370,7 +2371,7 @@ def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey",
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+        F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
             "day"
         ),
     )
@@ -4779,7 +4780,7 @@ def orders_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary where engines' round() legitimately disagree).
     """
     l = _t(spark, sf_dir, "lineitem").select(
-        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000").alias(
+        F.expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)").alias(
             "day"
         ),
         "l_returnflag",
@@ -4866,7 +4867,7 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.expr(
-            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 DIV 30"
+            "CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT) DIV 30"
         ).alias("period"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
@@ -5335,7 +5336,7 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.expr(
-            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 DIV 7"
+            "CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT) DIV 7"
         ).alias("wk"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
@@ -5448,8 +5449,8 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("treated"),
     )
     b = li.agg(
-        F.min(F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")).alias("lo"),
-        F.max(F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")).alias("hi"),
+        F.min(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)")).alias("lo"),
+        F.max(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)")).alias("hi"),
     )
     l = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -5457,7 +5458,7 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "treated",
             F.when(
-                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))") * 2
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)") * 2
                 >= F.col("lo") + F.col("hi"),
                 1,
             )
@@ -6854,7 +6855,7 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").alias(
+        F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
             "od"
         ),
     )
@@ -6863,7 +6864,7 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.max(
-                F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+                F.expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)")
             ).alias("last_ship")
         )
     )

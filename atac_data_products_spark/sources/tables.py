@@ -45,24 +45,81 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# The events wall clock is TIMESTAMP_NTZ (parquet MICROS with
+# isAdjustedToUTC=false); every epoch derivation anchors it here, in
+# pure NTZ arithmetic, so NO key's result depends on
+# spark.sql.session.timeZone.  (The earlier `cast("timestamp")` path
+# anchored the wall clock in the SESSION zone — oracle-identical under
+# the UTC pin, but silently shifted every bucket on a cluster whose
+# session tz differed.  tests/test_timezone_invariance.py pins this.)
+NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def ts_us_expr(df: DataFrame):
     """Microsecond-epoch BIGINT expression for the events `ts` column,
-    robust to the parquet physical type: TIMESTAMP(NANOS) arrives as
-    BIGINT nanos (nanosAsLong) and is integer-DIVed — not float-divided,
-    nanosecond epochs exceed double's 53-bit mantissa — while
-    TIMESTAMP(MICROS) arrives as a timestamp and converts exactly via
-    unix_micros (session tz is UTC, so this equals DuckDB's epoch_us)."""
+    robust to the parquet physical type AND to the session timezone:
+    TIMESTAMP(NANOS) arrives as BIGINT nanos (nanosAsLong) and is
+    integer-DIVed — not float-divided, nanosecond epochs exceed
+    double's 53-bit mantissa; TIMESTAMP(MICROS) arrives as
+    TIMESTAMP_NTZ and diffs against the NTZ epoch (timezone-free, and
+    exactly DuckDB's epoch_us over the same naive value); a
+    TZ-adjusted TIMESTAMP is already an instant, so unix_micros."""
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
         return F.expr("ts DIV 1000")
-    return F.unix_micros(F.col("ts").cast("timestamp"))
+    if dt == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, {NTZ_EPOCH}, ts)")
+    return F.unix_micros(F.col("ts"))
+
+
+def ntz_epoch_us(col_sql: str):
+    """Epoch-µs BIGINT from a TIMESTAMP_NTZ column (SQL fragment, so
+    nested fields like ``w.start`` work) — pure NTZ arithmetic, never
+    the session-timezone unix_micros cast."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"timestampdiff(MICROSECOND, {NTZ_EPOCH}, {col_sql})")
+
+
+def epoch_day_expr(col):
+    """Epoch-day BIGINT from a DATE / TIMESTAMP_NTZ wall-clock column —
+    `unix_date` over the TZ-free NTZ→DATE cast, never
+    `floor(unix_timestamp(col)/86400)`: unix_timestamp anchors local
+    midnight in the SESSION zone, which floors to the previous day
+    under any east-of-UTC offset (+05:45 Kathmandu breaks it; UTC−5
+    masks it — exactly the kind of latent cluster drift
+    tests/test_timezone_invariance.py exists to catch)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_date(c.cast("date")).cast("bigint")
+
+
+def ntz_epoch_s(col_sql: str):
+    """Epoch-seconds BIGINT from a TIMESTAMP_NTZ column; see
+    ntz_epoch_us."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"timestampdiff(SECOND, {NTZ_EPOCH}, {col_sql})")
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` normalized to a µs TIMESTAMP regardless of the
-    file's physical type (BIGINT nanos or TIMESTAMP(MICROS))."""
+    """events with `ts` normalized to a µs TIMESTAMP_NTZ wall clock
+    regardless of the file's physical type (BIGINT nanos or
+    TIMESTAMP(MICROS)).  NTZ — not a session-tz TIMESTAMP — so that
+    downstream `window()` / `session_window()` bucketing aligns on the
+    wall clock itself and is invariant to spark.sql.session.timeZone
+    (Spark aligns windows over TZ-adjusted timestamps to session-LOCAL
+    time, which drifts under e.g. +05:45 offsets)."""
     from pyspark.sql import functions as F
 
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(ts_us_expr(df)))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        return df
+    return (
+        df.withColumn("_ts_us", ts_us_expr(df))
+        .withColumn("ts", F.expr(f"timestampadd(MICROSECOND, _ts_us, {NTZ_EPOCH})"))
+        .drop("_ts_us")
+    )

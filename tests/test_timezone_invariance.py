@@ -1,0 +1,120 @@
+"""Session-timezone determinism battery.
+
+The synthetic tables store every temporal column as parquet
+TIMESTAMP(MICROS) with isAdjustedToUTC=false — Spark reads them as
+TIMESTAMP_NTZ wall clocks.  A wall clock has no timezone, so NO query
+result may depend on ``spark.sql.session.timeZone``: the engine's
+epoch/bucket/window derivations are pure NTZ arithmetic
+(sources/tables.py: ts_us_expr / epoch_day_expr / ntz_epoch_us), never
+a cast through the session zone.
+
+Two failure shapes this battery exists to catch, both found (and
+fixed) by the audit that introduced it:
+
+- ``CAST(ntz AS TIMESTAMP)`` / ``unix_timestamp(ntz)`` anchor the wall
+  clock in the SESSION zone — every derived epoch shifts by the zone
+  offset (events keys were off by 5 h under America/New_York).
+- ``floor(unix_timestamp(date)/86400)`` survives WEST-of-UTC zones
+  (positive intra-day remainder floors away) but is off by one day
+  under any EAST offset — so the flip zone here is Asia/Kathmandu
+  (+05:45), which breaks east-offset day floors AND non-quarter-hour
+  window alignment that a round offset would mask.
+
+The pinned production session (session.py) sets UTC; this battery is
+about clusters where someone else's conf wins.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SF = "/root/testdata/sf0.001"
+
+TZ_CONF = "spark.sql.session.timeZone"
+FLIP_TZ = "Asia/Kathmandu"  # +05:45: east offset, non-whole-hour
+
+# Every key that derives calendar/epoch values from the NTZ columns
+# (events.ts, orders.o_orderdate, lineitem.l_shipdate), found by
+# grepping the registries for temporal functions; plus the Arrow
+# sessionize seam (timestamps cross into pandas there).
+RISK_KEYS = [
+    # events.ts epoch-µs derivations
+    "timeseries_resample_ohlc",
+    "events_kpi_daily",
+    "sessionize_apply_in_pandas",
+    # window()/session_window() bucketing over NTZ
+    "window_tumbling_agg",
+    "window_sliding_agg",
+    "window_session_agg",
+    # o_orderdate / l_shipdate day-index derivations
+    "interval_coverage_profile",
+    "customer_rfm_segmentation",
+    "join_interval_overlap_banded",
+    "supplier_lead_time_profile",
+    "stat_kaplan_meier",
+    "orders_backlog_snapshot",
+    "orders_duplicate_payment_audit",
+    "orders_vwap_daily",
+    "orders_revenue_bridge",
+    "orders_abc_xyz_matrix",
+    "orders_otif_rate",
+    "stat_diff_in_diff",
+    "table_checksum",
+    # calendar-field extraction (year/month/quarter — wall-clock-safe
+    # by construction, pinned so a refactor can't regress them)
+    "growth_month_over_month",
+    "time_extract_battery",
+    "skyline_pareto_frontier",
+    "cohort_ltv_curve",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+]
+
+
+def _load_normalize():
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness", REPO / "tools" / "check_correctness.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.normalize
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    import __spark_entry__ as entry
+
+    return spark, entry.queries(), _load_normalize()
+
+
+def _run(spark, fn, tz, normalize):
+    saved = spark.conf.get(TZ_CONF)
+    try:
+        spark.conf.set(TZ_CONF, tz)
+        return normalize(fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set(TZ_CONF, saved)
+
+
+@pytest.mark.parametrize("key", RISK_KEYS)
+def test_result_independent_of_session_timezone(key, harness):
+    spark, queries, normalize = harness
+    fn = queries[key]
+    utc = _run(spark, fn, "UTC", normalize)
+    flipped = _run(spark, fn, FLIP_TZ, normalize)
+    assert utc.shape == flipped.shape, (
+        f"{key}: row/column count changed with session timezone "
+        f"({utc.shape} vs {flipped.shape}) — a wall-clock derivation is "
+        f"anchored in the session zone"
+    )
+    if not utc.equals(flipped):
+        diff = utc.compare(flipped)
+        raise AssertionError(
+            f"{key}: values drift with session timezone; first diffs:\n"
+            f"{diff.head(10)}"
+        )

@@ -118,3 +118,61 @@ def test_result_independent_of_session_timezone(key, harness):
             f"{key}: values drift with session timezone; first diffs:\n"
             f"{diff.head(10)}"
         )
+
+
+def test_nanos_physical_type_path(spark, tmp_path):
+    """The TIMESTAMP(NANOS) branch: Spark reads nanos as BIGINT
+    (nanosAsLong, set by load_table), ts_us_expr integer-DIVs it, and
+    events_with_ts rebuilds a TIMESTAMP_NTZ wall clock via
+    timestampadd from the NTZ epoch.  No current testdata SF uses
+    NANOS, so this path gets a synthetic file — values, dtype, and
+    timezone-invariance all pinned."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atac_data_products_spark.sources.tables import (
+        events_with_ts,
+        load_table,
+        ts_us_expr,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)  # naive wall clock
+    rows = [base + datetime.timedelta(microseconds=i * 1_000_001) for i in range(10)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    raw = load_table(spark, str(tmp_path), "events")
+    assert dict(raw.dtypes)["ts"] in ("bigint", "long"), (
+        "synthetic file must exercise the nanosAsLong branch; got "
+        f"{dict(raw.dtypes)['ts']}"
+    )
+
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00 as-if-UTC
+    got_us = [
+        r.us
+        for r in raw.select("event_id", ts_us_expr(raw).alias("us"))
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got_us == [epoch_us + i * 1_000_001 for i in range(10)]
+
+    for tz in ("UTC", FLIP_TZ):
+        saved = spark.conf.get(TZ_CONF)
+        try:
+            spark.conf.set(TZ_CONF, tz)
+            ev = events_with_ts(spark, str(tmp_path))
+            assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+            walls = [
+                r.ts
+                for r in ev.orderBy("event_id").collect()
+            ]
+            assert walls == rows, f"wall clock drifted under session tz {tz}"
+        finally:
+            spark.conf.set(TZ_CONF, saved)

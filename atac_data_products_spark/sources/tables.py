@@ -29,6 +29,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bucketing decisions can later change in one place."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The temporal columns are parquet TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false — wall clocks.  Pin the reader to surface
+    # them as TIMESTAMP_NTZ (the Spark 4 default, but clusters override
+    # it): read as a TZ-adjusted TIMESTAMP they would re-anchor in the
+    # session zone and break the engine's timezone-invariance contract
+    # (docs/OPERATIONS.md, tests/test_timezone_invariance.py).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects by default; read nanos as long (runtime-settable)

@@ -176,3 +176,29 @@ def test_nanos_physical_type_path(spark, tmp_path):
             assert walls == rows, f"wall clock drifted under session tz {tz}"
         finally:
             spark.conf.set(TZ_CONF, saved)
+
+
+def test_load_table_pins_ntz_inference(spark):
+    """A cluster that sets spark.sql.parquet.inferTimestampNTZ.enabled=
+    false would read every wall-clock column as a session-TZ TIMESTAMP
+    and silently re-anchor it; load_table pins the conf back, the same
+    way it pins nanosAsLong."""
+    from atac_data_products_spark.sources.tables import load_table, ts_us_expr
+
+    conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    saved = spark.conf.get(conf)
+    tz_saved = spark.conf.get(TZ_CONF)
+    try:
+        spark.conf.set(conf, "false")
+        spark.conf.set(TZ_CONF, FLIP_TZ)
+        df = load_table(spark, SF, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        lo = df.select(ts_us_expr(df).alias("us")).agg({"us": "min"}).collect()[0][0]
+        spark.conf.set(TZ_CONF, "UTC")
+        spark.conf.set(conf, "false")
+        df2 = load_table(spark, SF, "events")
+        lo2 = df2.select(ts_us_expr(df2).alias("us")).agg({"us": "min"}).collect()[0][0]
+        assert lo == lo2, "epoch derivation drifted with session tz"
+    finally:
+        spark.conf.set(conf, saved)
+        spark.conf.set(TZ_CONF, tz_saved)

@@ -40,6 +40,23 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def query_vector(
+    df: DataFrame,
+    qid: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float] | None:
+    """Collect the designated query embedding as Python floats, or None
+    when it doesn't exist (empty corpus, or the id filtered away) — the
+    single bounded collect every query-vector operator shares.  Callers
+    must handle None by returning their empty result, not crash: a
+    0-row input is a legitimate state at scale (an upstream filter can
+    drain any partition), so `.first().embedding` on a maybe-empty
+    DataFrame is a latent AttributeError."""
+    row = df.filter(F.col(id_col) == qid).select(vec_col).first()
+    return None if row is None else [float(x) for x in row[0]]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

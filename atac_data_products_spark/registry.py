@@ -1034,7 +1034,13 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", "l_returnflag"
     )
     li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
-    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    # schema-explicit read-back: inference needs at least one data file,
+    # and a 0-row input writes none (only _SUCCESS) — the declared
+    # schema also covers the partition column, whose values still come
+    # from the directory names
+    back = spark.read.schema(li.schema).parquet(out).where(
+        F.col("l_returnflag") == "R"
+    )
     return back.select("l_orderkey", "l_quantity", "l_returnflag")
 
 

@@ -30,7 +30,7 @@ from .extensions.dedup import (
     simhash,
 )
 from .extensions.multimodal import byte_features, with_payload
-from .extensions.similarity import cosine_topk, lsh_topk
+from .extensions.similarity import cosine_topk, lsh_topk, query_vector
 from .extensions.text import (
     STOPWORDS,
     lang_id,
@@ -575,7 +575,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential double-precision fold (zip_with+aggregate), scalar top-k —
     no pairwise blowup at any scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = query_vector(emb)
+    if qvec is None:  # empty corpus / query id drained: empty page, not a crash
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
@@ -601,7 +603,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition-prunable column at rest; deterministic buckets make even
     the ANN path value-checkable (recall loss is part of the semantics)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = query_vector(emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
@@ -643,7 +647,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = query_vector(emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     return ivf_topk(emb, qvec, k=10)
 
 
@@ -2225,7 +2231,9 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = query_vector(emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     q = F.array(*[F.lit(float(x)) for x in qvec])
     qn = math.sqrt(sum(x * x for x in qvec))
     e = _as_double(F.col("embedding"))

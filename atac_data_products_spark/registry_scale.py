@@ -2534,10 +2534,12 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranking deploys.  All cosines round to 6 before any ordering;
     ties break on vec_id — the greedy trace is fully pinned.
     """
-    from .extensions.similarity import cosine_topk
+    from .extensions.similarity import cosine_topk, query_vector
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = query_vector(emb)
+    if qvec is None:  # empty corpus / query id drained: empty rerank, not a crash
+        return spark.createDataFrame([], "rk bigint, vec_id bigint, qcos double")
     # the greedy rounds reference the pool and the pairwise table once
     # per round — lazily checkpoint both (p and p² rows) or the unroll
     # re-runs the corpus top-k scan per round (measured 21.6 s → 9 s at
@@ -7198,6 +7200,11 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("wz_ns")).cast("bigint").alias("swz"),
             F.sum(F.col("cnt") * F.col("wxz_ns")).cast("bigint").alias("swxz"),
         ).first()
+        if m.sw is None:  # sums over zero rows are NULL: nothing to fit
+            g.unpersist()
+            return spark.createDataFrame(
+                [], "n_iters bigint, beta0 double, beta1 double"
+            )
         det = float(m.sw) * m.swxx - float(m.swx) * m.swx
         beta = (
             round((float(m.swxx) * m.swz - float(m.swx) * m.swxz) / det, 9),

@@ -28,37 +28,58 @@ def _ntz(lit: str):
 @query(
     "tpch_q1_pricing_summary",
     oracle="""
+    WITH l AS (SELECT l_returnflag, l_linestatus,
+                      CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+                      CAST(l_extendedprice AS DECIMAL(15,2)) AS ep,
+                      CAST(l_discount AS DECIMAL(5,2)) AS disc,
+                      CAST(l_tax AS DECIMAL(5,2)) AS tax
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-02')
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(ep), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(ep * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(ep * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(ep) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    FROM l GROUP BY l_returnflag, l_linestatus
     """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: the wide aggregate battery — one scan, one shuffle, every
     aggregate computed map-side in the same HashAggregate.  The shipdate
-    predicate pushes to the parquet scan (NTZ literal, TZ-proof)."""
+    predicate pushes to the parquet scan (NTZ literal, TZ-proof).
+
+    Money math is exact DECIMAL (the TPC-H spec's own type): the stored
+    doubles are exact 2-dp values, so the decimal cast is lossless, the
+    products carry ≤6 fractional digits exactly, and the SUMs are
+    order-free integers underneath — a double sum re-ordered by a
+    different partitioning flipped sum_disc_price's last cent at the
+    round(2) boundary (caught by the row-order invariance sweep).
+    Averages divide the exact sum by the count once, in double, AFTER
+    aggregation — one deterministic division instead of an
+    order-sensitive running mean."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= _ntz("1998-09-02")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.col("l_quantity").cast("decimal(15,2)")
+    ep = F.col("l_extendedprice").cast("decimal(15,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    tax = F.col("l_tax").cast("decimal(5,2)")
+    disc_price = ep * (F.lit(1).cast("decimal(5,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(5,2)") + tax)
+    n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 

@@ -114,6 +114,12 @@ def frame_sample(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Dat
     digest becomes decode+thumbnail — the Spark seam (mapInPandas over
     binary, exploded typed rows out) is identical.  Partial trailing
     frames are kept (real demuxers emit them too).
+
+    The digest is md5 of the frame's lowercase HEX, not of the raw
+    bytes: frame boundaries are byte offsets that can split a UTF-8
+    sequence, and the DuckDB oracle's md5 only accepts VARCHAR — hex
+    is the loss-free byte fingerprint both engines can hash, keeping
+    the key value-checkable on arbitrary binary payloads.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,7 +132,11 @@ def frame_sample(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Dat
                     ids.append(mid)
                     idxs.append(i)
                     digests.append(
-                        hashlib.md5(raw[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                        hashlib.md5(
+                            raw[i * frame_bytes : (i + 1) * frame_bytes]
+                            .hex()
+                            .encode("ascii")
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_md5": digests}

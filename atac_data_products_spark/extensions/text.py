@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 # Small English stopword marker list (public, standard function words).
 STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
 
-TOKEN_SPLIT_RE = r"\s+"
+# Token whitespace is the EXPLICIT class [\t\n\f\r ] — never `\s`.
+# Java regex (Spark's engine) defines \s as [ \t\n\x0B\f\r] while RE2
+# (the DuckDB oracle's engine) defines it as [\t\n\f\r ]; a vertical
+# tab in the input makes the two engines tokenize differently (found
+# by the hostile-Unicode parity sweep, tools/hostile_fixture.py).
+# Pinning the class makes the token semantics exact and identical on
+# both sides; every oracle's '\s' means exactly this set under RE2.
+WS_CLASS = r"[\t\n\f\r ]"
+TOKEN_SPLIT_RE = WS_CLASS + "+"
 
 
 def tokens(text: Column | str) -> Column:
@@ -95,7 +103,7 @@ def token_count(text: Column | str) -> Column:
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
 # the classic byte-pair-encoding *pre*-split (the merge table itself is a
 # model artifact; counting pre-tokens is the pipeline-side operation).
-BPE_SPLIT_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_SPLIT_RE = r"[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]"
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -148,7 +156,9 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         id_col,
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
-        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_nonspace_chars"),
+        F.length(F.regexp_replace(F.col(text_col), WS_CLASS, "")).alias(
+            "n_nonspace_chars"
+        ),
         F.size(F.filter(t, lambda x: F.array_contains(stop, x))).alias("n_stopwords"),
     )
     return out.select(

@@ -612,25 +612,41 @@ def with_zorder_key(li: DataFrame) -> DataFrame:
 @query(
     "regex_extract_battery",
     oracle=r"""
+    WITH w AS (SELECT doc_id, text,
+                      regexp_split_to_array(text, '[^a-zA-Z0-9_]+') AS toks
+               FROM documents)
     SELECT doc_id,
-           regexp_extract(text, '\bs[a-z]+', 0) AS first_s_word,
-           CAST(len(regexp_extract_all(text, '\bbatch\b')) AS BIGINT) AS n_batch,
-           CAST(len(regexp_extract_all(text, '[a-z]+e\b')) AS BIGINT) AS n_e_final
-    FROM documents
+           regexp_extract(text, '(?:^|[^a-zA-Z0-9_])(s[a-z]+)', 1)
+               AS first_s_word,
+           CAST(len(list_filter(toks, x -> x = 'batch')) AS BIGINT)
+               AS n_batch,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]e$')))
+               AS BIGINT) AS n_e_final
+    FROM w
     """,
 )
 def regex_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex extraction/counting over the corpus — JVM-side regexp_*
     expressions (one codegen stage, no Python).  Patterns restricted to
-    the RE2-compatible subset so Java's and DuckDB's engines agree."""
+    the RE2-compatible subset so Java's and DuckDB's engines agree —
+    which rules out `\\b`: Java's word boundary is Unicode-aware (é is
+    a word char) while RE2's is ASCII, so 'résumé' has an internal
+    boundary in one engine and not the other (hostile-fixture find).
+    Boundaries here are the EXPLICIT ASCII class: first-match via a
+    group after start-or-non-word, and whole-word / word-final counts
+    via the non-word-split token array, which both engines produce
+    identically."""
     d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"[^a-zA-Z0-9_]+")
     return d.select(
         "doc_id",
-        F.regexp_extract("text", r"\bs[a-z]+", 0).alias("first_s_word"),
-        F.size(F.regexp_extract_all("text", F.lit(r"\bbatch\b"), 0))
+        F.regexp_extract("text", r"(?:^|[^a-zA-Z0-9_])(s[a-z]+)", 1).alias(
+            "first_s_word"
+        ),
+        F.size(F.filter(toks, lambda x: x == F.lit("batch")))
         .cast("bigint")
         .alias("n_batch"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+e\b"), 0))
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]e$")))
         .cast("bigint")
         .alias("n_e_final"),
     )
@@ -4041,8 +4057,11 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f1") * F.col("n2").cast("double") - F.col("f2") * F.col("n1")
     )
     return j.groupBy("n1", "n2").agg(
+        # try_divide: one sample may be empty (n1·n2 = 0), where KS is
+        # undefined — NULL, matching DuckDB's divide-by-zero semantics,
+        # instead of an ANSI DIVIDE_BY_ZERO crash (hostile-fixture find)
         F.round(
-            F.max(diff) / (F.col("n1") * F.col("n2").cast("double")), 6
+            F.try_divide(F.max(diff), F.col("n1") * F.col("n2").cast("double")), 6
         ).alias("ks_d")
     )
 

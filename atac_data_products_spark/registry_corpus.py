@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import registry_ext  # noqa: F401  (registers the CC oracle this module composes)
+from .extensions.text import WS_CLASS
 from .registry import _t, _values_sql, query
 
 # ---------------------------------------------------------------------------
@@ -46,7 +47,7 @@ def corpus_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (and doubles as the exact-dedup key post-normalization)."""
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_CLASS + "+", " "),
         "[0-9]+",
         "<num>",
     )
@@ -287,14 +288,23 @@ def udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     model tokenizer, a parser); like all Python seams it's Arrow-batched
     but row-generating, so keep it off the hot path when a builtin
     exists."""
+    import re
+
     from pyspark.sql.functions import udtf
+
+    # the engine's token contract exactly (extensions/text.py WS_CLASS):
+    # bare str.split() is Unicode-wide (NBSP, U+2028, ...) and drops
+    # empty tokens, silently diverging from the declared [\t\n\f\r ]
+    # split on hostile input — trim spaces only, split on the class,
+    # keep empties, like F.split/trim and the DuckDB oracle do
+    ws_re = re.compile(r"[\t\n\f\r ]+")
 
     @udtf(returnType="pos int, term string")
     class TermSplit:
         def eval(self, text: str):
             if text is None:
                 return
-            for i, term in enumerate(text.strip().lower().split()):
+            for i, term in enumerate(ws_re.split(text.strip(" ").lower())):
                 if i >= 5:
                     break
                 yield i + 1, term
@@ -1117,7 +1127,7 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
     )
     norm = F.regexp_replace(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_CLASS + "+", " "),
         "[0-9]+",
         "<num>",
     )
@@ -1277,7 +1287,7 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs."""
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_CLASS + "+", " "),
         "[0-9]+",
         "<num>",
     )
@@ -1437,7 +1447,7 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out rows; counts divide exactly."""
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_CLASS + "+", " "),
         "[0-9]+",
         "<num>",
     )
@@ -1500,7 +1510,7 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     lens = F.filter(
         F.transform(
-            F.split(F.col("text"), r"[.!?]+\s+"),
+            F.split(F.col("text"), r"[.!?]+" + WS_CLASS + "+"),
             lambda s: F.length(F.trim(s)),
         ),
         lambda x: x > 0,
@@ -1572,7 +1582,7 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle hash join on the bigram key, which AQE picks on its own
     (nothing in the plan pins a broadcast)."""
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
     toks = d.select("doc_id", t.alias("t"))
     bigrams = F.zip_with(
         F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
@@ -1651,9 +1661,16 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one wide shuffle on digest; everything after it is
     bounded per key."""
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
     toks = d.select("source", t.alias("t"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 4, F.lit(0)))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — unguarded
+    # it fabricated two windows per short document, with element_at(t, 0)
+    # nulls md5-hashing into spurious "shared" shingles (hostile-fixture
+    # find; same guard as word_shingles)
+    n_win = F.size("t") - 4
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = F.transform(
         idx,
         lambda x: F.md5(
@@ -1942,7 +1959,7 @@ def corpus_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint") % 100
     )
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
     bigrams = F.zip_with(
         F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
         F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),

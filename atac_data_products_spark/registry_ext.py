@@ -718,19 +718,23 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     oracle="""
-    WITH f AS (SELECT doc_id AS media_id, text,
-                      CAST(ceil(length(text) / 16.0) AS INT) AS n_frames
+    WITH f AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+                      CAST(ceil(octet_length(encode(text)) / 16.0) AS INT)
+                          AS n_frames
                FROM documents)
     SELECT media_id, CAST(i AS INT) AS frame_idx,
-           md5(substr(text, i * 16 + 1, 16)) AS frame_md5
-    FROM (SELECT media_id, text, unnest(range(0, n_frames, 4)) AS i FROM f)
+           md5(substr(hx, i * 32 + 1, 32)) AS frame_md5
+    FROM (SELECT media_id, hx, unnest(range(0, n_frames, 4)) AS i FROM f)
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque payloads (every 4th 16-byte frame, one
     digest per kept frame) — the demux/decode seam with a deterministic
-    chunker standing in for the codec.  Payloads are ASCII here, so the
-    DuckDB oracle mirrors byte frames with char substrings."""
+    chunker standing in for the codec.  Frames are BYTE offsets into the
+    UTF-8 payload (they may split a multi-byte character), so the digest
+    is md5 of the frame's lowercase hex — the byte-exact fingerprint
+    both engines can hash (DuckDB md5 takes VARCHAR only); the oracle
+    slices 32 hex chars per 16-byte frame."""
     from .extensions.multimodal import frame_sample, with_payload
 
     media = with_payload(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -2242,12 +2242,19 @@ def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     lits = {"email": "@", "phone": "-", "ssn": "-", "ipv4": "."}
+    # Column API, NOT F.expr: a Spark SQL string literal unescapes
+    # backslashes, so an expr-embedded '{pat}' turned the IPv4
+    # pattern's \. into a bare wildcard . and phone/SSN digits
+    # false-matched as IP addresses (hostile-fixture find).  F.lit
+    # carries the pattern byte-for-byte.
     count_cols = [
-        F.expr(
-            # literal pre-gate before the regex — see _pii_count_sql
-            f"CAST(CASE WHEN contains(lower(text), '{lits[name]}') "
-            f"THEN regexp_count(lower(text), '{pat}') ELSE 0 END AS BIGINT)"
-        ).alias(f"n_{name}")
+        F.when(
+            F.contains(F.lower(F.col("text")), F.lit(lits[name])),
+            F.regexp_count(F.lower(F.col("text")), F.lit(pat)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(f"n_{name}")
         for name, pat in _PII_PATTERNS
     ]
     out = d.select("doc_id", *count_cols)
@@ -5591,7 +5598,7 @@ VOCAB_CHECKPOINTS = 10
     dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
            FROM toks WHERE tok <> '' GROUP BY doc_id),
     mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM dt),
-    cp AS (SELECT CAST((mx.m + 1) * c / {VOCAB_CHECKPOINTS} - 1 AS BIGINT)
+    cp AS (SELECT CAST((mx.m + 1) * c // {VOCAB_CHECKPOINTS} - 1 AS BIGINT)
                       AS cut_doc,
                   CAST(c AS BIGINT) AS checkpoint
            FROM mx, (SELECT unnest(range(1, {VOCAB_CHECKPOINTS} + 1)) AS c))
@@ -5633,7 +5640,11 @@ def corpus_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("c").cast("bigint").alias("checkpoint"),
-            ((F.col("m") + 1) * F.col("c") / VOCAB_CHECKPOINTS - 1)
+            # integer DIV, never float `/` + cast: Spark's bigint cast
+            # TRUNCATES 303.5 while DuckDB's rounds half-even to 304 —
+            # divergent checkpoints whenever max_doc+1 isn't a multiple
+            # of the checkpoint count (hostile-fixture find)
+            F.expr(f"(m + 1) * c DIV {VOCAB_CHECKPOINTS} - 1")
             .cast("bigint")
             .alias("cut_doc"),
         )
@@ -5729,9 +5740,14 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     masked = s.withColumn(
         "n_masked",
+        # n_spans can round to 0 for short docs; sequence(1, 0) is
+        # DESCENDING [1, 0] in Spark (not empty), which fabricated
+        # spans for docs the oracle correctly left unmasked
+        # (hostile-fixture find) — guard to an empty span list
         F.expr(
             f"CAST(size(array_distinct(flatten(transform("
-            f"sequence(1, CAST(n_spans AS INT)), k -> "
+            f"IF(n_spans >= 1, sequence(1, CAST(n_spans AS INT)), "
+            f"CAST(array() AS ARRAY<INT>)), k -> "
             f"sequence(CAST(({start}) AS BIGINT), "
             f"least(CAST(({start}) AS BIGINT) + {SPAN_MEAN_LEN} - 1, n)))))) AS BIGINT)"
         ),

@@ -1,0 +1,141 @@
+"""Adversarial-Unicode parity battery.
+
+The driver's synthetic text is tame ASCII-ish prose, so the oracle
+gate never exercises the places two regex/Unicode engines can
+disagree.  tools/hostile_fixture.py packs those places into a
+schema-identical documents table; this battery runs the text-touching
+keys' Spark plan AND DuckDB oracle side-by-side on it and requires the
+same verdict the driver gate would.
+
+Found (and fixed) by the sweep that introduced this battery:
+
+- Java `\\s` includes \\x0B, RE2's doesn't → tokenizers pinned to the
+  explicit class [\\t\\n\\f\\r ] on both engines (text.WS_CLASS)
+- Java `\\b` is Unicode-aware, RE2's is ASCII → regex_extract_battery
+  rewritten with explicit ASCII boundary classes
+- a Spark SQL string literal unescapes backslashes → corpus_pii_scan's
+  expr-embedded IPv4 \\. became a wildcard and phone/SSN digits
+  false-matched (now Column-API F.lit patterns)
+- sequence(1, 0) is DESCENDING in Spark → corpus_span_corruption and
+  corpus_cross_source_overlap fabricated windows on short docs
+- Spark bigint cast truncates 303.5 where DuckDB rounds half-even →
+  corpus_vocab_growth_curve checkpoints now integer DIV on both sides
+- ANSI DIVIDE_BY_ZERO in stat_ks_two_sample when one sample is empty →
+  try_divide (NULL, matching DuckDB)
+- multimodal_frame_sample's oracle assumed byte==char → digest is now
+  md5 of the frame's hex, byte-exact for any payload
+
+KNOWN CHECKER DIVERGENCE (exempt, not engine bugs): Spark/Java apply
+Unicode FULL/contextual case mapping (Turkish İ → 'i̇', Greek final
+sigma ς) while DuckDB lower() applies SIMPLE mapping ('i', 'σ') —
+Spark is the Unicode-spec-correct one.  The fixture builder therefore
+exposes CASE_TRAP_DOCS separately; this battery runs on the fixture
+WITHOUT them, and the exempt list below names the keys that diverge
+only when they are present (verified both ways at introduction:
+88/88 without, exactly these 14 failing with).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+# keys that diverge ONLY via the full-vs-simple case-mapping docs
+CASE_MAPPING_EXEMPT = {
+    "corpus_chunk_overlap",
+    "corpus_doc_embedding_hashed",
+    "corpus_normalize_redact",
+    "corpus_tfidf_topk",
+    "corpus_tokenizer_fertility",
+    "corpus_vocab_coverage",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_fingerprint_rolling",
+    "text_feature_hashing",
+    "text_keyword_rake",
+    "text_token_count_bpe",
+    "udtf_term_positions",
+}
+
+# the per-suite subset: every key the sweep caught a real bug in, plus
+# the highest-churn tokenizer consumers (full 88-key audit:
+# `python tools/hostile_fixture.py /tmp/h && python
+# tools/check_correctness.py /tmp/h <keys>`)
+RISK_KEYS = [
+    "regex_extract_battery",
+    "corpus_pii_scan",
+    "corpus_span_corruption",
+    "corpus_cross_source_overlap",
+    "corpus_vocab_growth_curve",
+    "stat_ks_two_sample",
+    "multimodal_frame_sample",
+    "udtf_term_positions",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_sentence_stats",
+    "corpus_stats_rollup",
+    "corpus_quality_gate",
+    "corpus_normalize_redact",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signature",
+    "corpus_seq_packing",
+    "corpus_code_detection",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(modname, relpath):
+    spec = importlib.util.spec_from_file_location(modname, REPO / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def hostile_sf(tmp_path_factory):
+    hf = _load("hostile_fixture", "tools/hostile_fixture.py")
+    # drop the full-case-mapping docs (İ / final sigma): known checker
+    # divergence, exercised + documented in the module docstring
+    hf.HOSTILE = [
+        t
+        for t in hf.HOSTILE
+        if "İstanbul" not in t and "ΣΙΣΥΦΟΣ" not in t
+    ]
+    dest = tmp_path_factory.mktemp("hostile_sf")
+    hf.build(str(dest))
+    return str(dest)
+
+
+@pytest.fixture(scope="module")
+def harness(spark, hostile_sf):
+    import __spark_entry__ as entry
+
+    cc = _load("check_correctness", "tools/check_correctness.py")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hostile_sf}/{t}.parquet'"
+        )
+    yield spark, entry.queries(), entry.oracle_sql(), cc.compare, con
+    con.close()
+
+
+@pytest.mark.parametrize("key", RISK_KEYS)
+def test_spark_matches_oracle_on_hostile_unicode(key, harness, hostile_sf):
+    spark, queries, oracles, compare, con = harness
+    spark_df = queries[key](spark, hostile_sf).toPandas()
+    oracle_df = con.execute(oracles[key]).df()
+    verdict = compare(key, spark_df, oracle_df)
+    assert verdict == "OK", f"{key} diverges on hostile input: {verdict}"

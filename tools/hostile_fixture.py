@@ -1,0 +1,102 @@
+"""Build the adversarial-Unicode `documents` fixture.
+
+The driver's synthetic text is tame ASCII-ish prose, so the oracle
+gate never exercises the places Spark and DuckDB could legitimately
+disagree: regex semantics over astral-plane code points, casing
+traps (Turkish I, sharp s, final sigma), combining vs precomposed
+forms, zero-width characters, embedded NUL/C0 controls, RTL scripts,
+ZWJ emoji sequences.  This fixture packs those into a schema-identical
+`documents.parquet` (other tables copied unchanged) so
+`tools/check_correctness.py --` can run the documents-reading keys'
+Spark query AND DuckDB oracle side-by-side on hostile input:
+
+    python tools/hostile_fixture.py /tmp/sf_hostile
+    python tools/check_correctness.py /tmp/sf_hostile text_lang_id ...
+
+Two sources (hostile_a / hostile_b, 15 docs duplicated) give the dedup
+and cross-source keys real work.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+SRC = "/root/testdata/sf0.001"
+
+HOSTILE = [
+    "",                                         # empty
+    " ",                                        # lone space
+    "\t\n\r  \x0b\x0c",                         # whitespace zoo
+    "café résumé naïve",    # latin-1 accents (NFC)
+    "café",                               # combining accent (NFD)
+    "é" * 300,                             # long accented run
+    "日本語のテキストです。これはテストです。",  # CJK
+    "العربية نص من اليمين إلى اليسار",          # RTL Arabic
+    "עברית טקסט",                               # RTL Hebrew
+    "😀😃😄😁 emoji 🎉🎊 test 🚀",               # emoji BMP+astral
+    "👨‍👩‍👧‍👦 family ZWJ sequence",
+    "𝕳𝖊𝖑𝖑𝖔 𝖂𝖔𝖗𝖑𝖉 mathematical alphanumerics",   # astral plane
+    "a\x00b embedded nul",                      # NUL inside text
+    "control \x01\x02\x03\x1f chars",           # C0 controls
+    "ｆｕｌｌｗｉｄｔｈ　text",  # fullwidth
+    "İstanbul ı I i dotted dotless",  # turkish casing trap
+    "ß sharp s STRASSE straße",       # german casing trap
+    "ΣΙΣΥΦΟΣ σίσυφος ς",  # greek final sigma
+    "supercalifragilistic" * 40,                # one 800-char token
+    "word " * 500,                              # 500 identical tokens
+    "​‌‍ zero width ﻿",     # ZW chars + BOM
+    "line1\nline2\rline3\r\nline4",             # newline zoo
+    "tab\tseparated\tfields",
+    "quote \" double ' single ` backtick",
+    "back\\slash re$gex [chars] (paren) {brace} |pipe| ^caret .dot *star +plus ?q",
+    "<html><body>markup &amp; entities</body></html>",
+    "email test@example.com phone 555-123-4567 ssn 123-45-6789",  # PII shapes
+    "MIT License permission is hereby granted free of charge",    # license text
+    "the quick brown fox jumps over the lazy dog",                # plain english
+    "a" * 40,                                                     # repetition
+    "ab" * 400,                                                   # bigram repetition
+    "Ω≈ç√∫ math symbols ∑∏π",
+    "🏳️‍🌈 flag sequence 🇺🇸 🇯🇵 regional indicators",
+    "mixed 日本語 and English and العربية in one doc",
+    " private use ",          # PUA
+    "ǅungla titlecase ǈǋǲ digraphs",
+    "ﬁﬂ ligatures oﬃce",         # ligatures
+    "x" * 5000,                                 # long single run
+    "𠜎𠜱𡿺𪛕 rare CJK ext-B",                   # astral CJK
+    "ñ combining tilde vs ñ precomposed",
+]
+
+
+def build(dest: str, source: str = SRC) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    Path(dest).mkdir(parents=True, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        shutil.copy(f"{source}/{t}.parquet", f"{dest}/{t}.parquet")
+    rows = [(i, t, "xx", "hostile_a", len(t)) for i, t in enumerate(HOSTILE)]
+    rows += [
+        (1000 + i, t, "xx", "hostile_b", len(t))
+        for i, t in enumerate(HOSTILE[:15])
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/documents.parquet")
+    return tbl.num_rows
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_hostile"
+    print(f"{build(dest)} hostile documents -> {dest}")

@@ -89,13 +89,20 @@ def byte_features(media: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload (e.g. encode(NULL) upstream) → NULL features,
+            # matching the SQL oracle's octet_length(NULL)/md5(NULL);
+            # bare .map(len) crashes on None (hostile-fixture find)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
-                    "content_md5": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "byte_len": pd.array(
+                        [None if b is None else len(b) for b in pdf["payload"]],
+                        dtype="Int64",
                     ),
+                    "content_md5": [
+                        None if b is None else hashlib.md5(bytes(b)).hexdigest()
+                        for b in pdf["payload"]
+                    ],
                 }
             )
 
@@ -126,6 +133,8 @@ def frame_sample(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Dat
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload has no frames
+                    continue
                 raw = bytes(payload)
                 n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, every):

@@ -68,7 +68,11 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     e = _as_double(F.col(vec_col))
-    cos = (dot(e, q) / (l2_norm(e) * F.lit(qn))).alias("cos")
+    # try_divide: a zero-norm vector has UNDEFINED similarity — NULL,
+    # which both engines order last under DESC.  A bare `/` gives
+    # Spark IEEE NaN, which sorts FIRST under DESC and pollutes the
+    # top-k, while DuckDB's /0 gives NULL (hostile-embeddings find).
+    cos = F.try_divide(dot(e, q), l2_norm(e) * F.lit(qn)).alias("cos")
     return (
         embeddings.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -165,10 +169,15 @@ def cosine_pairs(
         _as_double(F.col(vec_col)).alias("v"),
     )
     norm = l2_norm(F.col("v"))
+    # try_divide: a zero-norm vector normalizes to NULL elements, so its
+    # pair cosines are NULL and fail every threshold — matching DuckDB,
+    # where /0 is NULL.  A bare `/` gives NaN elements, and NaN >= t is
+    # TRUE in Spark's ordering semantics, so zero vectors would pair
+    # with everything (hostile-embeddings find).
     e = e.select(
         F.col(id_col),
         F.col("v"),
-        F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
+        F.transform(F.col("v"), lambda x: F.try_divide(x, norm)).alias("vn"),
     )
     if bucketed:
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_dims, n_planes))
@@ -219,7 +228,9 @@ def ivf_topk(
         (F.col(id_col) >= centroid_lo) & (F.col(id_col) <= centroid_hi)
     ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
 
-    cos = dot(F.col("v"), F.col("cv")) / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
+    cos = F.try_divide(
+        dot(F.col("v"), F.col("cv")), l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.desc("cid"))
     assigned = (
         e.crossJoin(F.broadcast(cents))
@@ -239,8 +250,11 @@ def ivf_topk(
     for r in cent_rows:
         dp = sum(float(a) * float(b) for a, b in zip(r.cv, query_vec))
         nc = math.sqrt(sum(float(a) * float(a) for a in r.cv))
-        scored.append((dp / (nc * qn), r.cid))
-    scored.sort(key=lambda t: (-t[0], -t[1]))
+        # zero-norm centroid: undefined similarity ranks LAST (the
+        # python mirror of try_divide-NULL + DESC NULLS LAST)
+        c_cos = (dp / (nc * qn)) if nc * qn > 0 else None
+        scored.append((c_cos, r.cid))
+    scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), -t[1]))
     probe_ids = [cid for _, cid in scored[:nprobe]]
 
     cell = assigned.filter(F.col("cid").isin(probe_ids)).select(id_col)

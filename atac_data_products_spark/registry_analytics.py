@@ -3050,17 +3050,26 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") - F.col("s1")).alias("s2"),
         (F.col("q") - F.col("q1")).alias("q2"),
     )
-    m1 = F.col("s1") / F.col("n1").cast("double")
-    m2 = F.col("s2") / F.col("n2").cast("double")
-    v1 = (F.col("q1") - F.col("s1") * m1) / (F.col("n1") - 1)
-    v2 = (F.col("q2") - F.col("s2") * m2) / (F.col("n2") - 1)
+    # try_divide throughout: a single-doc group (n-1 = 0) or a
+    # single-source corpus (n2 = 0) makes Welch's t undefined — NULL,
+    # matching DuckDB /0, instead of an ANSI crash (hostile-fixture find)
+    m1 = F.try_divide(F.col("s1"), F.col("n1").cast("double"))
+    m2 = F.try_divide(F.col("s2"), F.col("n2").cast("double"))
+    v1 = F.try_divide(F.col("q1") - F.col("s1") * m1, F.col("n1") - 1)
+    v2 = F.try_divide(F.col("q2") - F.col("s2") * m2, F.col("n2") - 1)
     return m.select(
         "source",
         F.col("n1").alias("n_docs"),
         F.round(m1, 6).alias("mean_chars"),
-        F.round((m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2")), 6).alias(
-            "t_stat"
-        ),
+        F.round(
+            F.try_divide(
+                m1 - m2,
+                F.sqrt(
+                    F.try_divide(v1, F.col("n1")) + F.try_divide(v2, F.col("n2"))
+                ),
+            ),
+            6,
+        ).alias("t_stat"),
     )
 
 

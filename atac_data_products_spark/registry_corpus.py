@@ -532,7 +532,8 @@ _CHUNK_S = 24
     oracle=rf"""
     WITH t AS (SELECT doc_id,
                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-               FROM documents),
+               FROM documents
+               WHERE text IS NOT NULL),
     s AS (SELECT doc_id, toks,
                  unnest(generate_series(1, greatest(len(toks), 1), {_CHUNK_S})) AS start
           FROM t),
@@ -560,7 +561,12 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("toks"))
+    # NULL text tokenizes to a NULL array; greatest(size(NULL), 1) is 1
+    # (greatest skips NULLs), which would fabricate one empty chunk per
+    # NULL document (hostile-fixture find) — NULL text has no chunks
+    t = d.select("doc_id", tokens("text").alias("toks")).where(
+        F.col("toks").isNotNull()
+    )
     s = t.select(
         "doc_id",
         "toks",
@@ -627,7 +633,12 @@ def corpus_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("toks"))
+    # NULL text tokenizes to a NULL array; greatest(size(NULL), 1) is 1
+    # (greatest skips NULLs), which would fabricate one empty chunk per
+    # NULL document (hostile-fixture find) — NULL text has no chunks
+    t = d.select("doc_id", tokens("text").alias("toks")).where(
+        F.col("toks").isNotNull()
+    )
     s = t.select(
         "doc_id",
         "toks",

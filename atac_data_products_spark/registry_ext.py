@@ -1328,7 +1328,8 @@ _COSINE_PAIR_BODY = """
     eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     e AS (SELECT vec_id, v,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
-          FROM eb),
+          FROM eb
+          WHERE list_dot_product(v, v) > 0),
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round(list_dot_product(a.vn, b.vn), 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id{extra_join})
@@ -1352,7 +1353,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine_lsh",
     oracle="WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    + "    en AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM eb),\n"
+    + "    en AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM eb\n"
+    + "           WHERE list_dot_product(v, v) > 0),\n"
     + f"    e AS (SELECT vec_id, vn, {_bucket_sql()} AS bucket FROM en),\n"
     + "    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
     + "                 round(list_dot_product(a.vn, b.vn), 6) AS cosine\n"
@@ -1506,7 +1508,10 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.where(F.col("vec_id") % 100 != 0)
     cos = F.round(
-        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        F.try_divide(
+            dot(F.col("v"), F.col("qv")),
+            l2_norm(F.col("v")) * l2_norm(F.col("qv")),
+        ),
         6,
     ).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
@@ -1575,7 +1580,10 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.where(F.col("vec_id") % 100 != 0)
     cos = F.round(
-        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        F.try_divide(
+            dot(F.col("v"), F.col("qv")),
+            l2_norm(F.col("v")) * l2_norm(F.col("qv")),
+        ),
         6,
     )
     from pyspark.sql.window import Window
@@ -1643,7 +1651,10 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.where(F.col("vec_id") % 100 != 0)
     cos = F.round(
-        dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+        F.try_divide(
+            dot(F.col("v"), F.col("qv")),
+            l2_norm(F.col("v")) * l2_norm(F.col("qv")),
+        ),
         6,
     ).alias("cosine")
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
@@ -2241,7 +2252,7 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in qvec])
     qn = math.sqrt(sum(x * x for x in qvec))
     e = _as_double(F.col("embedding"))
-    cos = F.round(dot(e, q) / (l2_norm(e) * F.lit(qn)), 6)
+    cos = F.round(F.try_divide(dot(e, q), l2_norm(e) * F.lit(qn)), 6)
     return (
         emb.where(F.col("vec_id") != 0)
         .select("vec_id", cos.alias("cosine"))
@@ -2376,7 +2387,10 @@ def _lang_centroid_oracle() -> str:
     )
     cent = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(1, _KM_DIM + 1))
     dotqc = " + ".join(f"q.eq[{i}] * c.c[{i}]" for i in range(1, _KM_DIM + 1))
-    nq = " + ".join(f"q.eq[{i}] * q.eq[{i}]" for i in range(1, _KM_DIM + 1))
+    # squares in DOUBLE — domain-edge eq (1e12) squared overflows INT64
+    nq = " + ".join(
+        f"CAST(q.eq[{i}] AS DOUBLE) * q.eq[{i}]" for i in range(1, _KM_DIM + 1)
+    )
     nc = " + ".join(f"c.c[{i}] * c.c[{i}]" for i in range(1, _KM_DIM + 1))
     return f"""
     WITH q AS (SELECT e.vec_id, d.lang,
@@ -2439,11 +2453,18 @@ def vector_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     dotqc = F.expr(
         " + ".join(f"eq[{i}] * c[{i}]" for i in range(_KM_DIM))
     )
-    nq = F.expr(" + ".join(f"eq[{i}] * eq[{i}]" for i in range(_KM_DIM)))
+    # squares in DOUBLE: eq is 1e-6 fixed-point bigint, and a domain-edge
+    # coordinate (1e6 → eq 1e12) squared overflows int64 under ANSI
+    nq = F.expr(
+        " + ".join(f"cast(eq[{i}] as double) * eq[{i}]" for i in range(_KM_DIM))
+    )
     nc = F.expr(" + ".join(f"c[{i}] * c[{i}]" for i in range(_KM_DIM)))
     s = q.join(F.broadcast(c), "lang").select(
         "lang",
-        F.floor(dotqc / (F.sqrt(nq) * F.sqrt(nc)) * 1_000_000)
+        # try_divide: a zero-norm vector (or all-zero centroid) has
+        # undefined cosine — NULL, which every aggregate below ignores,
+        # matching DuckDB /0 → NULL instead of an ANSI crash
+        F.floor(F.try_divide(dotqc, F.sqrt(nq) * F.sqrt(nc)) * 1_000_000)
         .cast("bigint")
         .alias("cos_q"),
     )

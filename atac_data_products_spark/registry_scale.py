@@ -2569,7 +2569,9 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
             )
         )
-        return F.round(d / (n(a) * n(b)), 6)
+        # try_divide: zero-norm pool members get NULL pairwise sims —
+        # max() ignores NULLs, matching DuckDB (hostile-embeddings find)
+        return F.round(F.try_divide(d, n(a) * n(b)), 6)
 
     a = pool.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     b = pool.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))

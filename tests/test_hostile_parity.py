@@ -88,6 +88,21 @@ RISK_KEYS = [
     "dedup_minhash_signature",
     "corpus_seq_packing",
     "corpus_code_detection",
+    # NULL text / NULL payload handling (fixture docs 2000-2002)
+    "multimodal_byte_features",
+    "corpus_chunk_overlap",
+    "corpus_span_dup_rate",
+    "stat_welch_ttest",
+    # hostile embeddings: zero-norm / domain-edge vectors (try_divide
+    # NULL-similarity contract; int64-headroom quantization domain)
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "similarity_range_search",
+    "similarity_knn_join",
+    "dedup_embedding_cosine_lsh",
+    "vector_kmeans_lloyd",
+    "vector_lang_centroid_outliers",
+    "corpus_doc_embedding_hashed",
 ]
 
 TABLES = [

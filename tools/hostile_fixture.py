@@ -69,14 +69,14 @@ HOSTILE = [
 ]
 
 
-def build(dest: str, source: str = SRC) -> int:
+def build(dest: str, source: str = SRC, with_nulls: bool = True) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     Path(dest).mkdir(parents=True, exist_ok=True)
     for t in [
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings",
+        "orders", "lineitem", "events",
     ]:
         shutil.copy(f"{source}/{t}.parquet", f"{dest}/{t}.parquet")
     rows = [(i, t, "xx", "hostile_a", len(t)) for i, t in enumerate(HOSTILE)]
@@ -84,6 +84,14 @@ def build(dest: str, source: str = SRC) -> int:
         (1000 + i, t, "xx", "hostile_b", len(t))
         for i, t in enumerate(HOSTILE[:15])
     ]
+    if with_nulls:
+        # NULL text / lang / source: any column a lake can deliver NULL,
+        # an operator must handle without crashing or engine drift
+        rows += [
+            (2000, None, "xx", "hostile_a", 0),
+            (2001, "plain text with null lang", None, "hostile_a", 25),
+            (2002, "plain text with null source", "xx", None, 27),
+        ]
     tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -94,7 +102,43 @@ def build(dest: str, source: str = SRC) -> int:
         }
     )
     pq.write_table(tbl, f"{dest}/documents.parquet")
+    pq.write_table(_hostile_embeddings(), f"{dest}/embeddings.parquet")
     return tbl.num_rows
+
+
+def _hostile_embeddings():
+    """Adversarial embeddings: zero vectors (cosine divides by a zero
+    norm), large/tiny magnitudes, negative-only, one-hot, and constant
+    vectors — every row still a well-formed 64-float list inside the
+    engine's declared input domain: finite floats with |x| ≤ ~1e6
+    (NaN/Inf stay out because the two engines' NaN ORDERING differs by
+    design, and the fixed-point operators — kmeans' 1e-6 quantization,
+    the hashed-embedding 1e-9 idf terms — have an int64 headroom
+    contract that 1e30 coordinates overflow by design; finiteness and
+    magnitude are the LOADER's gate, not every query's).  vec_id 0
+    stays a normal query vector."""
+    import pyarrow as pa
+
+    dim = 64
+    vecs: list[list[float]] = []
+    vecs.append([0.1 * ((i % 7) - 3) for i in range(dim)])   # 0: query
+    vecs.append([0.0] * dim)                                 # zero vector
+    vecs.append([1e6] * dim)                                 # domain-edge large
+    vecs.append([1e-30] * dim)                               # tiny
+    vecs.append([-1.0] * dim)                                # negative
+    vecs.append([1.0] + [0.0] * (dim - 1))                   # one-hot
+    vecs.append([1.0] * dim)                                 # constant
+    vecs.append([(-1.0) ** i for i in range(dim)])           # alternating
+    vecs.append([float(i) for i in range(dim)])              # ramp
+    vecs.append([-1e6] * dim)                                # negative domain edge
+    ids = list(range(len(vecs)))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in ids], pa.int32()),
+        }
+    )
 
 
 if __name__ == "__main__":

@@ -51,10 +51,13 @@ def sessionize(
         uid = pdf["user_id"].to_numpy()
         ts = pdf["ts_us"].to_numpy()
         # a session starts at a user boundary or where the gap from the
-        # previous event is >= gap_us
+        # previous event EXCEEDS gap_us — strictly greater, matching
+        # Spark's session_window, which merges an event landing at
+        # exactly prev + gap (hostile-fixture boundary find; the oracle
+        # pins the same `> gap` break)
         first = np.ones(1, dtype=bool)
         new_user = np.concatenate((first, uid[1:] != uid[:-1]))
-        brk = new_user | np.concatenate((first, np.diff(ts) >= gap_us))
+        brk = new_user | np.concatenate((first, np.diff(ts) > gap_us))
         starts = np.flatnonzero(brk)
         ends = np.concatenate((starts[1:], [len(ts)]))
         return pd.DataFrame(

@@ -619,16 +619,23 @@ def map_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cast_to_numeric",
     oracle="""
-    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value
     FROM events
     """,
 )
 def cast_to_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String→numeric cast (age, pd.to_numeric at bin/concatenate.py:110)
-    on a genuinely string-typed source (the props JSON payload)."""
+    on a genuinely string-typed source (the props JSON payload).
+    try_cast, not cast: a non-matching payload extracts to '' which
+    ANSI-crashes a plain int cast; NULL matches the oracle (DuckDB
+    regexp_extract misses are NULL) — pd.to_numeric(errors='coerce')
+    semantics, the reference's own behavior."""
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int").alias("k_value"),
+        F.regexp_extract(F.col("props"), '"k": (\\d+)', 1)
+        .try_cast("int")
+        .alias("k_value"),
     )
 
 

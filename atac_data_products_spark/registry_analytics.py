@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
-from .sources.tables import epoch_day_expr, load_table, ts_us_expr
+from .sources.tables import epoch_day_expr, epoch_day_from_us, load_table, ts_us_expr
 
 # ---------------------------------------------------------------------------
 # Statistics battery
@@ -215,7 +215,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts, event_id
                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
                AS mov_avg
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +223,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique event_id so the frame contents are a total order (ties on ts
     would otherwise make ROWS frames nondeterministic).  Ordering by the
     raw nano tick equals ordering by the timestamp."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -308,7 +308,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86_400 * 1_000_000
     d = (
         ev.where((F.col("event_type") == "purchase") & (F.col("value") > 200))
-        .groupBy((ts_us_expr(ev) / F.lit(day_us)).cast("bigint").alias("day"))
+        .groupBy(epoch_day_from_us(ts_us_expr(ev)).alias("day"))
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 6).alias("total_value"),
@@ -333,7 +333,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_battery",
     oracle="""
-    WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+    WITH j AS (SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                           THEN TRY_CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT) END AS k_val,
                       value
                FROM events)
     SELECT k_val % 10 AS k_bucket,
@@ -347,10 +349,14 @@ def json_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from a string column (events.props carries
     the reference's metadata-blob pattern, SURVEY §2.1 scan_metadata_json)
     — get_json_object evaluates in the JVM, so the extract+cast+group
-    stays in one codegen stage."""
+    stays in one codegen stage.  try_cast, not cast: a non-numeric $.k
+    is NULL, never an ANSI CAST_INVALID_INPUT crash (the oracle mirrors
+    with json_valid + TRY_CAST — DuckDB's json functions ERROR on
+    malformed JSON where get_json_object returns NULL)."""
     ev = load_table(spark, sf_dir, "events")
     j = ev.select(
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"), "value"
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_val"),
+        "value",
     )
     return j.groupBy((F.col("k_val") % 10).alias("k_bucket")).agg(
         F.count("*").alias("n"),
@@ -732,7 +738,7 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            first_value(value) OVER w AS first_val,
            last_value(value) OVER w AS last_val,
            nth_value(value, 2) OVER w AS second_val
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
@@ -745,7 +751,7 @@ def window_first_last_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered."""
     from .sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -769,7 +775,7 @@ def window_first_last_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     ch AS (SELECT * FROM (
              SELECT user_id, event_id, event_type, ts_us,
                     lag(event_type) OVER (PARTITION BY user_id
@@ -796,7 +802,7 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-change filter and the interval close reuse one shuffle
     (Catalyst plans a single Exchange).  Deterministic total order via
     (ts, event_id) so both engines agree on ties."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ev = ev_raw.select(
         "user_id", "event_id", "event_type", ts_us_expr(ev_raw).alias("ts_us")
     )
@@ -1196,7 +1202,7 @@ def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                       substr(event_type, 1, 1) AS letter
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     s AS (SELECT user_id,
                  string_agg(letter, '' ORDER BY ts_us, event_id) AS seq
           FROM e GROUP BY user_id)
@@ -1218,7 +1224,7 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     without an ordered-aggregation primitive, and per-user event counts
     bound the collected array (the same cardinality argument as the
     sessionizer)."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ev = ev_raw.select(
         "user_id",
         F.struct(
@@ -1646,7 +1652,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = _t(spark, sf_dir, "events")
     day_us = 86_400 * 1_000_000
     ev = ev_raw.select(
-        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+        "user_id", epoch_day_from_us(ts_us_expr(ev_raw)).alias("day")
     )
     active = ev.distinct()
     firsts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
@@ -1821,8 +1827,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round("value", 6).alias("value"),
+        # try_divide: a constant group has MAD 0 — robust z undefined
+        # (NULL, matching DuckDB /0), so such groups flag nothing
         F.round(
-            (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+            F.try_divide(
+                F.col("value") - F.col("med"), F.lit(1.4826) * F.col("mad")
+            ),
+            6,
         ).alias("robust_z"),
     )
     return scored.where(F.abs(F.col("robust_z")) > 3.0)
@@ -1972,7 +1983,7 @@ def growth_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT DISTINCT user_id,
                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     isl AS (SELECT user_id, day,
                    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
                        AS island
@@ -1994,10 +2005,10 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — engagement metrics' favorite query.  Everything after the
     distinct-day projection shares one (user_id) shuffle; day ids are
     epoch-day integers."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     day_us = 86_400 * 1_000_000
     d = ev_raw.select(
-        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+        "user_id", epoch_day_from_us(ts_us_expr(ev_raw)).alias("day")
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     isl = d.select(
@@ -2080,7 +2091,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT user_id, event_type, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     t AS (SELECT user_id, event_type AS to_type,
                  lag(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts_us, event_id) AS from_type
@@ -2100,7 +2111,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral model behind next-action prediction and anomaly flags.
     The normalizing marginal broadcasts; probabilities divide exactly-
     counted BIGINTs."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ev = ev_raw.select(
         "user_id", "event_type", "event_id", ts_us_expr(ev_raw).alias("ts_us")
     )
@@ -2262,7 +2273,7 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT user_id, event_id, value,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     mu AS (SELECT round(avg(value), 6) AS mean_v FROM e),
     c AS (SELECT user_id,
                  sum(value - mean_v) OVER (PARTITION BY user_id
@@ -2283,7 +2294,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is safe cross-engine because an ORDER BY window folds in ONE
     pinned order (see the rounding ladder in docs/PLAN_AUDIT.md);
     window and rollup share the (user_id) shuffle."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ev = ev_raw.select(
         "user_id", "event_id", "value", ts_us_expr(ev_raw).alias("ts_us")
     )
@@ -2526,7 +2537,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = _t(spark, sf_dir, "events")
     day_us = 86_400 * 1_000_000
     d = ev_raw.select(
-        "user_id", (ts_us_expr(ev_raw) / F.lit(day_us)).cast("bigint").alias("day")
+        "user_id", epoch_day_from_us(ts_us_expr(ev_raw)).alias("day")
     ).distinct()
     dau = d.groupBy("day").agg(F.count("*").alias("dau"))
 
@@ -2649,7 +2660,7 @@ def stat_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, event_id, event_type, value,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     base AS (SELECT user_id,
                     CAST(count(*) AS BIGINT) AS n_events,
                     CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
@@ -2691,13 +2702,13 @@ def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     CO-PARTITIONED: one logical shuffle grain end to end, no broadcast
     needed, and the same plan assembles thousands of features at
     warehouse scale."""
-    ev_raw = _t(spark, sf_dir, "events")
+    ev_raw = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     day_us = 86_400 * 1_000_000
     ts_us = ts_us_expr(ev_raw)
     e = ev_raw.select(
         "user_id", "event_id", "event_type", "value",
         ts_us.alias("ts_us"),
-        (ts_us / F.lit(day_us)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us).alias("day"),
     )
     base = e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -2763,7 +2774,7 @@ def timeseries_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86_400 * 1_000_000
     d = (
         ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
-        .groupBy((ts_us_expr(ev) / F.lit(day_us)).cast("bigint").alias("day"))
+        .groupBy(epoch_day_from_us(ts_us_expr(ev)).alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("revenue"))
     )
     spine = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
@@ -3356,9 +3367,9 @@ def _ewma_terms_sql(lag_fn) -> tuple[str, str]:
     "timeseries_ewma_smoothing",
     oracle=(lambda: (lambda num, den: f"""
     WITH d AS (SELECT event_type,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT event_type, day,
                  CAST(sum(cents) AS BIGINT) AS daily_cents
           FROM d GROUP BY event_type, day),
@@ -3384,10 +3395,10 @@ def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window state is 8 lag slots per partition.  The geometric-weight
     truncation at 8 days changes the value by < (1-α)^8 ≈ 5.8% of a
     day's weight — declared in the contract rather than hidden."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
         "event_type",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("event_type", "day").agg(
@@ -3416,7 +3427,7 @@ def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_global,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            TRUE AS merged_within_5pct
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
     """,
 )
 def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3429,8 +3440,11 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is a fixed-size register array, and merging never rescans
     history.  Only the exact count and the envelope boolean are
     compared; the sketch bytes themselves are engine-local
-    (cf. [[approx_distinct_accuracy]], the single-level contract)."""
-    ev = _t(spark, sf_dir, "events")
+    (cf. [[approx_distinct_accuracy]], the single-level contract).
+    A NULL event_type is not a type: filtered on both sides (the
+    groupBy would otherwise mint a NULL-keyed sketch that
+    count(DISTINCT) never counts — hostile-fixture find)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
@@ -3576,9 +3590,9 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_kpi_daily",
     oracle="""
     WITH e AS (SELECT user_id, event_type,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     firstday AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id),
     daily AS (SELECT day,
                      CAST(count(*) AS BIGINT) AS n_events,
@@ -3609,10 +3623,10 @@ def events_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the one non-combinable piece — at 100 TB swap it for the
     HLL sketch of [[sketch_hll_mergeable_rollup]], the declared
     approximate path."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select(
         "user_id", "event_type",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     firstday = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
@@ -4127,9 +4141,9 @@ def stat_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_autocorrelation",
     oracle="""
     WITH d AS (SELECT event_type,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS v
           FROM d GROUP BY event_type, day),
     l AS (SELECT lag.lag, a.event_type, a.v AS x, b.v AS y
@@ -4162,10 +4176,10 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     every moment (n, Σx, Σy, Σxy, Σx², Σy²) accumulates as an exact
     BIGINT over integer cents, so the Pearson ratio is bit-stable
     under any fold order.  7 lags × |types| output rows."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
         "event_type",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("event_type", "day").agg(
@@ -4202,7 +4216,10 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
     )
     return m.select(
-        "event_type", "lag", "n", F.round(num / den, 6).alias("acf")
+        "event_type", "lag", "n",
+        # try_divide: a constant series has zero variance — acf is
+        # undefined (NULL, matching DuckDB /0), not an ANSI crash
+        F.round(F.try_divide(num, den), 6).alias("acf"),
     )
 
 

@@ -906,7 +906,7 @@ def multimodal_avi_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) AS window_start_epoch,
            event_type, count(*) AS n_events,
            round(sum(value), 6) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +929,8 @@ def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_sliding_agg",
     oracle="""
-    WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS s, event_type FROM events),
+    WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS s, event_type FROM events
+              WHERE ts IS NOT NULL),
     w AS (SELECT event_type,
                  unnest([CAST(floor(s/300)*300 AS BIGINT),
                          CAST(floor(s/300)*300 - 300 AS BIGINT)]) AS ws
@@ -956,10 +957,11 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_session_agg",
     oracle="""
-    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     m AS (SELECT user_id, us,
                  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
                       THEN 1 ELSE 0 END AS brk
           FROM e),
     g AS (SELECT user_id, us,
@@ -972,8 +974,13 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — Spark's session_window vs
-    the classic gaps-and-islands SQL as oracle."""
-    ev = events_with_ts(spark, sf_dir)
+    the classic gaps-and-islands SQL as oracle.  Anonymous (NULL user)
+    and untimestamped events have no session — filtered explicitly on
+    both sides (session_window already drops NULL ts internally; the
+    filter makes the contract visible)."""
+    ev = events_with_ts(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -1424,10 +1431,11 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sessionize_apply_in_pandas",
     oracle="""
-    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     m AS (SELECT user_id, us,
                  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
                       THEN 1 ELSE 0 END AS brk
           FROM e),
     g AS (SELECT user_id, us,
@@ -1445,7 +1453,12 @@ def sessionize_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.stateful import sessionize
 
     ev_raw = _t(spark, sf_dir, "events")
-    ev = ev_raw.select("user_id", ts_us_expr(ev_raw).alias("ts_us"))
+    # anonymous / untimestamped events have no session (matches the
+    # oracle's WHERE; a NULL user also becomes a NaN→int64 garbage cast
+    # inside the pandas seam — hostile-fixture find)
+    ev = ev_raw.select("user_id", ts_us_expr(ev_raw).alias("ts_us")).where(
+        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+    )
     return sessionize(ev)
 
 

@@ -505,11 +505,12 @@ HOLT_BETA = 0.25
     "timeseries_holt_forecast",
     oracle="""
     WITH RECURSIVE d AS (SELECT event_type,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS daily_cents
-          FROM d GROUP BY event_type, day),
+          FROM d GROUP BY event_type, day
+          HAVING sum(cents) IS NOT NULL),
     s AS (SELECT event_type, CAST(daily_cents AS DOUBLE) AS y,
                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
           FROM g),
@@ -557,16 +558,21 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation sequence, giving bit-identical doubles with no fixed-point
     ladder needed.  Initial state: level = first day, trend = 0.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
         "event_type",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("event_type", "day").agg(
         F.sum("cents").cast("bigint").alias("daily_cents")
+    ).where(
+        # a day whose values are all NULL has no measurable point — drop
+        # it instead of letting a NULL poison the fold (engines propagate
+        # NULL through the recurrence differently; hostile-fixture find)
+        F.col("daily_cents").isNotNull()
     )
     s = g.groupBy("event_type").agg(
         F.expr(
@@ -603,9 +609,9 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "timeseries_seasonal_decompose",
     oracle="""
-    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
           FROM d GROUP BY day),
     w AS (SELECT day, daily_cents,
@@ -647,11 +653,11 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     wide float sum would be fold-order-dependent).  dow is day-number
     mod 7 — a pure integer cycle, immune to calendar/timezone dialects.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
@@ -705,7 +711,7 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS score_cents,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     g AS (SELECT score_cents,
                  CAST(sum(pos) AS BIGINT) AS n_pos,
                  CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
@@ -739,7 +745,10 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .sources.tables import ts_us_expr  # noqa: F401  (parity import convention)
 
-    ev = _t(spark, sf_dir, "events")
+    # unscored rows (NULL value) can't be ranked: excluded on both sides
+    # (a NULL score group otherwise sorts NULLS FIRST in Spark's window
+    # and NULLS LAST in DuckDB's — hostile-fixture find)
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     s = ev.select(
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("score_cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
@@ -1121,7 +1130,7 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming enrichment shape, and it is precisely the state
     Structured Streaming would keep (watermark-bounded per-key buffers).
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
@@ -1334,7 +1343,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_theil_sen",
     oracle="""
-    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                FROM events),
     g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
@@ -1369,11 +1378,11 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once; the intercept reuses the ROUNDED median slope so both
     engines subtract identical doubles before the second median.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
@@ -1618,7 +1627,7 @@ JOIN_SALT_R = 8
     "join_salted_skew",
     oracle="""
     WITH e AS (SELECT event_id,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                FROM events),
     daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_day,
@@ -1646,12 +1655,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting must be a pure physical rewrite with zero semantic drift.
     Companion to agg_salted_skew (the aggregation form).
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
         "event_id",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     daily = e.groupBy("day").agg(
@@ -1689,19 +1698,20 @@ join_salted_skew.__doc__ = join_salted_skew.__doc__.format(r=JOIN_SALT_R)
     "timeseries_ohlc_downsample",
     oracle="""
     WITH d AS (SELECT event_type,
-                      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                      ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS daily_cents
-          FROM d GROUP BY event_type, day)
-    SELECT event_type, day // 7 AS week,
+          FROM d GROUP BY event_type, day
+          HAVING sum(cents) IS NOT NULL)
+    SELECT event_type, (day - (day % 7 + 7) % 7) // 7 AS week,
            round(arg_min(daily_cents, day) / 100.0, 2) AS open,
            round(max(daily_cents) / 100.0, 2) AS high,
            round(min(daily_cents) / 100.0, 2) AS low,
            round(arg_max(daily_cents, day) / 100.0, 2) AS close,
            round(sum(daily_cents) / 100.0, 2) AS volume,
            CAST(count(*) AS BIGINT) AS n_days
-    FROM g GROUP BY event_type, day // 7
+    FROM g GROUP BY event_type, (day - (day % 7 + 7) % 7) // 7
     """,
 )
 def timeseries_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,19 +1727,19 @@ def timeseries_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the daily rollup and never materializes an ordered series,
     unlike window-based first/last which would force a sort.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
         "event_type",
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("event_type", "day").agg(
         F.sum("cents").cast("bigint").alias("daily_cents")
-    )
+    ).where(F.col("daily_cents").isNotNull())  # all-NULL day: no bar point
     return g.groupBy(
-        "event_type", F.expr("day DIV 7").alias("week")
+        "event_type", F.expr("(day - pmod(day, 7)) DIV 7").alias("week")
     ).agg(
         F.round(F.expr("min_by(daily_cents, day)") / 100.0, 2).alias("open"),
         F.round(F.max("daily_cents") / 100.0, 2).alias("high"),
@@ -2014,9 +2024,9 @@ ANOM_MAD_MULT = 3
 @query(
     "events_anomaly_seasonal",
     oracle=f"""
-    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
           FROM d GROUP BY day),
     w AS (SELECT day, daily_cents,
@@ -2062,11 +2072,11 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers BEFORE the comparison, so the anomaly flag is a pure
     integer predicate — no float boundary can disagree between engines.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))
@@ -2785,11 +2795,16 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     vals = F.array_sort(F.collect_list("value"))
+    # index on count(value), not count(*): collect_list SKIPS NULLs, so
+    # a group with NULL values indexed by its total row count walks off
+    # the array (ANSI crash; hostile-fixture find).  try_element_at:
+    # an all-NULL group has no discrete percentile — NULL, matching
+    # DuckDB's quantile_disc over nothing.
     disc = lambda p: F.round(  # noqa: E731
-        F.element_at(
+        F.try_element_at(
             vals,
             F.greatest(
-                F.lit(1), F.ceil(F.lit(p) * F.count("*")).cast("int")
+                F.lit(1), F.ceil(F.lit(p) * F.count("value")).cast("int")
             ),
         ),
         6,
@@ -2853,7 +2868,7 @@ def events_bot_cadence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact, fold-order-proof), with floats only in the final σ/μ.  The
     cv is quantized to integer micro-units BEFORE thresholding.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     e = ev.select("user_id", ts_us_expr(ev).alias("us"))
@@ -3569,7 +3584,7 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same grid-bounding acceptance as stat_ks_two_sample and the
     day spines.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     s = ev.select(
@@ -3602,7 +3617,7 @@ SLO_TARGET_PPM = 250_000  # error budget: 25% of events may be errors
     oracle=f"""
     WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
                       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     h AS (SELECT hour,
                  CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(is_err) AS BIGINT) AS n_err
@@ -3638,9 +3653,9 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio and the page predicate compares integers against the literal
     budget — no float boundary can disagree.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select(
         (ts_us_expr(ev) / F.lit(3_600_000_000)).cast("bigint").alias("hour"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
@@ -3972,7 +3987,7 @@ PEAK_SESSION_GAP_US = 1_800_000_000  # 30 min session gap
 @query(
     "events_peak_concurrency",
     oracle=f"""
-    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE ts IS NOT NULL),
     g AS (SELECT user_id, us,
                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
                            > {PEAK_SESSION_GAP_US}
@@ -4016,9 +4031,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep pattern exists to kill (interval_coverage_profile,
     orders_backlog_snapshot).
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select("user_id", ts_us_expr(ev).alias("us"))
     w = Window.partitionBy("user_id").orderBy("us")
     g = e.withColumn(
@@ -4247,10 +4262,11 @@ vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
 @query(
     "timeseries_forecast_backtest",
     oracle="""
-    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
-    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM d GROUP BY day),
+               FROM events WHERE ts IS NOT NULL),
+    g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM d GROUP BY day
+          HAVING sum(cents) IS NOT NULL),
     l AS (SELECT day, y,
                  lag(y, 1) OVER (ORDER BY day) AS naive,
                  lag(y, 7) OVER (ORDER BY day) AS snaive
@@ -4282,14 +4298,19 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     error aggregation ([[timeseries_holt_forecast]] produces them).
     Floats appear only in the three final divisions.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("y"))
+    # all-NULL days have no observation: dropped on both sides, like
+    # timeseries_holt_forecast (a NULL day otherwise enters the lag
+    # series at a different position per engine's NULL ordering)
+    g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("y")).where(
+        F.col("y").isNotNull()
+    )
     w = Window.orderBy("day")
     l = g.select(
         "day",
@@ -4736,13 +4757,22 @@ def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x_b"),
     )
-    ra = F.col("x_a").cast("double") / F.col("n_a")
-    rb = F.col("x_b").cast("double") / F.col("n_b")
-    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide: an empty arm (n=0) or zero-variance pool makes z
+    # undefined — NULL, matching DuckDB /0 (hostile-fixture find)
+    ra = F.try_divide(F.col("x_a").cast("double"), F.col("n_a"))
+    rb = F.try_divide(F.col("x_b").cast("double"), F.col("n_b"))
+    pool = F.try_divide(
+        (F.col("x_a") + F.col("x_b")).cast("double"),
+        F.col("n_a") + F.col("n_b"),
     )
-    z = (ra - rb) / F.sqrt(
-        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    z = F.try_divide(
+        ra - rb,
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.try_divide(F.lit(1.0), F.col("n_a"))
+               + F.try_divide(F.lit(1.0), F.col("n_b")))
+        ),
     )
     return c.select(
         "n_a",
@@ -5521,7 +5551,7 @@ PATHS_TOP_K = 10
     oracle=f"""
     WITH e AS (SELECT user_id, event_type,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     r AS (SELECT user_id, event_type,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY us, event_id) AS rn
@@ -5550,9 +5580,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; users with fewer than 3 events are excluded rather
     than producing ragged prefixes.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select(
         "user_id", "event_type", ts_us_expr(ev).alias("us"), "event_id"
     )
@@ -5917,7 +5947,7 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     models), and per-touch credits quantized to integer µ-units before
     the channel rollup so the distributive sums are exact.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
@@ -6093,7 +6123,7 @@ def stream_state_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     change ([[stream_late_data_audit]] covers the other side: what the
     watermark would DROP).
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
@@ -6574,7 +6604,7 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_bounce_rate_daily",
     oracle=f"""
-    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE ts IS NOT NULL),
     g AS (SELECT user_id, us,
                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
                            > {PEAK_SESSION_GAP_US}
@@ -6586,7 +6616,7 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS UNBOUNDED PRECEDING) AS sid
           FROM g),
     iv AS (SELECT user_id, sid,
-                  CAST(min(us) AS BIGINT) // 86400000000 AS day,
+                  ((CAST(min(us) AS BIGINT) - (CAST(min(us) AS BIGINT) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                   CAST(count(*) AS BIGINT) AS n_events
            FROM s GROUP BY user_id, sid)
     SELECT day,
@@ -6611,9 +6641,9 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     their start day (the standard convention, stated because midnight-
     spanning sessions would otherwise double-count).
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select("user_id", ts_us_expr(ev).alias("us"))
     w = Window.partitionBy("user_id").orderBy("us")
     g = e.withColumn(
@@ -6628,7 +6658,7 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     iv = s.groupBy("user_id", "sid").agg(
-        F.expr("CAST(min(us) AS BIGINT) DIV 86400000000").alias("day"),
+        F.expr("CAST((min(us) - pmod(min(us), 86400000000)) DIV 86400000000 AS BIGINT)").alias("day"),
         F.count("*").alias("n_events"),
     )
     return iv.groupBy("day").agg(
@@ -6730,7 +6760,7 @@ def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     g AS (SELECT cents, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(pos) AS BIGINT) AS p
           FROM s GROUP BY cents),
@@ -6782,7 +6812,10 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on the winning cut.  Output: the winning threshold,
     parent/split impurity, the gain, and the resulting partition sizes.
     """
-    s = _t(spark, sf_dir, "events").select(
+    # a NULL feature value yields no candidate cut: excluded both sides
+    # (its grid group otherwise sorts NULLS FIRST in Spark's cumulative
+    # window and NULLS LAST in DuckDB's — hostile-fixture find)
+    s = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
@@ -7244,9 +7277,9 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_rolling_median",
     oracle="""
-    WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT day, CAST(sum(cents) AS BIGINT) AS daily_cents
           FROM d GROUP BY day)
     SELECT day,
@@ -7275,11 +7308,11 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     grids the two-heap streaming median is the declared upgrade, same
     interface.
     """
-    from .sources.tables import ts_us_expr
+    from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     d = ev.select(
-        (ts_us_expr(ev) / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        epoch_day_from_us(ts_us_expr(ev)).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     g = d.groupBy("day").agg(F.sum("cents").cast("bigint").alias("daily_cents"))

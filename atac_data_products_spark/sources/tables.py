@@ -104,6 +104,22 @@ def epoch_day_expr(col):
     return F.unix_date(c.cast("date")).cast("bigint")
 
 
+def epoch_day_from_us(us_col, day_us: int = 86_400_000_000):
+    """FLOOR-division day index from an epoch-µs BIGINT column, exact
+    over the whole int64 range.  Neither `x DIV y` nor a double-divide
+    cast is correct: DIV truncates toward zero (pre-1970 instants land
+    one day late, diverging from SQL `//` floor semantics), and a bare
+    double quotient can round at extreme epochs.  Subtracting
+    ``pmod`` (always non-negative) leaves an exact multiple of day_us,
+    whose double quotient is exact (day_us carries a 2^10 factor ≥ the
+    ulp anywhere in int64 range)."""
+    from pyspark.sql import functions as F
+
+    d = F.lit(day_us)
+    us = us_col.cast("bigint")
+    return ((us - F.pmod(us, d)) / d).cast("bigint")
+
+
 def ntz_epoch_s(col_sql: str):
     """Epoch-seconds BIGINT from a TIMESTAMP_NTZ column; see
     ntz_epoch_us."""

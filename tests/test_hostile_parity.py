@@ -103,6 +103,26 @@ RISK_KEYS = [
     "vector_kmeans_lloyd",
     "vector_lang_centroid_outliers",
     "corpus_doc_embedding_hashed",
+    # hostile events: pre-1970 floor-day indexes, NULL ts/user/type/
+    # value/props, malformed JSON, session-gap boundary ties, /0 stats
+    "events_kpi_daily",
+    "events_dau_wau_mau",
+    "events_markov_transitions",
+    "window_session_agg",
+    "sessionize_apply_in_pandas",
+    "window_tumbling_agg",
+    "window_rolling_median",
+    "json_extract_battery",
+    "cast_to_numeric",
+    "timeseries_ohlc_downsample",
+    "timeseries_holt_forecast",
+    "timeseries_forecast_backtest",
+    "agg_percentile_disc",
+    "ml_roc_auc",
+    "ml_decision_stump",
+    "sketch_hll_mergeable_rollup",
+    "stat_two_proportion_ztest",
+    "events_anomaly_mad",
 ]
 
 TABLES = [

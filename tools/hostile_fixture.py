@@ -76,9 +76,10 @@ def build(dest: str, source: str = SRC, with_nulls: bool = True) -> int:
     Path(dest).mkdir(parents=True, exist_ok=True)
     for t in [
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ]:
         shutil.copy(f"{source}/{t}.parquet", f"{dest}/{t}.parquet")
+    pq_write_events(dest)
     rows = [(i, t, "xx", "hostile_a", len(t)) for i, t in enumerate(HOSTILE)]
     rows += [
         (1000 + i, t, "xx", "hostile_b", len(t))
@@ -104,6 +105,65 @@ def build(dest: str, source: str = SRC, with_nulls: bool = True) -> int:
     pq.write_table(tbl, f"{dest}/documents.parquet")
     pq.write_table(_hostile_embeddings(), f"{dest}/embeddings.parquet")
     return tbl.num_rows
+
+
+def pq_write_events(dest: str) -> None:
+    """Adversarial events: pre-1970 wall clocks (negative epochs — the
+    truncate-vs-floor day-index trap), the epoch itself ±1µs, timestamp
+    ties, NULL ts/user/type/value/props, malformed and non-object JSON
+    props, single-event users, exact session-gap boundaries, and value
+    extremes inside the integer-cents domain."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    E = dt.datetime(1970, 1, 1)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, dt.datetime(1950, 6, 15, 12, 0, 0), 1, "click", 1.0, '{"k": 1}'),
+        (2, dt.datetime(1969, 12, 31, 23, 59, 59, 999999), 1, "view", 2.0, '{"k": 2}'),
+        (3, E, 1, "purchase", 3.0, '{"k": 3}'),
+        (4, E + dt.timedelta(microseconds=1), 1, "click", 4.0, '{"k": 4}'),
+        (5, E - dt.timedelta(microseconds=1), 2, "click", 5.0, '{"k": 5}'),
+        # same-instant tie, distinct event_ids
+        (6, dt.datetime(2024, 1, 5, 10, 0, 0), 2, "view", 6.0, '{"k": 6}'),
+        (7, dt.datetime(2024, 1, 5, 10, 0, 0), 2, "click", 7.0, '{"k": 7}'),
+        # exact 30-minute session gap boundary
+        (8, dt.datetime(2024, 1, 5, 10, 30, 0), 2, "view", 8.0, '{"k": 8}'),
+        # NULLs in every nullable slot
+        (9, None, 3, "click", 9.0, '{"k": 9}'),
+        (10, dt.datetime(2024, 1, 6, 9, 0, 0), None, "view", 10.0, '{"k": 10}'),
+        (11, dt.datetime(2024, 1, 6, 9, 1, 0), 3, None, 11.0, '{"k": 11}'),
+        (12, dt.datetime(2024, 1, 6, 9, 2, 0), 3, "purchase", None, '{"k": 12}'),
+        (13, dt.datetime(2024, 1, 6, 9, 3, 0), 3, "click", 13.0, None),
+        # hostile JSON props
+        (14, dt.datetime(2024, 1, 6, 9, 4, 0), 4, "view", 14.0, ""),
+        (15, dt.datetime(2024, 1, 6, 9, 5, 0), 4, "click", 15.0, "not json"),
+        (16, dt.datetime(2024, 1, 6, 9, 6, 0), 4, "view", 16.0, '{"broken'),
+        (17, dt.datetime(2024, 1, 6, 9, 7, 0), 4, "click", 17.0, '{"k": "str"}'),
+        (18, dt.datetime(2024, 1, 6, 9, 8, 0), 4, "view", 18.0, '{"k": null}'),
+        (19, dt.datetime(2024, 1, 6, 9, 9, 0), 4, "click", 19.0, "[1, 2, 3]"),
+        (20, dt.datetime(2024, 1, 6, 9, 10, 0), 4, "view", 20.0, '{"k": {"n": 1}}'),
+        # value extremes (integer-cents SECOND-MOMENT domain edge: keys
+        # sum exact cents-squared products, so |v| ≤ ~1e6 is the loader
+        # gate, mirroring the embeddings' quantization domain)
+        (21, dt.datetime(2024, 1, 7, 0, 0, 0), 5, "purchase", 1e6, '{"k": 21}'),
+        (22, dt.datetime(2024, 1, 7, 1, 0, 0), 6, "purchase", -99.99, '{"k": 22}'),
+        (23, dt.datetime(2024, 1, 7, 2, 0, 0), 7, "error", 0.0, '{"k": 23}'),
+        (24, dt.datetime(9999, 12, 31, 23, 59, 59), 7, "view", 24.0, '{"k": 24}'),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/events.parquet")
 
 
 def _hostile_embeddings():

@@ -1,20 +1,31 @@
-"""Build the adversarial-Unicode `documents` fixture.
+"""Build the adversarial-input fixture: hostile documents, embeddings,
+and events.
 
-The driver's synthetic text is tame ASCII-ish prose, so the oracle
-gate never exercises the places Spark and DuckDB could legitimately
-disagree: regex semantics over astral-plane code points, casing
-traps (Turkish I, sharp s, final sigma), combining vs precomposed
-forms, zero-width characters, embedded NUL/C0 controls, RTL scripts,
-ZWJ emoji sequences.  This fixture packs those into a schema-identical
-`documents.parquet` (other tables copied unchanged) so
-`tools/check_correctness.py --` can run the documents-reading keys'
-Spark query AND DuckDB oracle side-by-side on hostile input:
+The driver's synthetic tables are tame, so the oracle gate never
+exercises the places Spark and DuckDB can legitimately disagree or an
+operator can crash.  This fixture packs those places into
+schema-identical tables (remaining tables copied unchanged) so
+`tools/check_correctness.py` runs each key's Spark plan AND DuckDB
+oracle side-by-side on hostile input:
+
+- documents: astral-plane code points, casing traps (Turkish İ, final
+  sigma — the one DOCUMENTED checker divergence; drop those two docs
+  to test everything else), combining vs precomposed forms, zero-width
+  chars, embedded NUL/C0 controls, RTL scripts, ZWJ emoji, whitespace
+  zoo, degenerate/huge docs, NULL text/lang/source rows; two sources
+  with duplicated docs feed the dedup keys.
+- embeddings: zero vectors, domain-edge magnitudes (|x| ≤ ~1e6 — the
+  int64 second-moment headroom contract), one-hot/constant/alternating
+  shapes.
+- events: pre-1970 wall clocks (floor-day trap), the epoch ±1µs,
+  timestamp ties, session-gap boundary hits, NULL ts/user/type/value/
+  props, malformed JSON, domain-edge values.
 
     python tools/hostile_fixture.py /tmp/sf_hostile
     python tools/check_correctness.py /tmp/sf_hostile text_lang_id ...
 
-Two sources (hostile_a / hostile_b, 15 docs duplicated) give the dedup
-and cross-source keys real work.
+The per-suite battery over this fixture is
+tests/test_hostile_parity.py.
 """
 
 from __future__ import annotations

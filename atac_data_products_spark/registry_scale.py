@@ -3763,7 +3763,9 @@ def similarity_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataF
         n = lambda vv: F.sqrt(  # noqa: E731
             F.aggregate(F.transform(vv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
         )
-        return F.round(d / (n(a) * n(b)), 6)
+        # try_divide: a zero-norm (or zero-norm PREFIX of a) vector has
+        # NULL similarity, ordered last — matching DuckDB /0
+        return F.round(F.try_divide(d, n(a) * n(b)), 6)
 
     def topk(scored):
         w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")

@@ -99,6 +99,7 @@ RISK_KEYS = [
     "similarity_ivf_topk",
     "similarity_range_search",
     "similarity_knn_join",
+    "similarity_matryoshka_prefix_eval",
     "dedup_embedding_cosine_lsh",
     "vector_kmeans_lloyd",
     "vector_lang_centroid_outliers",

@@ -97,7 +97,12 @@ def demux_avi(raw: bytes) -> tuple[dict, list[tuple[int, str, bytes]]]:
                     span = [(mcid, mbody, msize, mltype)]
                 for fcid, fbody, fsize, _ in span:
                     tag = fcid.decode("latin-1")
-                    if tag[:2].isdigit() and tag[2:] in ("dc", "db", "wb"):
+                    # isdecimal, not isdigit: under latin-1, isdigit also
+                    # accepts superscripts ('²'), so a hostile id like
+                    # b'\xb2\xb3dc' would reach int() and raise a bare
+                    # ValueError instead of being skipped as a non-frame
+                    # chunk.  Latin-1 isdecimal is exactly ASCII 0-9.
+                    if tag[:2].isdecimal() and tag[2:] in ("dc", "db", "wb"):
                         frames.append(
                             (int(tag[:2]), tag[2:], raw[fbody : fbody + fsize])
                         )

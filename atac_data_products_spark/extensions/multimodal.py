@@ -261,6 +261,8 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, chs, rates, ns, sums, sabs, mins, maxs = ([] for _ in range(8))
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload has no samples
+                    continue
                 raw = bytes(payload)
                 if not is_wav(raw):
                     raise NotImplementedError(
@@ -323,6 +325,8 @@ def demux_video_frames(media: DataFrame) -> DataFrame:
                 "width": [], "height": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload has no frames
+                    continue
                 raw = bytes(payload)
                 if not is_avi(raw):
                     raise NotImplementedError(

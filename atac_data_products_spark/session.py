@@ -44,6 +44,14 @@ def get_spark(
         # zstd: ~30% smaller than snappy at comparable speed — at 100 TB
         # that is tens of TB of storage and scan IO saved
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Reader contract (docs/OPERATIONS.md): wall-clock parquet
+        # TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ and
+        # TIMESTAMP(NANOS) as BIGINT nanos.  Session-wide because Spark
+        # exposes no per-read option for either; sources/tables.py
+        # re-asserts them (ensure_reader_confs) for sessions not built
+        # here, e.g. the driver's.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -143,3 +143,28 @@ def test_spark_demux_non_avi_raises(spark):
     )
     with pytest.raises(Exception, match="not RIFF/AVI"):
         demux_video_frames(media).collect()
+
+def test_superscript_digit_chunk_id_skipped():
+    # latin-1 '\xb2\xb3' ('²³') passes str.isdigit but is NOT a stream
+    # number; the demuxer must skip it as an unknown chunk ("rejected by
+    # name" contract), not die in int() with a bare ValueError
+    movi = _lst(
+        b"movi", _chunk(b"\xb2\xb3dc", b"junk") + _chunk(b"00dc", b"v0")
+    )
+    _, out = demux_avi(_container(_HDRL, movi))
+    assert out == [(0, "dc", b"v0")]
+
+
+def test_spark_demux_null_payload_skipped(spark):
+    # NULL payload has no frames (same contract as frame_sample); it
+    # must not crash the executor with TypeError(bytes(None))
+    from atac_data_products_spark.extensions.multimodal import (
+        demux_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_avi([b"f0"], 8, 8))), (2, None)],
+        "media_id bigint, payload binary",
+    )
+    rows = demux_video_frames(media).collect()
+    assert [r["media_id"] for r in rows] == [1]

@@ -204,3 +204,17 @@ def test_decode_media_routing(spark):
     assert decode_media(media, "audio_stats").count() == 1
     with pytest.raises(NotImplementedError, match="video"):
         decode_media(media, "video_frames")
+
+def test_spark_decode_audio_null_payload_skipped(spark):
+    # NULL payload has no samples (same contract as frame_sample); it
+    # must not crash the executor with TypeError(bytes(None))
+    from atac_data_products_spark.extensions.multimodal import (
+        decode_audio_stats,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(_rand(8, 1), 8000))), (2, None)],
+        "media_id bigint, payload binary",
+    )
+    rows = decode_audio_stats(media).collect()
+    assert [r["media_id"] for r in rows] == [1]

@@ -48,38 +48,82 @@ def _ntz(lit: str):
     """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: the wide aggregate battery — one scan, one shuffle, every
-    aggregate computed map-side in the same HashAggregate.  The shipdate
-    predicate pushes to the parquet scan (NTZ literal, TZ-proof).
+    """Q1: the wide aggregate battery.  One pushed-down scan (NTZ
+    shipdate literal, TZ-proof), map-side partial aggregation, and
+    EXACT order-free money math — a double sum re-ordered by a
+    different partitioning once flipped sum_disc_price's last cent at
+    the round(2) boundary (caught by the row-order invariance sweep).
 
-    Money math is exact DECIMAL (the TPC-H spec's own type): the stored
-    doubles are exact 2-dp values, so the decimal cast is lossless, the
-    products carry ≤6 fractional digits exactly, and the SUMs are
-    order-free integers underneath — a double sum re-ordered by a
-    different partitioning flipped sum_disc_price's last cent at the
-    round(2) boundary (caught by the row-order invariance sweep).
+    Money math is int64 CENTS, not per-row DECIMAL (which fixed the
+    cent flip in r07 but cost 3× — decimal(21,4)/decimal(27,6)
+    products leave the compact-long representation and allocate
+    BigDecimal per row).  The stored doubles are exact 2-dp values, so
+    ``floor(x*100 + 0.5)`` recovers the exact integer cents in pure
+    codegen arithmetic (Math.floor, no BigDecimal — F.round on double
+    goes through BigDecimal.setScale; floor is also sign-correct,
+    where a cast's truncation toward zero would be off by one on every
+    negative).  Per-row products then stay int64: disc_price in
+    1e-4 units ≤ ~1.1e9, charge in 1e-6 units ≤ ~1.2e11.
+
+    Overflow safety is BY CONSTRUCTION, not by assumption (same
+    documented-headroom discipline as hash59's): partial sums group on
+    ``shiftright(monotonically_increasing_id(), 25)``, which chunks
+    every scan partition into ≤2^25-row runs (the id is
+    pid·2^33 + rownum, so the shift preserves the partition in the
+    high bits), bounding each partial long sum by
+    2^25 · 1.2e11 ≈ 4.0e18 < 2^63 (2.3× margin) regardless of input
+    split sizing.  The final merge sums the per-chunk partials as
+    decimal(38,0) — exact at any total — over a relation of
+    ~6·ceil(rows/2^25) rows (a few thousand at 100 TB), then divides
+    back to money once per group.  Both aggregations partial map-side;
+    the chunk key adds one tiny exchange carrying only the partials.
+    A/B at sf0.1 (/tmp retired; numbers in docs/PLAN_AUDIT.md):
+    DECIMAL 0.87s, decimal-input sums 0.70s, this form 0.43s — equal
+    results bit-for-bit on all six groups.
+
     Averages divide the exact sum by the count once, in double, AFTER
     aggregation — one deterministic division instead of an
-    order-sensitive running mean."""
+    order-sensitive running mean; the exact decimal quotient (scale-6,
+    lossless for 2-dp values) is cast to double exactly as the
+    oracle's CAST(sum AS DOUBLE) is."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= _ntz("1998-09-02")
     )
-    qty = F.col("l_quantity").cast("decimal(15,2)")
-    ep = F.col("l_extendedprice").cast("decimal(15,2)")
-    disc = F.col("l_discount").cast("decimal(5,2)")
-    tax = F.col("l_tax").cast("decimal(5,2)")
-    disc_price = ep * (F.lit(1).cast("decimal(5,2)") - disc)
-    charge = disc_price * (F.lit(1).cast("decimal(5,2)") + tax)
-    n = F.count("*")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-        F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-        F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
-        F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
-        F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
-        n.alias("count_order"),
+
+    def cents(col: str):
+        return F.floor(F.col(col) * 100 + F.lit(0.5))
+
+    qty_c, ep_c = cents("l_quantity"), cents("l_extendedprice")
+    disc_c, tax_c = cents("l_discount"), cents("l_tax")
+    disc_u = ep_c * (F.lit(100) - disc_c)  # 1e-4 money units
+    charge_u = disc_u * (F.lit(100) + tax_c)  # 1e-6 money units
+    part = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.shiftright(F.monotonically_increasing_id(), 25).alias("_chunk"),
+    ).agg(
+        F.sum(qty_c).alias("_sq"),
+        F.sum(ep_c).alias("_se"),
+        F.sum(disc_u).alias("_sd"),
+        F.sum(charge_u).alias("_sc"),
+        F.sum(disc_c).alias("_sdisc"),
+        F.count("*").alias("_n"),
+    )
+
+    def total(col: str):
+        return F.sum(F.col(col).cast("decimal(38,0)"))
+
+    sq, se, sd = total("_sq"), total("_se"), total("_sd")
+    sc, sdisc, n = total("_sc"), total("_sdisc"), F.sum("_n")
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(sq / 100, 2).cast("double").alias("sum_qty"),
+        F.round(se / 100, 2).cast("double").alias("sum_base_price"),
+        F.round(sd / 10_000, 2).cast("double").alias("sum_disc_price"),
+        F.round(sc / 1_000_000, 2).cast("double").alias("sum_charge"),
+        F.round((sq / 100).cast("double") / n, 6).alias("avg_qty"),
+        F.round((se / 100).cast("double") / n, 4).alias("avg_price"),
+        F.round((sdisc / 100).cast("double") / n, 6).alias("avg_disc"),
+        n.cast("bigint").alias("count_order"),
     )
 
 

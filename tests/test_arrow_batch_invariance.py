@@ -43,6 +43,7 @@ ARROW_KEYS = [
     "multimodal_avi_demux",        # RIFF/AVI container walk per row
     "multimodal_byte_features",    # rolling byte stats per payload
     "multimodal_frame_sample",     # deterministic frame subsample
+    "multimodal_media_pipeline",   # sniff -> route -> all three codecs
     "multimodal_png_decode",       # stdlib inflate + unfilter per row
     "multimodal_wav_decode",       # PCM stats per payload
     "scan_h5ad",                   # HDF5 ingest through the codec seam

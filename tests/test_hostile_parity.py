@@ -45,23 +45,11 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
-# keys that diverge ONLY via the full-vs-simple case-mapping docs
-CASE_MAPPING_EXEMPT = {
-    "corpus_chunk_overlap",
-    "corpus_doc_embedding_hashed",
-    "corpus_normalize_redact",
-    "corpus_tfidf_topk",
-    "corpus_tokenizer_fertility",
-    "corpus_vocab_coverage",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_fingerprint_rolling",
-    "text_feature_hashing",
-    "text_keyword_rake",
-    "text_token_count_bpe",
-    "udtf_term_positions",
-}
+# keys that diverge ONLY via the full-vs-simple case-mapping docs —
+# single source of truth in tools/hostile_fixture.py, asserted exact
+# (both directions, full registry) by tools/hostile_scan.py
+def _case_mapping_exempt():
+    return _load("hostile_fixture", "tools/hostile_fixture.py").CASE_MAPPING_EXEMPT
 
 # the per-suite subset: every key the sweep caught a real bug in, plus
 # the highest-churn tokenizer consumers (full 88-key audit:
@@ -144,13 +132,8 @@ def hostile_sf(tmp_path_factory):
     hf = _load("hostile_fixture", "tools/hostile_fixture.py")
     # drop the full-case-mapping docs (İ / final sigma): known checker
     # divergence, exercised + documented in the module docstring
-    hf.HOSTILE = [
-        t
-        for t in hf.HOSTILE
-        if "İstanbul" not in t and "ΣΙΣΥΦΟΣ" not in t
-    ]
     dest = tmp_path_factory.mktemp("hostile_sf")
-    hf.build(str(dest))
+    hf.build(str(dest), include_case_traps=False)
     return str(dest)
 
 

@@ -181,6 +181,7 @@ ARROW_ALLOWLIST: dict[str, int] = {
     "multimodal_avi_demux": 1,
     "multimodal_byte_features": 1,
     "multimodal_frame_sample": 1,
+    "multimodal_media_pipeline": 3,
     "multimodal_png_decode": 1,
     "multimodal_wav_decode": 1,
     "scan_h5ad": 1,

@@ -80,7 +80,40 @@ HOSTILE = [
 ]
 
 
-def build(dest: str, source: str = SRC, with_nulls: bool = True) -> int:
+# The one DOCUMENTED checker divergence (docs/OPERATIONS.md): Spark
+# applies Unicode FULL/contextual case mapping (Turkish İ → 'i̇', Greek
+# final sigma ς) where DuckDB lower() applies SIMPLE mapping.  Spark is
+# the spec-correct one.  Docs containing these markers are the only
+# fixture rows that trigger it; CASE_MAPPING_EXEMPT is the closed list
+# of keys that diverge ONLY through them (asserted exact — both
+# directions — by tools/hostile_scan.py, consumed by
+# tests/test_hostile_parity.py).
+CASE_TRAP_MARKERS = ("İstanbul", "ΣΙΣΥΦΟΣ")
+
+CASE_MAPPING_EXEMPT = {
+    "corpus_chunk_overlap",
+    "corpus_doc_embedding_hashed",
+    "corpus_normalize_redact",
+    "corpus_tfidf_topk",
+    "corpus_tokenizer_fertility",
+    "corpus_vocab_coverage",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_fingerprint_rolling",
+    "text_feature_hashing",
+    "text_keyword_rake",
+    "text_token_count_bpe",
+    "udtf_term_positions",
+}
+
+
+def build(
+    dest: str,
+    source: str = SRC,
+    with_nulls: bool = True,
+    include_case_traps: bool = True,
+) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -91,10 +124,15 @@ def build(dest: str, source: str = SRC, with_nulls: bool = True) -> int:
     ]:
         shutil.copy(f"{source}/{t}.parquet", f"{dest}/{t}.parquet")
     pq_write_events(dest)
-    rows = [(i, t, "xx", "hostile_a", len(t)) for i, t in enumerate(HOSTILE)]
+    docs = [
+        t
+        for t in HOSTILE
+        if include_case_traps or not any(m in t for m in CASE_TRAP_MARKERS)
+    ]
+    rows = [(i, t, "xx", "hostile_a", len(t)) for i, t in enumerate(docs)]
     rows += [
         (1000 + i, t, "xx", "hostile_b", len(t))
-        for i, t in enumerate(HOSTILE[:15])
+        for i, t in enumerate(docs[:15])
     ]
     if with_nulls:
         # NULL text / lang / source: any column a lake can deliver NULL,

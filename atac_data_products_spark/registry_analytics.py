@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .functions.numeric import to_fixed
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
@@ -1912,8 +1914,8 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan range-partitions the sort.  Class thresholds compare the
     ROUNDED share (parity convention)."""
     li = _t(spark, sf_dir, "lineitem")
-    extc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    dpct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    extc = to_fixed("l_extendedprice", 100)
+    dpct = to_fixed("l_discount", 100)
     rev = li.groupBy("l_partkey").agg(
         F.sum(extc * (F.lit(100) - dpct)).cast("bigint").alias("revenue_q")
     )
@@ -2171,7 +2173,7 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy("o_custkey").agg(
         F.max(epoch_day_expr("o_orderdate")).alias("last_day"),
         F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        F.sum(to_fixed("o_totalprice", 100))
         .cast("bigint")
         .alias("monetary_cents"),
     ).localCheckpoint(eager=False)

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .functions.numeric import to_fixed
 from pyspark.sql.window import Window
 
 from .functions.hashes import hash59, hash59_sql
@@ -77,17 +79,21 @@ from .registry import _t, query
 # exact integer or a raw string, so both engines concatenate identical
 # bytes.  Doubles go through the repo's fixed-point ladder (cents /
 # basis points), timestamps through epoch-µs — never through
-# engine-specific float/timestamp formatting.
+# engine-specific float/timestamp formatting.  Fixed-point is
+# `floor(x·scale + 0.5)`, not `round(x·scale)` — exact-equal for this
+# 2-dp domain in BOTH engines, but Spark's Round on double allocates a
+# BigDecimal per row where floor stays in codegen
+# (functions/numeric.py, docs/PLAN_AUDIT.md round-8 A/B).
 _CHECKSUM_TABLES: dict[str, tuple[str, ...]] = {
     "lineitem": (
         "CAST(l_orderkey AS {s})",
         "CAST(l_partkey AS {s})",
         "CAST(l_suppkey AS {s})",
         "CAST(l_linenumber AS {s})",
-        "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS {s})",
-        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS {s})",
-        "CAST(CAST(round(l_discount * 10000) AS BIGINT) AS {s})",
-        "CAST(CAST(round(l_tax * 10000) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS {s})",
         "l_returnflag",
         "l_linestatus",
         "CAST({us_ship} AS {s})",
@@ -96,7 +102,7 @@ _CHECKSUM_TABLES: dict[str, tuple[str, ...]] = {
         "CAST(o_orderkey AS {s})",
         "CAST(o_custkey AS {s})",
         "o_orderstatus",
-        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS {s})",
         "CAST({us_order} AS {s})",
         "o_orderpriority",
     ),
@@ -104,7 +110,7 @@ _CHECKSUM_TABLES: dict[str, tuple[str, ...]] = {
         "CAST(c_custkey AS {s})",
         "c_name",
         "CAST(c_nationkey AS {s})",
-        "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS {s})",
+        "CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS {s})",
         "c_mktsegment",
     ),
 }
@@ -1061,7 +1067,7 @@ def hierarchy_rollup_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("key"),
         (F.col("c_custkey") / 10).cast("bigint").alias("parent"),
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        to_fixed("c_acctbal", 100).alias("cents"),
     )
     closure = c.select("key", F.col("key").alias("anc"))
     level = c.select("key", F.col("parent").alias("anc"))
@@ -1907,7 +1913,7 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        to_fixed("l_extendedprice", 100).alias("cents"),
     )
     tests = [
         F.array_contains(
@@ -2387,7 +2393,7 @@ def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFram
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        to_fixed("o_totalprice", 100).alias("cents"),
         F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
             "day"
         ),
@@ -3044,7 +3050,7 @@ def supplier_scorecard_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     k = li.groupBy("l_suppkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        F.sum(to_fixed("l_extendedprice", 100))
         .cast("bigint")
         .alias("rev_cents"),
         F.count("*").alias("n_lines"),
@@ -3135,8 +3141,7 @@ def nested_json_roundtrip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame
                             F.struct(
                                 F.col("l_linenumber").alias("line_no"),
                                 F.col("l_partkey").alias("part"),
-                                F.round(F.col("l_quantity") * 100)
-                                .cast("bigint")
+                                to_fixed("l_quantity", 100)
                                 .alias("qty_cents"),
                             )
                         )
@@ -3380,7 +3385,7 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        to_fixed("o_totalprice", 100).alias("cents"),
         hash59(F.concat(F.lit("bsA_"), F.col("o_orderkey").cast("string"))).alias(
             "ha"
         ),
@@ -3968,7 +3973,7 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(expr).cast("string").alias("max_v"),
         )
 
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = to_fixed("o_totalprice", 100)
     out = prof("o_custkey", F.col("o_custkey"), o)
     for name, e in [
         ("o_orderstatus", F.col("o_orderstatus")),
@@ -4524,7 +4529,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            F.sum(to_fixed("l_extendedprice", 100))
             .cast("bigint")
             .alias("rev")
         )
@@ -4827,8 +4832,8 @@ def orders_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         ),
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_cents"),
-        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        to_fixed("l_extendedprice", 100).alias("rev_cents"),
+        to_fixed("l_quantity", 100).alias("qty_c"),
     )
     return l.groupBy("day", "l_returnflag").agg(
         F.sum("qty_c").cast("bigint").alias("qty_centi"),
@@ -4912,8 +4917,8 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT) DIV 30"
         ).alias("period"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
-        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+        to_fixed("l_extendedprice", 100).alias("rev"),
+        to_fixed("l_quantity", 100).alias("qty"),
     )
     bounds = l.agg(F.min("period").alias("p1"), F.max("period").alias("p2"))
     lb = l.crossJoin(F.broadcast(bounds))
@@ -5270,8 +5275,8 @@ def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DECIMAL ladder as the declared growth path.
     """
     l = _t(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_quantity") * 100).cast("bigint").alias("q"),
-        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+        to_fixed("l_quantity", 100).alias("q"),
+        to_fixed("l_discount", 10000).alias("d"),
     )
 
     def midranks(col):
@@ -5381,8 +5386,8 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT) DIV 7"
         ).alias("wk"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
-        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+        to_fixed("l_extendedprice", 100).alias("rev"),
+        to_fixed("l_quantity", 100).alias("qty"),
     )
     pw = l.groupBy("l_partkey", "wk").agg(
         F.sum("rev").cast("bigint").alias("rev"),
@@ -6371,7 +6376,7 @@ def tpch_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        to_fixed("o_totalprice", 100).alias("cents"),
     )
     mx = base.agg(F.max("o_orderkey").cast("bigint").alias("m"))
     ins = (
@@ -6988,7 +6993,7 @@ def orders_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            F.sum(to_fixed("l_extendedprice", 100))
             .cast("bigint")
             .alias("rev_cents"),
         )

@@ -113,6 +113,8 @@ HEADLINE = [
     # round-7: bench-scale single-file h5mu artifact — gzip'd CSR write
     # + distributed filter-pipeline decode read-back (VERDICT r06 #4)
     "sink_h5mu_file_gzip",
+    # round-8: composed media ingest — sniff -> route -> all three codecs
+    "multimodal_media_pipeline",
 ]
 
 # Host-variance index (VERDICT r05 task 3 / r06 task 3): cross-day

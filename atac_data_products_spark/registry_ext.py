@@ -2134,7 +2134,10 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     The payloads here are deterministically synthesized (magic header +
     UTF-8 body) so the contract is value-checkable; on real media only
     the synthesis CTE changes.  The sniff is a pure JVM expression on
-    the first bytes (`left(hex(payload), 6)` — no codec, no Python),
+    the first bytes (`hex(substring(payload, 1, 3))` — the 3-byte probe
+    is sliced from the binary BEFORE hex, so the sniff is O(1) per row
+    regardless of payload size; hexing the whole payload to read 6
+    chars would copy-and-expand every body 2× — no codec, no Python),
     and the rollup is one combinable aggregate.  At 100 TB the scan
     reads ONLY payload prefixes if the store supports binary column
     pruning; nothing shuffles payload bodies — the aggregate carries
@@ -2155,7 +2158,7 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
         declared.alias("declared_type"),
     )
-    sig = F.expr("left(hex(payload), 6)")
+    sig = F.hex(F.expr("substring(payload, 1, 3)"))
     sniffed = (
         F.when(sig == "FFD8FF", "image/jpeg")
         .when(sig == "89504E", "image/png")
@@ -2279,8 +2282,11 @@ def multimodal_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * 4 + 3, bytearray(f"junk-{n}".encode())),
         ]
     media = spark.createDataFrame(rows, "media_id bigint, payload binary")
-    sig = F.expr("left(hex(payload), 6)")
-    cont = F.expr("substr(hex(payload), 17, 8)")  # RIFF form type, bytes 9-12
+    sig = F.hex(F.expr("substring(payload, 1, 3)"))
+    # RIFF form type, bytes 9-12 — sliced from the binary BEFORE hex so
+    # the probe is O(1) per row; hexing a whole media payload to read 8
+    # chars would copy-and-expand every body 2x per branch
+    cont = F.hex(F.expr("substring(payload, 9, 4)"))
     sniffed = (
         F.when(sig == "89504E", "image/png")
         .when((sig == "524946") & (cont == "57415645"), "audio/wav")

@@ -741,6 +741,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media)
 
 
+def _media_relation(spark: SparkSession, rows) -> DataFrame:
+    """Synthetic media rows → DataFrame partitioned the way a
+    ``binaryFile`` scan would partition real media: payloads PACKED
+    (~32 per slice, floor 2 so the multi-partition decode path stays
+    exercised, cap ``defaultParallelism``) instead of scattered one per
+    core by ``createDataFrame``'s default slicing.  Each Arrow decode
+    task then amortizes its Python-worker round trip over a batch of
+    payloads — the same bytes-per-task principle
+    ``spark.sql.files.maxPartitionBytes`` applies to file scans.
+    Measured at sf0.1 (min-of-5, alternating): the composed media
+    pipeline runs 2.35s at 32 scattered slices vs 0.79s at 4 packed
+    slices — pure per-task seam overhead, zero plan-shape change."""
+    slices = max(2, min(spark.sparkContext.defaultParallelism, (len(rows) + 31) // 32))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices),
+        "media_id bigint, payload binary",
+    )
+
+
 @query(
     "multimodal_png_decode",
     oracle="""
@@ -789,7 +808,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in keys:
         img = ((int(n) * 31 + y * 7 + x * 3 + ch * 11) % 256).astype("uint8")
         rows.append((int(n), bytearray(encode_png(img))))
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = _media_relation(spark, rows)
     return decode_image_stats(media)
 
 
@@ -842,7 +861,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in keys:
         samples = ((int(n) * 37 + i * 17 + ch * 101) % 4096) - 2048
         rows.append((int(n), bytearray(encode_wav(samples, 8000))))
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = _media_relation(spark, rows)
     return decode_audio_stats(media)
 
 
@@ -891,7 +910,7 @@ def multimodal_avi_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in keys:
         frames = [f"k{int(n)}f{i}.".encode() * (i + 1) for i in range(12)]
         rows.append((int(n), bytearray(encode_avi(frames, 64, 48))))
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = _media_relation(spark, rows)
     return demux_video_frames(media)
 
 
@@ -2281,7 +2300,7 @@ def multimodal_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * 4 + 2, bytearray(encode_avi(frames, 64, 48))),
             (n * 4 + 3, bytearray(f"junk-{n}".encode())),
         ]
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = _media_relation(spark, rows)
     sig = F.hex(F.expr("substring(payload, 1, 3)"))
     # RIFF form type, bytes 9-12 — sliced from the binary BEFORE hex so
     # the probe is O(1) per row; hexing a whole media payload to read 8

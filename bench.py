@@ -136,6 +136,25 @@ VARIANCE_INDEX_KEYS = [
     "tpch_q6_forecast_revenue",
 ]
 
+# Second index, different cost class (round-8 corpus_tfidf_topk
+# adjudication, docs/PLAN_AUDIT.md): sub-second shuffle+explode-heavy
+# keys drift 1.4-1.5x day-over-day in a CORRELATED cluster that the
+# trivial-key index above does not track (its keys are scan/broadcast/
+# codegen-bound).  These six corpus keys are plan-frozen and span
+# explode, shuffle agg, window top-k, regex rewrite, and hash split —
+# their sum moves with the host's shuffle/spill-path state.
+# tools/bench_diff.py reports this ratio alongside the primary one so a
+# flag raised under trivial-key normalization can be adjudicated
+# against the matching cost class instead of by hand-run A/Bs.
+VARIANCE_INDEX_MID_KEYS = [
+    "corpus_tfidf_topk",
+    "corpus_normalize_redact",
+    "corpus_seq_packing",
+    "corpus_mixture_sample",
+    "corpus_split_assign",
+    "corpus_chunk_overlap",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,6 +243,8 @@ def main() -> None:
     # as a changed list, not silently shrink the index
     vi_present = [k for k in VARIANCE_INDEX_KEYS if k in timings]
     variance_index = round(sum(timings[k] for k in vi_present), 3)
+    vim_present = [k for k in VARIANCE_INDEX_MID_KEYS if k in timings]
+    variance_index_mid = round(sum(timings[k] for k in vim_present), 3)
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
@@ -233,6 +254,8 @@ def main() -> None:
         "n_queries": len(timings),
         "variance_index": variance_index,
         "variance_index_keys": vi_present,
+        "variance_index_mid": variance_index_mid,
+        "variance_index_mid_keys": vim_present,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -255,6 +278,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "variance_index": variance_index,
+                "variance_index_mid": variance_index_mid,
                 "detail": "BENCH_DETAIL.json",
             }
         ),

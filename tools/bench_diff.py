@@ -64,6 +64,21 @@ def main() -> int:
         load_ratio = nvi / ovi
         print(f"variance_index: {ovi:.3f}s -> {nvi:.3f}s "
               f"(host-load ratio {load_ratio:.2f} — per-query ratios normalized)")
+    # Second, shuffle-class index (bench.py VARIANCE_INDEX_MID_KEYS):
+    # sub-second shuffle+explode keys drift in a correlated cluster the
+    # trivial-key index misses (round-8 corpus_tfidf_topk adjudication).
+    # Reported as a diagnostic; flags below stay decided by the primary
+    # index, but each flagged key also shows its mid-normalized ratio so
+    # a shuffle-class drift reads as such without a hand-run A/B.
+    mid_ratio = None
+    omi, nmi = old.get("variance_index_mid"), new.get("variance_index_mid")
+    omk, nmk = (
+        old.get("variance_index_mid_keys"), new.get("variance_index_mid_keys"),
+    )
+    if omi and nmi and omk == nmk:
+        mid_ratio = nmi / omi
+        print(f"variance_index_mid: {omi:.3f}s -> {nmi:.3f}s "
+              f"(shuffle-class ratio {mid_ratio:.2f} — diagnostic only)")
     regressed = []
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in sorted(set(oq) | set(nq)):
@@ -79,6 +94,8 @@ def main() -> int:
         # regressions whose raw times happen to match (review finding)
         if ratio > thr and (b / load_ratio) - a > 0.2:
             flag = f"  REGRESSED >{thr}x"
+            if mid_ratio:
+                flag += f" (mid-normalized {(b / a) / mid_ratio:.2f}x)"
             regressed.append(name)
         print(f"{name:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
     print(

@@ -2998,12 +2998,24 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     point — approx_count_distinct is the scale path for distincts, and
     this row is the standing evidence its error budget holds on this
     data.  Sketch aggregation is map-side combinable: at 100 TB the
-    shuffle carries fixed-size HLL registers, never user ids."""
+    shuffle carries fixed-size HLL registers, never user ids.
+
+    The sketch is sized rsd=0.01 so the asserted 5% envelope carries a
+    5-sigma margin: Spark's DEFAULT rsd (0.05) makes the estimator's
+    own standard deviation equal the envelope — ~1-in-3 groups exceed
+    it by construction — which the first sf0.1 oracle sweep caught
+    (all five event types outside 5% while DuckDB's tighter HLL stayed
+    inside; green at sf0.01 was luck, not margin).  A 1%-rsd HLL is
+    still fixed-size (more registers, same combinability), so the
+    100 TB story is unchanged."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_exact"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.count_distinct("user_id"))
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.count_distinct("user_id")
+            )
             <= 0.05 * F.count_distinct("user_id")
         ).alias("within_5pct"),
     )

@@ -2847,13 +2847,14 @@ BOT_CV_THRESHOLD_US = 500_000  # cv quantized to 1e-6: flag cv < 0.5
           HAVING count(gap) >= {BOT_MIN_EVENTS}),
     c AS (SELECT user_id, n_gaps,
                  CAST(sum_gap AS DOUBLE) / n_gaps AS mean_gap,
+                 sum_gap // n_gaps AS mean_gap_floor_us,
                  sqrt(greatest(
                    (CAST(sum_gap2 AS DOUBLE)
                     - CAST(sum_gap AS DOUBLE) * sum_gap / n_gaps)
                    / n_gaps, 0)) AS std_gap
           FROM s)
     SELECT user_id, n_gaps,
-           round(mean_gap / 1000000.0, 6) AS mean_gap_s,
+           CAST(mean_gap_floor_us AS DOUBLE) / 1000000.0 AS mean_gap_s,
            CAST(round(std_gap / mean_gap * 1000000) AS BIGINT) AS cv_us,
            CAST(round(std_gap / mean_gap * 1000000) AS BIGINT)
                < {BOT_CV_THRESHOLD_US} AS is_bot_cadence
@@ -2873,6 +2874,13 @@ def events_bot_cadence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10²⁴, past BIGINT, so the second moment rides the decimal lane
     (exact, fold-order-proof), with floats only in the final σ/μ.  The
     cv is quantized to integer micro-units BEFORE thresholding.
+
+    mean_gap_s is the mean FLOORED to the microsecond (exact bigint
+    `div` both engines, then one identical IEEE division by 1e6) —
+    the first sf0.1 sweep caught `round(double/1e6, 6)` landing on a
+    rounding boundary where the engines' round() disagree by 1e-6
+    (same floor-quantize contract as the day/week epoch indexes,
+    docs/OPERATIONS.md).
     """
     from .sources.tables import epoch_day_from_us, ts_us_expr  # noqa: F401
 
@@ -2894,6 +2902,7 @@ def events_bot_cadence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_gaps") >= BOT_MIN_EVENTS)
     )
     mean_gap = F.col("sum_gap").cast("double") / F.col("n_gaps")
+    mean_gap_floor_us = F.expr("sum_gap div n_gaps")
     var = (
         F.col("sum_gap2").cast("double")
         - F.col("sum_gap").cast("double") * F.col("sum_gap") / F.col("n_gaps")
@@ -2903,7 +2912,7 @@ def events_bot_cadence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
-        F.round(mean_gap / 1_000_000.0, 6).alias("mean_gap_s"),
+        (mean_gap_floor_us.cast("double") / 1_000_000.0).alias("mean_gap_s"),
         cv_us.alias("cv_us"),
         (cv_us < BOT_CV_THRESHOLD_US).alias("is_bot_cadence"),
     )

@@ -3457,10 +3457,16 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. [[approx_distinct_accuracy]], the single-level contract).
     A NULL event_type is not a type: filtered on both sides (the
     groupBy would otherwise mint a NULL-keyed sketch that
-    count(DISTINCT) never counts — hostile-fixture find)."""
+    count(DISTINCT) never counts — hostile-fixture find).
+
+    Sketches are sized lgConfigK=14 (RSE ≈ 0.8%, a >5σ margin under
+    the asserted 5%) per the envelope-margin contract in
+    docs/OPERATIONS.md — the default lgK=12 (~1.6% RSE) leaves only
+    ~3σ, the same no-margin class the 10×-scale sweep caught in
+    [[approx_distinct_accuracy]]."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk")
     )
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),

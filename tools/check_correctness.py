@@ -5,10 +5,24 @@ the same parquet tables, then compares row count, column names, and an
 order-insensitive value multiset (floats rounded).  Usage:
 
     python tools/check_correctness.py [sf_dir] [key ...]
+
+Conf-invariance sweeps: set ADP_SWEEP_CONF to comma-separated k=v
+Spark conf pairs to run the identical gate under a deliberately
+different physical configuration — e.g. disable auto-broadcast so
+every threshold-decided join runs SMJ/shuffled-hash, the plan family
+a 100 TB dim actually gets:
+
+    ADP_SWEEP_CONF='spark.sql.autoBroadcastJoinThreshold=-1,\
+spark.sql.shuffle.partitions=3,spark.sql.files.maxPartitionBytes=65536,\
+spark.sql.adaptive.enabled=false' python tools/check_correctness.py ...
+
+Results must be identical — the conf decides the physical plan, never
+the answer.  Record full-registry runs in docs/SCALE_SWEEP.md.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -71,7 +85,17 @@ def main() -> int:
 
     qs, os_ = queries(), oracle_sql()
     keys = sys.argv[2:] or list(qs)
-    spark = get_spark("correctness-check")
+    sweep_conf = {
+        k.strip(): v.strip()
+        for k, v in (
+            pair.split("=", 1)
+            for pair in os.environ.get("ADP_SWEEP_CONF", "").split(",")
+            if "=" in pair
+        )
+    }
+    if sweep_conf:
+        print(f"conf-invariance sweep: {sweep_conf}")
+    spark = get_spark("correctness-check", extra_conf=sweep_conf or None)
     con = duck_connect(sf_dir)
     failed = []
     for key in keys:

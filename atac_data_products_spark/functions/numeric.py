@@ -37,3 +37,52 @@ def to_fixed(col: Column | str, scale: int) -> Column:
 def cents(col: Column | str) -> Column:
     """`to_fixed(col, 100)` — integer cents from exact 2-dp doubles."""
     return to_fixed(col, 100)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantized means (docs/OPERATIONS.md quantization contract)
+#
+# `round(sum/n, k)` on a DOUBLE is engine-divergent exactly when the
+# true rational s/n lands on a 10^-k boundary — which, for INTEGER s,
+# happens with probability ~1/n per group, not measure-zero (the first
+# 10×-scale sweep caught one such user in events_bot_cadence_score).
+# The exact form rounds the RATIONAL half-up with pure integer
+# arithmetic — floor(s·u/n + 1/2) = (2·s·u + n) div (2·n) — in the
+# DECIMAL(38,0) lane (s·u for µs-scale sums exceeds int64), then makes
+# ONE identical IEEE division back to double.  Requires s ≥ 0 and
+# n > 0 (`div` truncates toward zero; every published integer-quantity
+# mean in this engine is of a non-negative measure).
+# ---------------------------------------------------------------------------
+
+
+def mean_quantized(sum_col: Column | str, cnt_col: Column | str, unit: int = 1_000_000) -> Column:
+    """Half-up mean of a non-negative integer quantity, quantized at
+    1/unit and published as double: exact in both engines, never on a
+    rounding boundary.  Pair with :func:`mean_quantized_sql`.
+
+    The quotient is taken as ``(num - num % d) / d`` rather than a
+    plain decimal division: Spark rounds decimal quotients to the
+    result scale, which could flip a floor near the scale boundary,
+    while an exact-multiple division is always exact."""
+    s = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    n = (F.col(cnt_col) if isinstance(cnt_col, str) else cnt_col).cast(
+        "decimal(38,0)"
+    )
+    num = s.cast("decimal(38,0)") * F.lit(2 * unit) + n
+    d = n * F.lit(2)
+    q = (num - num % d) / d  # exact: num - num%d is a multiple of d
+    # avg() over zero rows is NULL, not a division error — same contract
+    return F.when(n > 0, q.cast("double") / float(unit))
+
+
+def mean_quantized_sql(sum_sql: str, cnt_sql: str, unit: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`mean_quantized` (HUGEINT lane).  The
+    quantized integer goes straight HUGEINT→DOUBLE — a BIGINT
+    intermediate overflows when the mean exceeds ~9.2e12 units (the
+    hostile fixture's year-9999 gap does), and the direct conversion is
+    the same round-to-nearest Spark's DECIMAL→double cast makes."""
+    return (
+        f"CASE WHEN ({cnt_sql}) > 0 THEN "
+        f"CAST((2 * CAST({sum_sql} AS HUGEINT) * {unit} + ({cnt_sql}))"
+        f" // (2 * ({cnt_sql})) AS DOUBLE) / {unit}.0 END"
+    )

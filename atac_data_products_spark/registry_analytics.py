@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.numeric import to_fixed
+from .functions.numeric import mean_quantized, mean_quantized_sql, to_fixed
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
@@ -35,10 +35,10 @@ from .sources.tables import epoch_day_expr, epoch_day_from_us, load_table, ts_us
 
 @query(
     "agg_stats_battery",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(l_quantity), 6) AS avg_qty,
+           {mean_quantized_sql("sum(CAST(l_quantity AS BIGINT))", "count(l_quantity)")} AS avg_qty,
            round(stddev_samp(l_quantity), 6) AS std_qty,
            round(var_samp(l_quantity), 6) AS var_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -49,48 +49,81 @@ from .sources.tables import epoch_day_expr, epoch_day_from_us, load_table, ts_us
 def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per group — stddev/variance/corr/covar are
     single-pass co-moment aggregates in both engines (numerically stable
-    merge, so partial-aggregate order does not move the rounded value)."""
+    merge, so partial-aggregate order does not move the rounded value);
+    the mean of the integer-valued quantity rides the exact
+    mean_quantized lane (docs/OPERATIONS.md quantization contract)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("__sum_q"),
+            F.count("l_quantity").alias("__n_q"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            mean_quantized("__sum_q", "__n_q").alias("avg_qty"),
+            "std_qty",
+            "var_qty",
+            "corr_qty_price",
+            "covar_qty_disc",
+        )
     )
 
 
 @query(
     "agg_conditional_battery",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
            CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_discount,
            round(sum(CASE WHEN l_returnflag = 'R'
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
                AS returned_revenue,
-           round(avg(l_tax) FILTER (WHERE l_quantity > 25), 6) AS avg_tax_bulk
+           ({mean_quantized_sql(
+               "sum(CAST(round(l_tax * 100) AS BIGINT)) FILTER (WHERE l_quantity > 25)",
+               "count(l_tax) FILTER (WHERE l_quantity > 25)",
+               10_000,
+           )}) / 100.0 AS avg_tax_bulk
     FROM lineitem GROUP BY l_linestatus
     """,
 )
 def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregation — one scan computes every branch
-    (no per-predicate passes; each FILTER is a map-side conditional)."""
+    (no per-predicate passes; each FILTER is a map-side conditional).
+    The filtered tax mean converts the exact 2-dp values to integer
+    cents and rides the mean_quantized lane (quantized at 1e-4 cents =
+    1e-6 tax units), then both engines make the same /100 rescale."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.count_if(F.col("l_discount") > 0.05).alias("n_high_discount"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("l_returnflag") == "R",
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                ).otherwise(0.0)
-            ),
-            2,
-        ).alias("returned_revenue"),
-        F.round(F.avg(F.when(F.col("l_quantity") > 25, F.col("l_tax"))), 6).alias(
-            "avg_tax_bulk"
-        ),
+    bulk = F.col("l_quantity") > 25
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_high_discount"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_revenue"),
+            F.sum(F.when(bulk, to_fixed("l_tax", 100))).alias("__sum_tax_c"),
+            F.count(F.when(bulk, F.col("l_tax"))).alias("__n_tax"),
+        )
+        .select(
+            "l_linestatus",
+            "n_high_discount",
+            "returned_revenue",
+            (
+                mean_quantized("__sum_tax_c", "__n_tax", 10_000) / F.lit(100.0)
+            ).alias("avg_tax_bulk"),
+        )
     )
 
 
@@ -1597,12 +1630,15 @@ def hierarchy_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_null_semantics_battery",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(nullif(l_quantity, 50)) AS BIGINT) AS n_vals,
            round(sum(nullif(l_quantity, 50)), 2) AS sum_v,
-           round(avg(nullif(l_quantity, 50)), 6) AS avg_v,
+           {mean_quantized_sql(
+               "sum(CAST(nullif(l_quantity, 50) AS BIGINT))",
+               "count(nullif(l_quantity, 50))",
+           )} AS avg_v,
            round(min(nullif(l_quantity, 50)), 2) AS min_v,
            CAST(count(DISTINCT nullif(l_quantity, 50)) AS BIGINT) AS n_distinct,
            round(sum(coalesce(nullif(l_quantity, 50), 0)), 2) AS sum_coalesced
@@ -1618,14 +1654,27 @@ def agg_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic tables ship none."""
     li = _t(spark, sf_dir, "lineitem")
     v = F.nullif(F.col("l_quantity"), F.lit(50))
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        F.count(v).alias("n_vals"),
-        F.round(F.sum(v), 2).alias("sum_v"),
-        F.round(F.avg(v), 6).alias("avg_v"),
-        F.round(F.min(v), 2).alias("min_v"),
-        F.countDistinct(v).alias("n_distinct"),
-        F.round(F.sum(F.coalesce(v, F.lit(0))), 2).alias("sum_coalesced"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(v).alias("n_vals"),
+            F.round(F.sum(v), 2).alias("sum_v"),
+            F.sum(v.cast("bigint")).alias("__sum_v"),
+            F.round(F.min(v), 2).alias("min_v"),
+            F.countDistinct(v).alias("n_distinct"),
+            F.round(F.sum(F.coalesce(v, F.lit(0))), 2).alias("sum_coalesced"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_vals",
+            "sum_v",
+            mean_quantized("__sum_v", "n_vals").alias("avg_v"),
+            "min_v",
+            "n_distinct",
+            "sum_coalesced",
+        )
     )
 
 
@@ -1843,7 +1892,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_interarrival_stats",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                FROM events),
@@ -1853,7 +1902,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e)
     SELECT user_id,
            CAST(count(gap) AS BIGINT) AS n_gaps,
-           round(avg(gap), 6) AS avg_gap_us,
+           {mean_quantized_sql("sum(gap)", "count(gap)")} AS avg_gap_us,
            CAST(min(gap) AS BIGINT) AS min_gap_us,
            CAST(max(gap) AS BIGINT) AS max_gap_us
     FROM g GROUP BY user_id
@@ -1863,9 +1912,10 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival profile per user: lag-difference gaps then a
     combinable aggregate — the cadence fingerprint behind bot
     detection and session-gap tuning.  The window and the aggregation
-    share one (user_id) shuffle; gaps are exact integer microseconds
-    (avg divides an exactly-summed BIGINT, so the rounded value is
-    fold-order-proof)."""
+    share one (user_id) shuffle; gaps are exact integer microseconds,
+    and the published mean is quantized with exact integer arithmetic
+    (functions/numeric.py::mean_quantized — round(avg(int),6) is the
+    engine-divergent boundary class the 10×-scale sweep caught)."""
     ev_raw = _t(spark, sf_dir, "events")
     ev = ev_raw.select(
         "user_id", "event_id", ts_us_expr(ev_raw).alias("ts_us")
@@ -1874,11 +1924,21 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
     )
-    return g.groupBy("user_id").agg(
-        F.count("gap").alias("n_gaps"),
-        F.round(F.avg("gap"), 6).alias("avg_gap_us"),
-        F.min("gap").alias("min_gap_us"),
-        F.max("gap").alias("max_gap_us"),
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").alias("__sum_gap"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            mean_quantized("__sum_gap", "n_gaps").alias("avg_gap_us"),
+            "min_gap_us",
+            "max_gap_us",
+        )
     )
 
 
@@ -2359,7 +2419,7 @@ def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE event_type = 'purchase' AND last_click IS NOT NULL
                AND ts_us - last_click <= {600_000_000})
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(avg(gap_us), 6) AS avg_gap_us,
+           {mean_quantized_sql("sum(gap_us)", "count(gap_us)")} AS avg_gap_us,
            round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
            round(quantile_cont(gap_us, 0.95), 6) AS p95_gap_us,
            CAST(max(gap_us) AS BIGINT) AS max_gap_us
@@ -2390,12 +2450,22 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").isNotNull()
         & (F.col("ts_us") - F.col("asof_ts") <= 600_000_000)
     ).select((F.col("ts_us") - F.col("asof_ts")).alias("gap_us"))
-    return gaps.agg(
-        F.count("*").alias("n_conversions"),
-        F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
-        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
-        F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
-        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    return (
+        gaps.agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("gap_us").alias("__sum_gap"),
+            F.count("gap_us").alias("__n_gap"),
+            F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
+            F.round(F.expr("percentile(gap_us, 0.95)"), 6).alias("p95_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .select(
+            "n_conversions",
+            mean_quantized("__sum_gap", "__n_gap").alias("avg_gap_us"),
+            "p50_gap_us",
+            "p95_gap_us",
+            "max_gap_us",
+        )
     )
 
 
@@ -2658,7 +2728,7 @@ def stat_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "user_feature_assembly",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT user_id, event_id, event_type, value,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
@@ -2673,7 +2743,7 @@ def stat_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
              FROM e GROUP BY user_id),
     gaps AS (SELECT user_id,
-                    round(avg(gap), 6) AS avg_gap_us
+                    {mean_quantized_sql("sum(gap)", "count(gap)")} AS avg_gap_us
              FROM (SELECT user_id,
                           ts_us - lag(ts_us) OVER (PARTITION BY user_id
                                                    ORDER BY ts_us, event_id) AS gap
@@ -2724,7 +2794,11 @@ def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"))
         .where(F.col("gap").isNotNull())
         .groupBy("user_id")
-        .agg(F.round(F.avg("gap"), 6).alias("avg_gap_us"))
+        .agg(F.sum("gap").alias("__sum_gap"), F.count("gap").alias("__n_gap"))
+        .select(
+            "user_id",
+            mean_quantized("__sum_gap", "__n_gap").alias("avg_gap_us"),
+        )
     )
     d = e.select("user_id", "day").distinct()
     wd = Window.partitionBy("user_id").orderBy("day")
@@ -2797,7 +2871,7 @@ def timeseries_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "supplier_lead_time_profile",
-    oracle="""
+    oracle=f"""
     WITH lt AS (SELECT l_suppkey,
                        CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
                        - CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
@@ -2806,7 +2880,7 @@ def timeseries_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok AS (SELECT l_suppkey, lead_days FROM lt WHERE lead_days >= 0)
     SELECT l_suppkey,
            CAST(count(*) AS BIGINT) AS n_shipments,
-           round(avg(lead_days), 6) AS avg_lead_days,
+           {mean_quantized_sql("sum(lead_days)", "count(lead_days)")} AS avg_lead_days,
            round(quantile_cont(lead_days, 0.5), 6) AS p50_lead_days,
            round(quantile_cont(lead_days, 0.95), 6) AS p95_lead_days,
            CAST(max(lead_days) AS BIGINT) AS max_lead_days
@@ -2830,12 +2904,24 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lead_days") >= 0)
     )
-    return lt.groupBy("l_suppkey").agg(
-        F.count("*").alias("n_shipments"),
-        F.round(F.avg("lead_days"), 6).alias("avg_lead_days"),
-        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_lead_days"),
-        F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_lead_days"),
-        F.max("lead_days").cast("bigint").alias("max_lead_days"),
+    return (
+        lt.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum("lead_days").alias("__sum_ld"),
+            F.count("lead_days").alias("__n_ld"),
+            F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_lead_days"),
+            F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_lead_days"),
+            F.max("lead_days").cast("bigint").alias("max_lead_days"),
+        )
+        .select(
+            "l_suppkey",
+            "n_shipments",
+            mean_quantized("__sum_ld", "__n_ld").alias("avg_lead_days"),
+            "p50_lead_days",
+            "p95_lead_days",
+            "max_lead_days",
+        )
     )
 
 
@@ -3023,7 +3109,7 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_welch_ttest",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT source,
                       CAST(count(*) AS BIGINT) AS n1,
                       CAST(sum(n_chars) AS BIGINT) AS s1,
@@ -3036,14 +3122,14 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT source, n1, s1, q1,
                  n - n1 AS n2, s - s1 AS s2, q - q1 AS q2
           FROM s CROSS JOIN g),
-    v AS (SELECT source, n1, n2,
+    v AS (SELECT source, n1, n2, s1,
                  s1 / CAST(n1 AS DOUBLE) AS m1,
                  s2 / CAST(n2 AS DOUBLE) AS m2,
                  (q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / (n1 - 1) AS v1,
                  (q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / (n2 - 1) AS v2
           FROM m)
     SELECT source, n1 AS n_docs,
-           round(m1, 6) AS mean_chars,
+           {mean_quantized_sql("s1", "n1")} AS mean_chars,
            round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
     FROM v
     """,
@@ -3085,7 +3171,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source",
         F.col("n1").alias("n_docs"),
-        F.round(m1, 6).alias("mean_chars"),
+        mean_quantized("s1", "n1").alias("mean_chars"),
         F.round(
             F.try_divide(
                 m1 - m2,

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from . import registry_ext  # noqa: F401  (registers the CC oracle this module composes)
 from .extensions.text import WS_CLASS
+from .functions.numeric import mean_quantized, mean_quantized_sql
 from .registry import _t, _values_sql, query
 
 # ---------------------------------------------------------------------------
@@ -758,13 +759,13 @@ corpus_reservoir_per_source.__doc__ = corpus_reservoir_per_source.__doc__.format
 
 @query(
     "corpus_stats_rollup",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(source, 'ALL') AS source,
            coalesce(lang, 'ALL') AS lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
              AS n_tokens,
-           round(avg(n_chars), 6) AS avg_chars
+           {mean_quantized_sql("sum(n_chars)", "count(n_chars)")} AS avg_chars
     FROM documents
     GROUP BY ROLLUP(source, lang)
     """,
@@ -784,14 +785,15 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("__nt").cast("bigint").alias("n_tokens"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").alias("__sum_ch"),
+            F.count("n_chars").alias("__n_ch"),
         )
         .select(
             F.coalesce("source", F.lit("ALL")).alias("source"),
             F.coalesce("lang", F.lit("ALL")).alias("lang"),
             "n_docs",
             "n_tokens",
-            "avg_chars",
+            mean_quantized("__sum_ch", "__n_ch").alias("avg_chars"),
         )
     )
 

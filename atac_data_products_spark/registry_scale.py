@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.numeric import to_fixed
+from .functions.numeric import mean_quantized, mean_quantized_sql, to_fixed
 from pyspark.sql.window import Window
 
 from .functions.hashes import hash59, hash59_sql
@@ -6118,8 +6118,8 @@ STATE_BAND_US = 600_000_000  # 10-minute state horizon
     SELECT CAST(count(*) AS BIGINT) AS n_bands,
            CAST(max(n_keys) AS BIGINT) AS peak_state_keys,
            CAST(max(n_rows) AS BIGINT) AS peak_state_rows,
-           round(avg(n_keys), 6) AS avg_state_keys,
-           round(avg(n_rows), 6) AS avg_state_rows
+           {mean_quantized_sql("sum(n_keys)", "count(n_keys)")} AS avg_state_keys,
+           {mean_quantized_sql("sum(n_rows)", "count(n_rows)")} AS avg_state_rows
     FROM b
     """,
 )
@@ -6149,12 +6149,21 @@ def stream_state_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_keys"),
         F.count("*").alias("n_rows"),
     )
-    return b.agg(
-        F.count("*").alias("n_bands"),
-        F.max("n_keys").cast("bigint").alias("peak_state_keys"),
-        F.max("n_rows").cast("bigint").alias("peak_state_rows"),
-        F.round(F.avg("n_keys"), 6).alias("avg_state_keys"),
-        F.round(F.avg("n_rows"), 6).alias("avg_state_rows"),
+    return (
+        b.agg(
+            F.count("*").alias("n_bands"),
+            F.max("n_keys").cast("bigint").alias("peak_state_keys"),
+            F.max("n_rows").cast("bigint").alias("peak_state_rows"),
+            F.sum("n_keys").alias("__sum_k"),
+            F.sum("n_rows").alias("__sum_r"),
+        )
+        .select(
+            "n_bands",
+            "peak_state_keys",
+            "peak_state_rows",
+            mean_quantized("__sum_k", "n_bands").alias("avg_state_keys"),
+            mean_quantized("__sum_r", "n_bands").alias("avg_state_rows"),
+        )
     )
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import mean_quantized
+
 from ..functions.hashes import hash59
 from .text import shingle_table
 
@@ -216,8 +218,8 @@ def containment_pairs(
     inter, sizes = _pair_overlap_counts(shingles, id_col, candidates)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    c_a = F.round(F.col("n_inter") / F.col("n_a"), 6)
-    c_b = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    c_a = mean_quantized("n_inter", "n_a")
+    c_b = mean_quantized("n_inter", "n_b")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -275,8 +277,8 @@ def jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            mean_quantized(
+                "n_inter", F.col("n_a") + F.col("n_b") - F.col("n_inter")
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import mean_quantized
+
 # Small English stopword marker list (public, standard function words).
 STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
 
@@ -165,13 +167,15 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         id_col,
         "n_tokens",
         "n_uniq_tokens",
-        F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 6).alias("ttr"),
-        F.round(F.col("n_nonspace_chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        mean_quantized("n_uniq_tokens", "n_tokens").alias("ttr"),
+        mean_quantized("n_nonspace_chars", "n_tokens").alias("avg_token_len"),
+        mean_quantized("n_stopwords", "n_tokens").alias("stopword_ratio"),
         (
             (F.col("n_tokens") >= 5)
             & (F.col("n_tokens") <= 100_000)
-            & (F.col("n_uniq_tokens") / F.col("n_tokens") >= 0.1)
+            # integer cross-multiplication: n_uniq/n >= 0.1 compared
+            # exactly, no float ratio at the gate boundary
+            & (F.col("n_uniq_tokens") * 10 >= F.col("n_tokens"))
         ).alias("passes_quality"),
     )
 
@@ -186,9 +190,13 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     t = F.col("__toks")
-    ratio = F.size(F.filter(t, lambda x: F.array_contains(stop, x))) / F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    n = F.size(t)
     return docs.select(id_col, tokens(text_col).alias("__toks")).select(
         id_col,
-        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
-        F.round(ratio, 6).alias("en_score"),
+        # integer cross-multiplication: n_stop/n >= 0.02 == 50*n_stop >= n
+        F.when(n_stop * 50 >= n, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+        mean_quantized(n_stop, n).alias("en_score"),
     )

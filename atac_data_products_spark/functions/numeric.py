@@ -75,6 +75,28 @@ def mean_quantized(sum_col: Column | str, cnt_col: Column | str, unit: int = 1_0
     return F.when(n > 0, q.cast("double") / float(unit))
 
 
+def mean_quantized_signed(
+    sum_col: Column | str, cnt_col: Column | str, unit: int = 1_000_000
+) -> Column:
+    """Signed companion of :func:`mean_quantized` (n > 0 still
+    required): half-AWAY-from-zero, matching SQL round(), via the
+    non-negative form on |s| with the sign re-applied."""
+    s = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    return F.when(s >= 0, mean_quantized(s, cnt_col, unit)).otherwise(
+        -mean_quantized(-s, cnt_col, unit)
+    )
+
+
+def mean_quantized_signed_sql(
+    sum_sql: str, cnt_sql: str, unit: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`mean_quantized_signed`."""
+    return (
+        f"CASE WHEN ({sum_sql}) >= 0 THEN {mean_quantized_sql(sum_sql, cnt_sql, unit)} "
+        f"ELSE -({mean_quantized_sql(f'-({sum_sql})', cnt_sql, unit)}) END"
+    )
+
+
 def mean_quantized_sql(sum_sql: str, cnt_sql: str, unit: int = 1_000_000) -> str:
     """DuckDB twin of :func:`mean_quantized` (HUGEINT lane).  The
     quantized integer goes straight HUGEINT→DOUBLE — a BIGINT

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.numeric import mean_quantized, mean_quantized_sql, to_fixed
+from .functions.numeric import (
+    mean_quantized,
+    mean_quantized_signed,
+    mean_quantized_signed_sql,
+    mean_quantized_sql,
+    to_fixed,
+)
 from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
@@ -1064,7 +1070,7 @@ def dict_tag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_partial_merge",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT o_orderpriority, o_orderkey % 8 AS shard,
                       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
                       CAST(count(*) AS BIGINT) AS c
@@ -1072,7 +1078,9 @@ def dict_tag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(sum(c) AS BIGINT) AS n,
            round(CAST(sum(s) AS DOUBLE), 2) AS total,
-           round(CAST(sum(s) / sum(c) AS DOUBLE), 6) AS avg_price
+           {mean_quantized_sql(
+               "CAST(sum(s) * 10000 AS HUGEINT)", "sum(c) * 10000"
+           )} AS avg_price
     FROM p GROUP BY o_orderpriority
     """,
 )
@@ -1092,10 +1100,22 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
         F.count("*").alias("c"),
     )
-    return p.groupBy("o_orderpriority").agg(
-        F.sum("c").alias("n"),
-        F.round(F.sum("s").cast("double"), 2).alias("total"),
-        F.round((F.sum("s") / F.sum("c")).cast("double"), 6).alias("avg_price"),
+    return (
+        p.groupBy("o_orderpriority")
+        .agg(
+            F.sum("c").alias("n"),
+            F.round(F.sum("s").cast("double"), 2).alias("total"),
+            # exact integer 1e-4-dollar units of the decimal sum — the
+            # quantized mean divides integers, never rounds a decimal
+            # quotient (docs/OPERATIONS.md quantization contract)
+            (F.sum("s") * 10000).cast("decimal(38,0)").alias("__s4"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "total",
+            mean_quantized("__s4", F.col("n") * F.lit(10_000)).alias("avg_price"),
+        )
     )
 
 
@@ -1478,8 +1498,7 @@ _TOUCH_WINDOW_US = 600_000_000  # 10 minutes
                                       AND 1 PRECEDING) AS BIGINT) AS n_touch
           FROM e)
     SELECT event_id, user_id, ts_us AS purchase_ts_us, n_touch,
-           CASE WHEN n_touch > 0 THEN round(1.0 / n_touch, 6) END
-               AS credit_per_touch
+           {mean_quantized_sql("1", "n_touch")} AS credit_per_touch
     FROM w WHERE event_type = 'purchase'
     """,
 )
@@ -1511,9 +1530,7 @@ def attribution_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame
             "user_id",
             F.col("ts_us").alias("purchase_ts_us"),
             "n_touch",
-            F.when(
-                F.col("n_touch") > 0, F.round(F.lit(1.0) / F.col("n_touch"), 6)
-            ).alias("credit_per_touch"),
+            mean_quantized(F.lit(1), "n_touch").alias("credit_per_touch"),
         )
     )
 
@@ -1718,7 +1735,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "basket_association_rules",
-    oracle="""
+    oracle=f"""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
     pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
@@ -1729,11 +1746,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     items AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
     top AS (SELECT p1, p2, c_xy FROM pairs ORDER BY c_xy DESC, p1, p2 LIMIT 20)
     SELECT t.p1, t.p2, t.c_xy,
-           round(CAST(t.c_xy AS DOUBLE) / n_orders, 6) AS support,
-           round(CAST(t.c_xy AS DOUBLE) / x.c, 6) AS confidence,
-           round((CAST(t.c_xy AS DOUBLE) / n_orders)
-                 / ((CAST(x.c AS DOUBLE) / n_orders)
-                    * (CAST(y.c AS DOUBLE) / n_orders)), 6) AS lift
+           {mean_quantized_sql("t.c_xy", "n_orders")} AS support,
+           {mean_quantized_sql("t.c_xy", "x.c")} AS confidence,
+           {mean_quantized_sql(
+               "CAST(t.c_xy AS HUGEINT) * n_orders",
+               "CAST(x.c AS HUGEINT) * y.c",
+           )} AS lift
     FROM top t
     JOIN items x ON x.l_partkey = t.p1
     JOIN items y ON y.l_partkey = t.p2
@@ -1745,9 +1763,10 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs: support, confidence, lift — the classic co-occurrence mining
     rollup.  Pair counting self-joins on the ORDER key (bounded fan-out
     per order, never corpus²), item counts and the one-row basket total
-    broadcast onto the 20-row page, and ratios use the identical
-    parenthesization on both engines (same convention as
-    text_pmi_bigrams)."""
+    broadcast onto the 20-row page, and all three ratios are exact
+    integer rationals through the mean_quantized lane (lift as
+    c_xy·n_orders / (x.c·y.c)) — no composed double ratios, no
+    rounding boundary (docs/OPERATIONS.md quantization contract)."""
     op = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1776,20 +1795,18 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(y), F.col("p2") == F.col("__yk"))
         .crossJoin(F.broadcast(n))
     )
-    sup = F.col("c_xy").cast("double") / F.col("n_orders")
+    dec = "decimal(38,0)"
     return joined.select(
         "p1",
         "p2",
         "c_xy",
-        F.round(sup, 6).alias("support"),
-        F.round(F.col("c_xy").cast("double") / F.col("__xc"), 6).alias("confidence"),
-        F.round(
-            sup
-            / (
-                (F.col("__xc").cast("double") / F.col("n_orders"))
-                * (F.col("__yc").cast("double") / F.col("n_orders"))
-            ),
-            6,
+        mean_quantized("c_xy", "n_orders").alias("support"),
+        mean_quantized("c_xy", "__xc").alias("confidence"),
+        # exact rational lift: c_xy·n_orders / (x.c·y.c) — no composed
+        # double ratios, no rounding boundary
+        mean_quantized(
+            F.col("c_xy").cast(dec) * F.col("n_orders"),
+            F.col("__xc").cast(dec) * F.col("__yc"),
         ).alias("lift"),
     )
 
@@ -1944,7 +1961,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "abc_pareto_classification",
-    oracle="""
+    oracle=f"""
     WITH rev AS (SELECT l_partkey,
                         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
@@ -1952,9 +1969,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM lineitem GROUP BY l_partkey),
     tot AS (SELECT CAST(sum(revenue_q) AS BIGINT) AS total_q FROM rev),
     c AS (SELECT l_partkey, revenue_q,
-                 round(CAST(sum(revenue_q) OVER (ORDER BY revenue_q DESC, l_partkey
-                                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                       / total_q, 6) AS cum_share
+                 {mean_quantized_sql(
+                     '''sum(revenue_q) OVER (ORDER BY revenue_q DESC, l_partkey
+                                             ROWS UNBOUNDED PRECEDING)''',
+                     "total_q",
+                 )} AS cum_share
           FROM rev CROSS JOIN tot)
     SELECT l_partkey, revenue_q, cum_share,
            CASE WHEN cum_share <= 0.8 THEN 'A'
@@ -1991,9 +2010,7 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cum.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "revenue_q",
-        F.round(F.col("__cum").cast("double") / F.col("total_q"), 6).alias(
-            "cum_share"
-        ),
+        mean_quantized("__cum", "total_q").alias("cum_share"),
     )
     return c.select(
         "l_partkey",
@@ -2150,7 +2167,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_markov_transitions",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT user_id, event_type, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                FROM events WHERE ts IS NOT NULL),
@@ -2162,7 +2179,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
     tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
     SELECT c.from_type, c.to_type, c.n,
-           round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+           {mean_quantized_sql("c.n", "t.n_from")} AS p
     FROM c JOIN tot t ON c.from_type = t.from_type
     """,
 )
@@ -2188,7 +2205,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+        mean_quantized("n", "n_from").alias("p"),
     )
 
 
@@ -3287,7 +3304,7 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_late_data_audit",
-    oracle="""
+    oracle=f"""
     WITH o AS (SELECT user_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                       max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
@@ -3299,8 +3316,10 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) FILTER (WHERE ts_us < wm_us - 600000000) AS BIGINT)
                AS n_late,
-           round(count(*) FILTER (WHERE ts_us < wm_us - 600000000)
-                 / CAST(count(*) AS DOUBLE), 6) AS late_rate
+           {mean_quantized_sql(
+               "count(*) FILTER (WHERE ts_us < wm_us - 600000000)",
+               "count(*)",
+           )} AS late_rate
     FROM o GROUP BY user_id
     """,
 )
@@ -3335,9 +3354,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.count_if(late).cast("bigint").alias("n_late"),
-        F.round(F.count_if(late) / F.count("*").cast("double"), 6).alias(
-            "late_rate"
-        ),
+        mean_quantized(F.count_if(late), F.count("*")).alias("late_rate"),
     )
 
 
@@ -3378,9 +3395,10 @@ _PSI_SCALE = 1_000_000_000_000  # 1e-12 fixed point for PSI terms
             ON grid.event_type = c.event_type AND grid.bin = c.bin)
     SELECT event_type,
            any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
-           round(CAST(sum(CAST(floor((p - q) * ln(p / q) * {_PSI_SCALE})
-                               AS BIGINT)) AS DOUBLE) / {_PSI_SCALE}, 6)
-               AS psi
+           {mean_quantized_sql(
+               f"sum(CAST(floor((p - q) * ln(p / q) * {_PSI_SCALE}) AS BIGINT))",
+               str(_PSI_SCALE),
+           )} AS psi
     FROM f GROUP BY event_type
     """,
 )
@@ -3439,7 +3457,7 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("event_type").agg(
         F.any_value("n_ref").alias("n_ref"),
         F.any_value("n_cur").alias("n_cur"),
-        F.round(F.sum(term).cast("double") / _PSI_SCALE, 6).alias("psi"),
+        mean_quantized(F.sum(term), F.lit(_PSI_SCALE)).alias("psi"),
     )
 
 
@@ -3451,13 +3469,19 @@ def _ewma_terms_sql(lag_fn) -> tuple[str, str]:
     """Fixed-order EWMA numerator/denominator over 8 explicit lag
     terms — a windowed collect would have engine-dependent order; eight
     written-out lags fold left-to-right identically everywhere.
-    ``lag_fn(k)`` renders the k-th lag of the daily value expression."""
+    ``lag_fn(k)`` renders the k-th lag of the daily value expression.
+
+    Weights are EXACT INTEGERS: (1-α)^k with α=0.3 is (7/10)^k, so
+    scaling the whole ratio by 10^(L-1) makes w_k = 7^k·10^(L-1-k) —
+    the EWMA becomes one integer rational for the mean_quantized lane
+    instead of a float fold whose round() can sit on a boundary
+    (docs/OPERATIONS.md quantization contract)."""
+    W = [7**k * 10 ** (_EWMA_LAGS - 1 - k) for k in range(_EWMA_LAGS)]
     num = " + ".join(
-        f"coalesce({lag_fn(k)}, 0) * {(1 - _EWMA_ALPHA) ** k!r}"
-        for k in range(_EWMA_LAGS)
+        f"coalesce({lag_fn(k)}, 0) * {W[k]}" for k in range(_EWMA_LAGS)
     )
     den = " + ".join(
-        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {(1 - _EWMA_ALPHA) ** k!r} ELSE 0 END)"
+        f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {W[k]} ELSE 0 END)"
         for k in range(_EWMA_LAGS)
     )
     return num, den
@@ -3474,12 +3498,14 @@ def _ewma_terms_sql(lag_fn) -> tuple[str, str]:
                  CAST(sum(cents) AS BIGINT) AS daily_cents
           FROM d GROUP BY event_type, day),
     w AS (SELECT event_type, day, daily_cents,
-                 CAST(daily_cents AS DOUBLE) AS x0,
-                 {", ".join(f"CAST(lag(daily_cents, {k}) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS x{k}" for k in range(1, _EWMA_LAGS))}
+                 daily_cents AS x0,
+                 {", ".join(f"lag(daily_cents, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x{k}" for k in range(1, _EWMA_LAGS))}
           FROM g)
     SELECT event_type, day,
            round(daily_cents / 100.0, 2) AS daily_value,
-           round(({num}) / ({den}) / 100.0, 6) AS ewma_value
+           {mean_quantized_signed_sql(
+               f"({num})", f"100 * CAST(({den}) AS BIGINT)"
+           )} AS ewma_value
     FROM w
     """)(*_ewma_terms_sql(lambda k: f"x{k}")))(),
 )
@@ -3505,8 +3531,8 @@ def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("daily_cents")
     )
     w = Window.partitionBy("event_type").orderBy("day")
-    lag_cols = [F.col("daily_cents").cast("double").alias("x0")] + [
-        F.lag("daily_cents", k).over(w).cast("double").alias(f"x{k}")
+    lag_cols = [F.col("daily_cents").alias("x0")] + [
+        F.lag("daily_cents", k).over(w).alias(f"x{k}")
         for k in range(1, _EWMA_LAGS)
     ]
     base = g.select("event_type", "day", "daily_cents", *lag_cols)
@@ -3515,9 +3541,10 @@ def timeseries_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(F.col("daily_cents") / 100.0, 2).alias("daily_value"),
-        F.round(F.expr(f"({num_sql}) / ({den_sql})") / 100.0, 6).alias(
-            "ewma_value"
-        ),
+        mean_quantized_signed(
+            F.expr(f"({num_sql})"),
+            F.expr(f"100 * CAST(({den_sql}) AS BIGINT)"),
+        ).alias("ewma_value"),
     )
 
 
@@ -3630,7 +3657,7 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_audience_overlap",
-    oracle="""
+    oracle=f"""
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
     sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
            GROUP BY event_type),
@@ -3640,7 +3667,7 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
              ON a.user_id = b.user_id AND a.event_type < b.event_type
            GROUP BY a.event_type, b.event_type)
     SELECT ov.type_a, ov.type_b, sa.n AS n_a, sb.n AS n_b, ov.n_both,
-           round(ov.n_both / CAST(sa.n + sb.n - ov.n_both AS DOUBLE), 6)
+           {mean_quantized_sql("ov.n_both", "sa.n + sb.n - ov.n_both")}
                AS jaccard
     FROM ov JOIN sz sa ON ov.type_a = sa.event_type
             JOIN sz sb ON ov.type_b = sb.event_type
@@ -3683,10 +3710,8 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "type_b")
         .select(
             "type_a", "type_b", "n_a", "n_b", "n_both",
-            F.round(
-                F.col("n_both")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
-                6,
+            mean_quantized(
+                "n_both", F.col("n_a") + F.col("n_b") - F.col("n_both")
             ).alias("jaccard"),
         )
     )
@@ -3694,7 +3719,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_kpi_daily",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT user_id, event_type,
                       ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -3711,7 +3736,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM firstday GROUP BY first_day)
     SELECT d.day, d.n_events, d.dau,
            round(d.revenue_cents / 100.0, 2) AS revenue,
-           round(d.n_errors / CAST(d.n_events AS DOUBLE), 6) AS error_rate,
+           {mean_quantized_sql("d.n_errors", "d.n_events")} AS error_rate,
            coalesce(n.new_users, 0) AS new_users
     FROM daily d LEFT JOIN newu n ON d.day = n.day
     """,
@@ -3748,9 +3773,7 @@ def events_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.join(F.broadcast(newu), "day", "left").select(
         "day", "n_events", "dau",
         F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
-        F.round(F.col("n_errors") / F.col("n_events").cast("double"), 6).alias(
-            "error_rate"
-        ),
+        mean_quantized("n_errors", "n_events").alias("error_rate"),
         F.coalesce("new_users", F.lit(0)).alias("new_users"),
     )
 
@@ -4020,7 +4043,7 @@ _BE_SCALE = 1_000_000_000  # 1e-9 fixed point for entropy terms
     SELECT user_id,
            any_value(n_tot) AS n_events,
            CAST(count(*) AS BIGINT) AS n_types,
-           round(CAST(sum(h_q) AS DOUBLE) / {_BE_SCALE}, 6) AS entropy
+           {mean_quantized_sql("sum(h_q)", str(_BE_SCALE))} AS entropy
     FROM e GROUP BY user_id
     """,
 )
@@ -4045,7 +4068,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.any_value("n_tot").alias("n_events"),
         F.count("*").cast("bigint").alias("n_types"),
-        F.round(F.sum("h_q").cast("double") / _BE_SCALE, 6).alias("entropy"),
+        mean_quantized(F.sum("h_q"), F.lit(_BE_SCALE)).alias("entropy"),
     )
 
 
@@ -4076,7 +4099,7 @@ _CHI_SCALE = 1_000_000_000  # 1e-9 fixed point for chi-square terms
            (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_types,
            ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
                AS dof,
-           round(CAST(sum(chi_q) AS DOUBLE) / {_CHI_SCALE}, 6) AS chi_square
+           {mean_quantized_sql("sum(chi_q)", str(_CHI_SCALE))} AS chi_square
     FROM q
     """,
 )
@@ -4120,7 +4143,7 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = rt.agg(F.count("*").cast("bigint").alias("n_brands"))
     nt = ct.agg(F.count("*").cast("bigint").alias("n_types"))
     tot = terms.agg(
-        F.round(F.sum(chi_q).cast("double") / _CHI_SCALE, 6).alias("chi_square")
+        mean_quantized(F.sum(chi_q), F.lit(_CHI_SCALE)).alias("chi_square")
     )
     return (
         nb.crossJoin(F.broadcast(nt))
@@ -4204,7 +4227,7 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
     t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
     SELECT c.digit, c.n,
-           round(c.n / CAST(t.n_tot AS DOUBLE), 6) AS observed_p,
+           {mean_quantized_sql("c.n", "t.n_tot")} AS observed_p,
            round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford_p,
            round(abs(c.n / CAST(t.n_tot AS DOUBLE)
                      - ln(1.0 + 1.0 / c.digit) / ln(10.0)), 6) AS abs_dev
@@ -4237,7 +4260,7 @@ def stat_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = F.col("n") / F.col("n_tot").cast("double")
     return c.crossJoin(F.broadcast(t)).select(
         "digit", "n",
-        F.round(obs, 6).alias("observed_p"),
+        mean_quantized("n", "n_tot").alias("observed_p"),
         F.round(benford, 6).alias("benford_p"),
         F.round(F.abs(obs - benford), 6).alias("abs_dev"),
     )
@@ -4381,7 +4404,7 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_ltv_curve",
-    oracle="""
+    oracle=f"""
     WITH o AS (SELECT o_custkey,
                       CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
                           AS m,
@@ -4404,7 +4427,8 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(cum.cohort_month AS VARCHAR) AS cohort_month, cum.age,
            sz.n_customers,
            round(cum.cum_cents / 100.0, 2) AS cum_revenue,
-           round(cum.cum_cents / 100.0 / sz.n_customers, 6) AS ltv_per_customer
+           {mean_quantized_sql("cum.cum_cents", "100 * sz.n_customers")}
+               AS ltv_per_customer
     FROM cum JOIN sz ON cum.cohort_month = sz.cohort_month
     """,
 )
@@ -4452,7 +4476,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age",
         "n_customers",
         F.round(F.col("cum_cents") / 100.0, 2).alias("cum_revenue"),
-        F.round(F.col("cum_cents") / 100.0 / F.col("n_customers"), 6).alias(
-            "ltv_per_customer"
-        ),
+        mean_quantized(
+            "cum_cents", F.col("n_customers") * F.lit(100)
+        ).alias("ltv_per_customer"),
     )

@@ -20,7 +20,12 @@ from pyspark.sql.window import Window
 
 from . import registry_ext  # noqa: F401  (registers the CC oracle this module composes)
 from .extensions.text import WS_CLASS
-from .functions.numeric import mean_quantized, mean_quantized_sql
+from .functions.numeric import (
+    mean_quantized,
+    mean_quantized_signed,
+    mean_quantized_signed_sql,
+    mean_quantized_sql,
+)
 from .registry import _t, _values_sql, query
 
 # ---------------------------------------------------------------------------
@@ -412,8 +417,9 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_total,
            CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
-           round(1 - count(DISTINCT shingle) / CAST(count(*) AS DOUBLE), 6)
-             AS rep_ratio
+           {mean_quantized_sql(
+               "count(*) - count(DISTINCT shingle)", "count(*)"
+           )} AS rep_ratio
     FROM shm GROUP BY doc_id
     """,
 )
@@ -435,8 +441,8 @@ def corpus_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shm.groupBy("doc_id").agg(
         F.count("*").alias("n_total"),
         F.countDistinct("shingle").alias("n_distinct"),
-        F.round(
-            1 - F.countDistinct("shingle") / F.count("*").cast("double"), 6
+        mean_quantized(
+            F.count("*") - F.countDistinct("shingle"), F.count("*")
         ).alias("rep_ratio"),
     )
 
@@ -462,9 +468,11 @@ _QG_MAX_AVG_TOK_LEN = 5.5
                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                FROM documents),
     m AS (SELECT doc_id, n_chars,
-                 round(len(list_filter(toks, x -> x IN ('the', 'a')))
-                       / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-                 round(n_chars / CAST(len(toks) AS DOUBLE), 6) AS avg_tok_len
+                 {mean_quantized_sql(
+                     "len(list_filter(toks, x -> x IN ('the', 'a')))",
+                     "len(toks)",
+                 )} AS stop_ratio,
+                 {mean_quantized_sql("n_chars", "len(toks)")} AS avg_tok_len
           FROM t)
     SELECT doc_id, stop_ratio, avg_tok_len,
            CASE WHEN n_chars < {_QG_MIN_CHARS} THEN 'too_short'
@@ -492,12 +500,12 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
-    n_toks = F.size(toks).cast("double")
+    n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    stop_ratio = mean_quantized(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))), n_toks
     )
-    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    avg_tok_len = mean_quantized("n_chars", n_toks)
     m = d.select(
         "doc_id",
         "n_chars",
@@ -611,8 +619,9 @@ _SPAN_W = 16
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_spans,
-           round(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+           {mean_quantized_sql(
+               "sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END)", "count(*)"
+           )} AS dup_frac
     FROM c JOIN g USING (fp)
     GROUP BY c.doc_id
     """,
@@ -661,7 +670,7 @@ def corpus_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_spans"),
             F.sum(dup).cast("bigint").alias("n_dup_spans"),
-            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_frac"),
+            mean_quantized(F.sum(dup), F.count("*")).alias("dup_frac"),
         )
     )
 
@@ -671,7 +680,7 @@ corpus_span_dup_rate.__doc__ = corpus_span_dup_rate.__doc__.format(W=_SPAN_W)
 
 @query(
     "corpus_novelty_rate",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
                   FROM documents),
     shingles AS (SELECT DISTINCT doc_id,
@@ -683,8 +692,10 @@ corpus_span_dup_rate.__doc__ = corpus_span_dup_rate.__doc__.format(W=_SPAN_W)
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_novel,
-           round(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+           {mean_quantized_sql(
+               "sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS novelty_rate
     FROM shingles s JOIN o USING (shingle)
     GROUP BY s.doc_id
     """,
@@ -710,7 +721,7 @@ def corpus_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(novel).cast("bigint").alias("n_novel"),
-            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty_rate"),
+            mean_quantized(F.sum(novel), F.count("*")).alias("novelty_rate"),
         )
     )
 
@@ -1085,9 +1096,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     gated AS (SELECT doc_id, source, text, toks
               FROM (SELECT *,
-                           round(len(list_filter(toks, x -> x IN ('the', 'a')))
-                                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-                           round(n_chars / CAST(len(toks) AS DOUBLE), 6) AS avg_tok_len
+                           {mean_quantized_sql(
+                               "len(list_filter(toks, x -> x IN ('the', 'a')))",
+                               "len(toks)",
+                           )} AS stop_ratio,
+                           {mean_quantized_sql("n_chars", "len(toks)")} AS avg_tok_len
                     FROM t)
               WHERE n_chars >= {_QG_MIN_CHARS}
                 AND stop_ratio >= {_QG_MIN_STOP_RATIO}
@@ -1128,12 +1141,12 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
-    n_toks = F.size(toks).cast("double")
+    n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    stop_ratio = mean_quantized(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))), n_toks
     )
-    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    avg_tok_len = mean_quantized("n_chars", n_toks)
     gated = d.where(
         (F.col("n_chars") >= _QG_MIN_CHARS)
         & (stop_ratio >= _QG_MIN_STOP_RATIO)
@@ -1232,8 +1245,9 @@ _LP_SCALE = 1_000_000_000  # fixed-point 1e9 for log-probs
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(l.lp_q) AS BIGINT) AS sum_lp_q,
-           round(CAST(sum(l.lp_q) AS DOUBLE) / count(*) / {_LP_SCALE}, 6)
-               AS avg_logprob
+           {mean_quantized_signed_sql(
+               "sum(l.lp_q)", f"count(*) * CAST({_LP_SCALE} AS BIGINT)"
+           )} AS avg_logprob
     FROM tok2 t JOIN lp l ON t.token = l.token
     GROUP BY t.doc_id
     """,
@@ -1268,8 +1282,8 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum("lp_q").cast("bigint").alias("sum_lp_q"),
-            F.round(
-                F.sum("lp_q").cast("double") / F.count("*") / F.lit(_LP_SCALE), 6
+            mean_quantized_signed(
+                F.sum("lp_q"), F.count("*") * F.lit(_LP_SCALE)
             ).alias("avg_logprob"),
         )
     )
@@ -1311,9 +1325,7 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count_if(is_dup).alias("n_dups"),
-        F.round(F.count_if(is_dup) / F.count("*").cast("double"), 6).alias(
-            "dup_rate"
-        ),
+        mean_quantized(F.count_if(is_dup), F.count("*")).alias("dup_rate"),
     )
 
 
@@ -1573,8 +1585,9 @@ _BG_SCALE = 1_000_000_000  # fixed-point 1e9 for bigram log-probs
     SELECT p.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(l.lp_q) AS BIGINT) AS sum_lp_q,
-           round(CAST(sum(l.lp_q) AS DOUBLE) / count(*) / {_BG_SCALE}, 6)
-               AS avg_logprob
+           {mean_quantized_signed_sql(
+               "sum(l.lp_q)", f"count(*) * CAST({_BG_SCALE} AS BIGINT)"
+           )} AS avg_logprob
     FROM pair p JOIN lp l ON p.bigram = l.bigram
     GROUP BY p.doc_id
     """,
@@ -1628,8 +1641,8 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
             F.sum("lp_q").cast("bigint").alias("sum_lp_q"),
-            F.round(
-                F.sum("lp_q").cast("double") / F.count("*") / F.lit(_BG_SCALE), 6
+            mean_quantized_signed(
+                F.sum("lp_q"), F.count("*") * F.lit(_BG_SCALE)
             ).alias("avg_logprob"),
         )
     )
@@ -1883,7 +1896,7 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_tokenizer_fertility",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (SELECT lang,
                       len(regexp_split_to_array(trim(lower(text)), '\s+'))
                           AS n_words,
@@ -1894,7 +1907,7 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_words) AS BIGINT) AS total_words,
            CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
-           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS fertility
+           {mean_quantized_sql("sum(n_bpe)", "sum(n_words)")} AS fertility
     FROM t GROUP BY lang
     """,
 )
@@ -1920,15 +1933,13 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
-        F.round(
-            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
-        ).alias("fertility"),
+        mean_quantized(F.sum("n_bpe"), F.sum("n_words")).alias("fertility"),
     )
 
 
 @query(
     "corpus_heldout_bigram_coverage",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (SELECT doc_id,
                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
                              AS slot,
@@ -1947,8 +1958,9 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_covered,
-           round(count(*) FILTER (WHERE covered) / CAST(count(*) AS DOUBLE), 6)
-               AS coverage
+           {mean_quantized_sql(
+               "count(*) FILTER (WHERE covered)", "count(*)"
+           )} AS coverage
     FROM held GROUP BY doc_id
     """,
 )
@@ -1991,7 +2003,7 @@ def corpus_heldout_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFram
     return held.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.count_if(covered).cast("bigint").alias("n_covered"),
-        F.round(F.count_if(covered) / F.count("*").cast("double"), 6).alias(
+        mean_quantized(F.count_if(covered), F.count("*")).alias(
             "coverage"
         ),
     )
@@ -2008,16 +2020,18 @@ def _pipeline_e2e_oracle() -> str:
     import re as _re
 
     surv = _re.sub(r"\bdocuments\b", "documents_gated", _survivors_oracle())
+    toks_sql = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    stop_sql = mean_quantized_sql(
+        f"len(list_filter({toks_sql}, x -> x IN ('the', 'a')))",
+        f"len({toks_sql})",
+    )
+    avg_tok_sql = mean_quantized_sql("n_chars", f"len({toks_sql})")
     return f"""
     WITH documents_gated AS (
       SELECT doc_id, text, lang, source, n_chars FROM (
         SELECT d.*,
-               round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                     x -> x IN ('the', 'a')))
-                     / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                            AS DOUBLE), 6) AS __stop_ratio,
-               round(n_chars / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                                    AS DOUBLE), 6) AS __avg_tok
+               {stop_sql} AS __stop_ratio,
+               {avg_tok_sql} AS __avg_tok
         FROM documents d) t
       WHERE n_chars >= {_QG_MIN_CHARS} AND __stop_ratio >= {_QG_MIN_STOP_RATIO}
         AND __avg_tok <= {_QG_MAX_AVG_TOK_LEN} AND source <> 'src9'
@@ -2083,12 +2097,12 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
-    n_toks = F.size(toks).cast("double")
+    n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, 6
+    stop_ratio = mean_quantized(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))), n_toks
     )
-    avg_tok_len = F.round(F.col("n_chars") / n_toks, 6)
+    avg_tok_len = mean_quantized("n_chars", n_toks)
     gated = d.where(
         (F.col("n_chars") >= _QG_MIN_CHARS)
         & (stop_ratio >= _QG_MIN_STOP_RATIO)
@@ -2295,7 +2309,7 @@ _ER_SCALE = 1_000_000_000  # 1e-9 fixed point for entropy-rate terms
                              AND split_part(cb.bigram, ' ', 1) = cu.w1
                       JOIN nt ON cb.source = nt.source)
     SELECT t.source, nt.n AS n_bigrams,
-           round(CAST(sum(t.h_q) AS DOUBLE) / {_ER_SCALE}, 6) AS entropy_rate
+           {mean_quantized_sql("sum(t.h_q)", str(_ER_SCALE))} AS entropy_rate
     FROM terms t JOIN nt ON t.source = nt.source
     GROUP BY t.source, nt.n
     """,
@@ -2344,7 +2358,7 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("source", h_q.alias("h_q"), "n")
         .groupBy("source", "n")
         .agg(
-            F.round(F.sum("h_q").cast("double") / _ER_SCALE, 6).alias(
+            mean_quantized(F.sum("h_q"), F.lit(_ER_SCALE)).alias(
                 "entropy_rate"
             )
         )

@@ -39,6 +39,12 @@ from .extensions.text import (
     token_count,
     tokens,
 )
+from .functions.numeric import (
+    mean_quantized,
+    mean_quantized_signed,
+    mean_quantized_signed_sql,
+    mean_quantized_sql,
+)
 from .registry import ORACLES, _t, _values_sql, query
 from .sources.tables import events_with_ts, ntz_epoch_s, ntz_epoch_us, ts_us_expr
 
@@ -107,11 +113,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, n_tokens, n_uniq_tokens,
-           round(n_uniq_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
-           round(n_nonspace / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-           round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+           {mean_quantized_sql("n_uniq_tokens", "n_tokens")} AS ttr,
+           {mean_quantized_sql("n_nonspace", "n_tokens")} AS avg_token_len,
+           {mean_quantized_sql("n_stop", "n_tokens")} AS stopword_ratio,
            (n_tokens >= 5 AND n_tokens <= 100000
-            AND n_uniq_tokens / CAST(n_tokens AS DOUBLE) >= 0.1) AS passes_quality
+            AND n_uniq_tokens * 10 >= n_tokens) AS passes_quality
     FROM feats
     """,
 )
@@ -129,8 +135,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_filter(t, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
                  len(t) AS n FROM toks)
     SELECT doc_id,
-           CASE WHEN n_stop / CAST(n AS DOUBLE) >= 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang,
-           round(n_stop / CAST(n AS DOUBLE), 6) AS en_score
+           CASE WHEN 50 * n_stop >= n THEN 'en' ELSE 'unknown' END AS pred_lang,
+           {mean_quantized_sql("n_stop", "n")} AS en_score
     FROM s
     """,
 )
@@ -191,11 +197,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM shingles a JOIN shingles b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+           {mean_quantized_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter")} AS jaccard
     FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    WHERE {mean_quantized_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter")} >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +241,7 @@ def _lsh_dedup_oracle(max_bucket_size: int | None = None) -> str:
     cap: buckets larger than the cap contribute (bucket-min ↔ member)
     edges instead of all pairs — the same windowed count/min the Spark
     plan computes in lsh_candidate_pairs."""
-    jac = "round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)"
+    jac = mean_quantized_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter")
     return f"""
     WITH {_lsh_with_body(max_bucket_size)}
     SELECT c.doc_a, c.doc_b, {jac} AS jaccard
@@ -345,8 +351,8 @@ CONTAINMENT_THRESHOLD = 0.5
 
 
 def _containment_oracle() -> str:
-    ca = "round(n_inter / CAST(sa.n_sh AS DOUBLE), 6)"
-    cb = "round(n_inter / CAST(sb.n_sh AS DOUBLE), 6)"
+    ca = mean_quantized_sql("n_inter", "sa.n_sh")
+    cb = mean_quantized_sql("n_inter", "sb.n_sh")
     return f"""
     WITH {_lsh_with_body(LSH_MAX_BUCKET)}
     SELECT c.doc_a, c.doc_b, {ca} AS containment_a, {cb} AS containment_b
@@ -2475,10 +2481,12 @@ def _simhash_eval_oracle() -> str:
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_candidates,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-           round((SELECT count(*) FROM hit)
-                 / CAST((SELECT count(*) FROM ver) AS DOUBLE), 6) AS precision,
-           round((SELECT count(*) FROM hit)
-                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall
+           {mean_quantized_sql(
+               "(SELECT count(*) FROM hit)", "(SELECT count(*) FROM ver)"
+           )} AS precision,
+           {mean_quantized_sql(
+               "(SELECT count(*) FROM hit)", "(SELECT count(*) FROM truth)"
+           )} AS recall
     """
 
 
@@ -2557,12 +2565,8 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nh))
         .select(
             "n_candidates", "n_truth", "n_hit",
-            F.round(
-                F.col("n_hit") / F.col("n_candidates").cast("double"), 6
-            ).alias("precision"),
-            F.round(F.col("n_hit") / F.col("n_truth").cast("double"), 6).alias(
-                "recall"
-            ),
+            mean_quantized("n_hit", "n_candidates").alias("precision"),
+            mean_quantized("n_hit", "n_truth").alias("recall"),
         )
     )
 
@@ -2592,7 +2596,7 @@ def _lang_centroid_oracle() -> str:
           FROM q JOIN c ON q.lang = c.lang)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(CAST(sum(cos_q) AS DOUBLE) / count(*) / 1000000, 6) AS mean_cos,
+           {mean_quantized_signed_sql("sum(cos_q)", "count(*) * 1000000")} AS mean_cos,
            round(CAST(min(cos_q) AS DOUBLE) / 1000000, 6) AS min_cos,
            CAST(count(*) FILTER (WHERE cos_q < 500000) AS BIGINT) AS n_below_50
     FROM s GROUP BY lang
@@ -2656,9 +2660,9 @@ def vector_lang_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return s.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.round(F.sum("cos_q").cast("double") / F.count("*") / 1_000_000, 6).alias(
-            "mean_cos"
-        ),
+        mean_quantized_signed(
+            F.sum("cos_q"), F.count("*") * F.lit(1_000_000)
+        ).alias("mean_cos"),
         F.round(F.min("cos_q").cast("double") / 1_000_000, 6).alias("min_cos"),
         F.count_if(F.col("cos_q") < 500_000).cast("bigint").alias("n_below_50"),
     )

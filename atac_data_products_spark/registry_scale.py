@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.numeric import mean_quantized, mean_quantized_sql, to_fixed
+from .functions.numeric import (
+    mean_quantized,
+    mean_quantized_signed,
+    mean_quantized_signed_sql,
+    mean_quantized_sql,
+    to_fixed,
+)
 from pyspark.sql.window import Window
 
 from .functions.hashes import hash59, hash59_sql
@@ -197,7 +203,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_skew_profile",
-    oracle="""
+    oracle=f"""
     WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
     stats AS (
       SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
@@ -209,9 +215,12 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (SELECT CAST(min(o_custkey) AS BIGINT) AS top_key
             FROM c WHERE cnt = (SELECT top_cnt FROM stats))
     SELECT n_rows, n_keys, top_key, top_cnt,
-           round(CAST(top_cnt AS DOUBLE) / n_rows, 6) AS top_share,
+           {mean_quantized_sql("top_cnt", "n_rows")} AS top_share,
            p50_cnt, p99_cnt,
-           round(p99_cnt / p50_cnt, 6) AS skew_ratio
+           {mean_quantized_sql(
+               "CAST(round(p99_cnt * 1000000) AS BIGINT)",
+               "CAST(round(p50_cnt * 1000000) AS BIGINT)",
+           )} AS skew_ratio
     FROM stats, top
     """,
 )
@@ -253,12 +262,15 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "top_key",
         "top_cnt",
-        F.round(F.col("top_cnt").cast("double") / F.col("n_rows"), 6).alias(
-            "top_share"
-        ),
+        mean_quantized("top_cnt", "n_rows").alias("top_share"),
         "p50_cnt",
         "p99_cnt",
-        F.round(F.col("p99_cnt") / F.col("p50_cnt"), 6).alias("skew_ratio"),
+        # both percentiles are 6dp-quantized: reconstruct their exact
+        # integer micro-units and divide as an exact rational
+        mean_quantized(
+            F.round(F.col("p99_cnt") * 1_000_000).cast("bigint"),
+            F.round(F.col("p50_cnt") * 1_000_000).cast("bigint"),
+        ).alias("skew_ratio"),
     )
 
 
@@ -614,7 +626,7 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "timeseries_seasonal_decompose",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                FROM events WHERE ts IS NOT NULL),
@@ -626,15 +638,16 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM g
           WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     t AS (SELECT day, day % 7 AS dow, daily_cents,
-                 round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6) AS trend,
+                 {mean_quantized_signed_sql("fr_sum", "100 * fr_n")} AS trend,
                  CAST(round((daily_cents / 100.0
-                             - round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6))
+                             - {mean_quantized_signed_sql("fr_sum", "100 * fr_n")})
                             * 1000000) AS BIGINT) AS det_us
           FROM w WHERE fr_n = 7),
     se AS (SELECT day, dow, daily_cents, trend, det_us,
-                  round((CAST(sum(det_us) OVER (PARTITION BY dow) AS DOUBLE)
-                         / count(*) OVER (PARTITION BY dow)) / 1000000.0, 6)
-                      AS seasonal
+                  {mean_quantized_signed_sql(
+                      "sum(det_us) OVER (PARTITION BY dow)",
+                      "1000000 * count(*) OVER (PARTITION BY dow)",
+                  )} AS seasonal
            FROM t)
     SELECT day, CAST(dow AS BIGINT) AS dow,
            round(daily_cents / 100.0, 2) AS daily_value,
@@ -674,9 +687,7 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("daily_cents").over(fr).cast("bigint").alias("fr_sum"),
         F.count("*").over(fr).cast("bigint").alias("fr_n"),
     ).where(F.col("fr_n") == 7)
-    trend = F.round(
-        (F.col("fr_sum").cast("double") / F.col("fr_n")) / 100.0, 6
-    )
+    trend = mean_quantized_signed("fr_sum", F.col("fr_n") * 100)
     t = w.select(
         "day",
         (F.col("day") % 7).cast("bigint").alias("dow"),
@@ -689,10 +700,8 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     dw = Window.partitionBy("dow")
     se = t.withColumn(
         "seasonal",
-        F.round(
-            (F.sum("det_us").over(dw).cast("double") / F.count("*").over(dw))
-            / 1_000_000.0,
-            6,
+        mean_quantized_signed(
+            F.sum("det_us").over(dw), F.count("*").over(dw) * 1_000_000
         ),
     )
     return se.select(
@@ -714,7 +723,7 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "ml_roc_auc",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS score_cents,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
                FROM events WHERE value IS NOT NULL),
@@ -733,7 +742,9 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
                        AS num2
             FROM c)
     SELECT tot_pos AS n_pos, tot_neg AS n_neg,
-           round(CAST(num2 AS DOUBLE) / (2.0 * tot_pos * tot_neg), 6) AS auc
+           {mean_quantized_sql(
+               "num2", "2 * CAST(tot_pos AS HUGEINT) * tot_neg"
+           )} AS auc
     FROM tot
     """,
 )
@@ -775,12 +786,13 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.sum("n_pos").cast("bigint").alias("n_pos"),
         F.sum("n_neg").cast("bigint").alias("n_neg"),
-        F.round(
+        mean_quantized(
             F.sum(
                 F.col("n_pos") * (2 * F.col("cum_neg_below") + F.col("n_neg"))
-            ).cast("double")
-            / (2.0 * F.sum("n_pos") * F.sum("n_neg")),
-            6,
+            ),
+            F.lit(2)
+            * F.sum("n_pos").cast("decimal(38,0)")
+            * F.sum("n_neg"),
         ).alias("auc"),
     ).select(
         "n_pos",
@@ -1300,8 +1312,8 @@ CALIB_BIN_CENTS = 1_000  # fixed $10 score bins
     SELECT cents // {CALIB_BIN_CENTS} AS bin,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(pos) AS BIGINT) AS n_pos,
-           round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate,
-           round(CAST(sum(cents) AS BIGINT) / (count(*) * 100.0), 6)
+           {mean_quantized_sql("sum(pos)", "count(*)")} AS pos_rate,
+           {mean_quantized_signed_sql("sum(cents)", "100 * count(*)")}
                AS mean_score
     FROM s GROUP BY cents // {CALIB_BIN_CENTS}
     """,
@@ -1331,11 +1343,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("pos").cast("bigint").alias("n_pos"),
-            F.round(F.sum("pos").cast("double") / F.count("*"), 6).alias(
-                "pos_rate"
-            ),
-            F.round(
-                F.sum("cents").cast("bigint") / (F.count("*") * 100.0), 6
+            mean_quantized(F.sum("pos"), F.count("*")).alias("pos_rate"),
+            mean_quantized_signed(
+                F.sum("cents"), F.count("*") * 100
             ).alias("mean_score"),
         )
     )
@@ -1631,7 +1641,7 @@ JOIN_SALT_R = 8
 
 @query(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT event_id,
                       ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -1640,7 +1650,10 @@ JOIN_SALT_R = 8
                      CAST(sum(cents) AS BIGINT) AS cents_day
               FROM e GROUP BY day)
     SELECT e.event_id, e.day, d.n_day, d.cents_day,
-           round(e.cents / CAST(d.cents_day AS DOUBLE), 6) AS day_share
+           {mean_quantized_signed_sql(
+               "CASE WHEN d.cents_day < 0 THEN -e.cents ELSE e.cents END",
+               "abs(d.cents_day)",
+           )} AS day_share
     FROM e JOIN daily d ON d.day = e.day
     """,
 )
@@ -1685,8 +1698,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n_day",
             "cents_day",
-            F.round(
-                F.col("cents") / F.col("cents_day").cast("double"), 6
+            # sign-normalized exact rational: the day total can be
+            # negative on hostile data, so fold its sign into the
+            # numerator and divide by |total| (zero total -> NULL)
+            mean_quantized_signed(
+                F.when(
+                    F.col("cents_day") < 0, -F.col("cents")
+                ).otherwise(F.col("cents")),
+                F.abs(F.col("cents_day")),
             ).alias("day_share"),
         )
     )
@@ -4182,7 +4201,7 @@ def _pca_oracle() -> str:
         + ", ".join(ctes)
         + f"""
     SELECT v.j AS dim,
-           round(v.vq / {PCA_SCALE}.0, 6) AS loading,
+           {mean_quantized_signed_sql("v.vq", str(PCA_SCALE))} AS loading,
            round(n.nrm, 6) AS eigenvalue
     FROM v{last} v, n{last} n"""
     )
@@ -4260,7 +4279,7 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return v.crossJoin(F.broadcast(nrm)).select(
         F.col("j").alias("dim"),
-        F.round(F.col("vq") / float(PCA_SCALE), 6).alias("loading"),
+        mean_quantized_signed("vq", F.lit(PCA_SCALE)).alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue"),
     )
 
@@ -4374,9 +4393,9 @@ SRM_CHI2_95 = 3.841459  # chi-square 1-df critical value at α=0.05
                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
           FROM arms)
     SELECT n_a, n_b,
-           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+           {mean_quantized_sql("(n_a - n_b) * (n_a - n_b)", "n_a + n_b")}
                AS chi2,
-           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+           {mean_quantized_sql("(n_a - n_b) * (n_a - n_b)", "n_a + n_b")}
                > {SRM_CHI2_95} AS srm_detected
     FROM c
     """,
@@ -4402,10 +4421,9 @@ def events_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
     )
-    chi2 = F.round(
-        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast("double")
-        / (F.col("n_a") + F.col("n_b")),
-        6,
+    chi2 = mean_quantized(
+        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")),
+        F.col("n_a") + F.col("n_b"),
     )
     return c.select(
         "n_a", "n_b", chi2.alias("chi2"), (chi2 > SRM_CHI2_95).alias("srm_detected")
@@ -4498,7 +4516,7 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "supplier_concentration_hhi",
-    oracle="""
+    oracle=f"""
     WITH r AS (SELECT l_suppkey,
                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                            AS BIGINT) AS rev
@@ -4512,7 +4530,7 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(CAST(sq AS DOUBLE)
                       / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
                AS hhi_points,
-           round(1.0 / n_suppliers * 10000, 6) AS hhi_floor_points,
+           {mean_quantized_sql("10000", "n_suppliers")} AS hhi_floor_points,
            CAST(round(CAST(sq AS DOUBLE)
                       / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
                > 2500 AS concentrated
@@ -4554,7 +4572,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         F.col("n_suppliers").cast("bigint"),
         hhi.alias("hhi_points"),
-        F.round(1.0 / F.col("n_suppliers") * 10000, 6).alias("hhi_floor_points"),
+        mean_quantized(F.lit(10_000), "n_suppliers").alias("hhi_floor_points"),
         (hhi > 2500).alias("concentrated"),
     )
 
@@ -4644,7 +4662,7 @@ TEMP_ALPHA_NUM, TEMP_ALPHA_DEN = 1, 2  # α = 0.5: p_i^α re-weighting
                  list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS wsum
           FROM t)
     SELECT t.lang, t.n,
-           round(t.n / CAST(z.tot AS DOUBLE), 6) AS p_natural,
+           {mean_quantized_sql("t.n", "z.tot")} AS p_natural,
            round(t.w / z.wsum, 6) AS p_temperature,
            CAST(round(t.w / z.wsum * z.tot) AS BIGINT) AS target_docs
     FROM t, z
@@ -4682,7 +4700,7 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.crossJoin(F.broadcast(z)).select(
         "lang",
         "n",
-        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("p_natural"),
+        mean_quantized("n", "tot").alias("p_natural"),
         F.round(F.col("w") / F.col("wsum"), 6).alias("p_temperature"),
         F.round(F.col("w") / F.col("wsum") * F.col("tot"))
         .cast("bigint")
@@ -4718,8 +4736,8 @@ corpus_mixture_temperature.__doc__ = corpus_mixture_temperature.__doc__.format(
                      AS x_b
           FROM u)
     SELECT n_a, x_a, n_b, x_b,
-           round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
-           round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+           {mean_quantized_sql("x_a", "n_a")} AS rate_a,
+           {mean_quantized_sql("x_b", "n_b")} AS rate_b,
            round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
                  / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                         * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
@@ -4795,8 +4813,8 @@ def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_a",
         "n_b",
         "x_b",
-        F.round(ra, 6).alias("rate_a"),
-        F.round(rb, 6).alias("rate_b"),
+        mean_quantized("x_a", "n_a").alias("rate_a"),
+        mean_quantized("x_b", "n_b").alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
     )
 
@@ -5031,7 +5049,7 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_hapax_rate",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT source,
                          unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
                              AS tok
@@ -5042,9 +5060,10 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_types,
            CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-           round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS type_token_ratio,
-           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS hapax_share
+           {mean_quantized_sql("count(*)", "sum(n)")} AS type_token_ratio,
+           {mean_quantized_sql(
+               "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)", "count(*)"
+           )} AS hapax_share
     FROM tc GROUP BY source
     """,
 )
@@ -5074,13 +5093,9 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_hapax"),
-        F.round(F.count("*").cast("double") / F.sum("n"), 6).alias(
-            "type_token_ratio"
-        ),
-        F.round(
-            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            6,
+        mean_quantized(F.count("*"), F.sum("n")).alias("type_token_ratio"),
+        mean_quantized(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), F.count("*")
         ).alias("hapax_share"),
     )
 
@@ -5105,11 +5120,12 @@ APDEX_T_CENTS = 2_500  # "satisfied" threshold on value (proxy latency)
            CAST(sum(CASE WHEN cents > {APDEX_T_CENTS}
                           AND cents <= {4 * APDEX_T_CENTS} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_tolerating,
-           round((sum(CASE WHEN cents <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)
-                  + sum(CASE WHEN cents > {APDEX_T_CENTS}
-                              AND cents <= {4 * APDEX_T_CENTS}
-                             THEN 1 ELSE 0 END) / 2.0)
-                 / count(*), 6) AS apdex
+           {mean_quantized_sql(
+               f"2 * sum(CASE WHEN cents <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)"
+               f" + sum(CASE WHEN cents > {APDEX_T_CENTS}"
+               f" AND cents <= {4 * APDEX_T_CENTS} THEN 1 ELSE 0 END)",
+               "2 * count(*)",
+           )} AS apdex
     FROM e GROUP BY event_type
     """,
 )
@@ -5139,7 +5155,7 @@ def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         sat.cast("bigint").alias("n_satisfied"),
         tol.cast("bigint").alias("n_tolerating"),
-        F.round((sat + tol / 2.0) / F.count("*"), 6).alias("apdex"),
+        mean_quantized(sat * 2 + tol, F.count("*") * 2).alias("apdex"),
     )
 
 
@@ -5452,7 +5468,7 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_diff_in_diff",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS lo,
                       CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS hi
                FROM lineitem),
@@ -5468,21 +5484,26 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(net_cents) AS BIGINT) AS s
           FROM l GROUP BY treated, post),
     w AS (SELECT
-            max(CASE WHEN treated = 1 AND post = 1
-                     THEN CAST(s AS DOUBLE) / n END) AS t1,
-            max(CASE WHEN treated = 1 AND post = 0
-                     THEN CAST(s AS DOUBLE) / n END) AS t0,
-            max(CASE WHEN treated = 0 AND post = 1
-                     THEN CAST(s AS DOUBLE) / n END) AS c1,
-            max(CASE WHEN treated = 0 AND post = 0
-                     THEN CAST(s AS DOUBLE) / n END) AS c0
-          FROM g)
-    SELECT round(t0 / 100, 6) AS treated_pre,
-           round(t1 / 100, 6) AS treated_post,
-           round(c0 / 100, 6) AS control_pre,
-           round(c1 / 100, 6) AS control_post,
-           round(((t1 - t0) - (c1 - c0)) / 100, 6) AS did_estimate
-    FROM w
+            max(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s11,
+            max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+            max(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s10,
+            max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+            max(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s01,
+            max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+            max(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s00,
+            max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00
+          FROM g),
+    q AS (SELECT {mean_quantized_sql("s10", "100 * n10")} AS t0,
+                 {mean_quantized_sql("s11", "100 * n11")} AS t1,
+                 {mean_quantized_sql("s00", "100 * n00")} AS c0,
+                 {mean_quantized_sql("s01", "100 * n01")} AS c1
+          FROM w)
+    SELECT t0 AS treated_pre,
+           t1 AS treated_post,
+           c0 AS control_pre,
+           c1 AS control_post,
+           round((t1 - t0) - (c1 - c0), 6) AS did_estimate
+    FROM q
     """,
 )
 def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5532,25 +5553,33 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("net_cents").cast("bigint").alias("s")
     )
 
-    def cell(t, p):
+    def cell(col, t, p):
         return F.max(
-            F.when(
-                (F.col("treated") == t) & (F.col("post") == p),
-                F.col("s").cast("double") / F.col("n"),
-            )
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
         )
 
     w = g.agg(
-        cell(1, 1).alias("t1"), cell(1, 0).alias("t0"),
-        cell(0, 1).alias("c1"), cell(0, 0).alias("c0"),
+        cell("s", 1, 1).alias("s11"), cell("n", 1, 1).alias("n11"),
+        cell("s", 1, 0).alias("s10"), cell("n", 1, 0).alias("n10"),
+        cell("s", 0, 1).alias("s01"), cell("n", 0, 1).alias("n01"),
+        cell("s", 0, 0).alias("s00"), cell("n", 0, 0).alias("n00"),
     )
-    return w.select(
-        F.round(F.col("t0") / 100, 6).alias("treated_pre"),
-        F.round(F.col("t1") / 100, 6).alias("treated_post"),
-        F.round(F.col("c0") / 100, 6).alias("control_pre"),
-        F.round(F.col("c1") / 100, 6).alias("control_post"),
+    # four exactly-quantized cell means; the DiD composes quantized
+    # values, so its round() sits ~0.5e-6 from any boundary (safe —
+    # only raw rationals can land ON one; docs/OPERATIONS.md)
+    q = w.select(
+        mean_quantized("s10", F.col("n10") * 100).alias("t0"),
+        mean_quantized("s11", F.col("n11") * 100).alias("t1"),
+        mean_quantized("s00", F.col("n00") * 100).alias("c0"),
+        mean_quantized("s01", F.col("n01") * 100).alias("c1"),
+    )
+    return q.select(
+        F.col("t0").alias("treated_pre"),
+        F.col("t1").alias("treated_post"),
+        F.col("c0").alias("control_pre"),
+        F.col("c1").alias("control_post"),
         F.round(
-            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))) / 100, 6
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
         ).alias("did_estimate"),
     )
 
@@ -5750,7 +5779,7 @@ SPAN_MEAN_LEN = 3
                          FOR k IN range(1, n_spans + 1)]))) AS BIGINT) AS n_masked
                FROM s)
     SELECT doc_id, n AS n_tokens, n_spans, n_masked,
-           round(CAST(n_masked AS DOUBLE) / n, 6) AS mask_rate
+           {mean_quantized_sql("n_masked", "n")} AS mask_rate
     FROM masked
     """,
 )
@@ -5805,9 +5834,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_tokens"),
         "n_spans",
         "n_masked",
-        F.round(F.col("n_masked").cast("double") / F.col("n"), 6).alias(
-            "mask_rate"
-        ),
+        mean_quantized("n_masked", "n").alias("mask_rate"),
     )
 
 
@@ -6018,7 +6045,7 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_fk_inference",
-    oracle="""
+    oracle=f"""
     WITH pairs AS (
       SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
              (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child,
@@ -6042,7 +6069,7 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_child AS BIGINT) AS n_child,
            CAST(n_parent AS BIGINT) AS n_parent,
            CAST(n_contained AS BIGINT) AS n_contained,
-           round(CAST(n_contained AS DOUBLE) / n_child, 6) AS containment,
+           {mean_quantized_sql("n_contained", "n_child")} AS containment,
            n_contained = n_child AS is_fk_candidate
     FROM pairs
     """,
@@ -6085,9 +6112,7 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_child").cast("bigint"),
                 F.col("n_parent").cast("bigint"),
                 F.col("n_contained").cast("bigint"),
-                F.round(
-                    F.col("n_contained") / F.col("n_child").cast("double"), 6
-                ).alias("containment"),
+                mean_quantized("n_contained", "n_child").alias("containment"),
                 (F.col("n_contained") == F.col("n_child")).alias(
                     "is_fk_candidate"
                 ),
@@ -6190,10 +6215,10 @@ DUP_SAMPLE_SLOTS = 4  # keep docs whose hash slot == 0 → ~1/4 sample
                     CAST(count(DISTINCT fp) AS BIGINT) AS nd
              FROM norm WHERE slot = 0)
     SELECT e.n AS n_docs, s.n AS n_sampled,
-           round(CAST(e.n - e.nd AS DOUBLE) / e.n, 6) AS dup_rate_exact,
-           round(CAST(s.n - s.nd AS DOUBLE) / s.n, 6) AS dup_rate_sampled,
-           round(abs(CAST(e.n - e.nd AS DOUBLE) / e.n
-                     - CAST(s.n - s.nd AS DOUBLE) / s.n), 6) AS abs_error
+           {mean_quantized_sql("e.n - e.nd", "e.n")} AS dup_rate_exact,
+           {mean_quantized_sql("s.n - s.nd", "s.n")} AS dup_rate_sampled,
+           round(abs({mean_quantized_sql("e.n - e.nd", "e.n")}
+                     - {mean_quantized_sql("s.n - s.nd", "s.n")}), 6) AS abs_error
     FROM exact e, samp s
     """,
 )
@@ -6234,13 +6259,15 @@ def dedup_sampled_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("sn"), F.countDistinct("fp").cast("bigint").alias("snd")
     )
     j = exact.crossJoin(F.broadcast(samp))
-    rate_e = (F.col("n") - F.col("nd")).cast("double") / F.col("n")
-    rate_s = (F.col("sn") - F.col("snd")).cast("double") / F.col("sn")
+    rate_e = mean_quantized(F.col("n") - F.col("nd"), F.col("n"))
+    rate_s = mean_quantized(F.col("sn") - F.col("snd"), F.col("sn"))
     return j.select(
         F.col("n").cast("bigint").alias("n_docs"),
         F.col("sn").cast("bigint").alias("n_sampled"),
-        F.round(rate_e, 6).alias("dup_rate_exact"),
-        F.round(rate_s, 6).alias("dup_rate_sampled"),
+        rate_e.alias("dup_rate_exact"),
+        rate_s.alias("dup_rate_sampled"),
+        # composition of quantized values — its round() sits ~0.5e-6
+        # from any boundary (docs/OPERATIONS.md)
         F.round(F.abs(rate_e - rate_s), 6).alias("abs_error"),
     )
 
@@ -6782,7 +6809,7 @@ def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_decision_stump",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
                FROM events WHERE value IS NOT NULL),
@@ -6812,12 +6839,15 @@ def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     row_number() OVER (ORDER BY wg_ns, cents) AS rk
              FROM sc)
     SELECT cents AS best_threshold_cents,
-           round(1 - pow(CAST(pt AS DOUBLE) / nt, 2)
-                   - pow(1 - CAST(pt AS DOUBLE) / nt, 2), 6) AS gini_parent,
-           round(wg_ns / 1000000000.0, 6) AS gini_split,
-           round((1 - pow(CAST(pt AS DOUBLE) / nt, 2)
-                    - pow(1 - CAST(pt AS DOUBLE) / nt, 2))
-                 - wg_ns / 1000000000.0, 6) AS gini_gain,
+           {mean_quantized_sql(
+               "2 * CAST(pt AS HUGEINT) * (nt - pt)",
+               "CAST(nt AS HUGEINT) * nt",
+           )} AS gini_parent,
+           {mean_quantized_sql("wg_ns", "1000000000")} AS gini_split,
+           round({mean_quantized_sql(
+               "2 * CAST(pt AS HUGEINT) * (nt - pt)",
+               "CAST(nt AS HUGEINT) * nt",
+           )} - {mean_quantized_sql("wg_ns", "1000000000")}, 6) AS gini_gain,
            CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right
     FROM best WHERE rk = 1
     """,
@@ -6874,14 +6904,20 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = scored.withColumn("rk", F.row_number().over(wbest)).where(
         F.col("rk") == 1
     )
-    parent = 1 - F.pow(F.col("pt").cast("double") / F.col("nt"), 2) - F.pow(
-        1 - F.col("pt").cast("double") / F.col("nt"), 2
+    # exact rational parent impurity: 1 - p^2 - (1-p)^2 == 2*pt*(nt-pt)/nt^2
+    dec = "decimal(38,0)"
+    parent_q = mean_quantized(
+        F.lit(2) * F.col("pt").cast(dec) * (F.col("nt") - F.col("pt")),
+        F.col("nt").cast(dec) * F.col("nt"),
     )
+    split_q = mean_quantized("wg_ns", F.lit(1_000_000_000))
     return best.select(
         F.col("cents").alias("best_threshold_cents"),
-        F.round(parent, 6).alias("gini_parent"),
-        F.round(F.col("wg_ns") / 1_000_000_000.0, 6).alias("gini_split"),
-        F.round(parent - F.col("wg_ns") / 1_000_000_000.0, 6).alias("gini_gain"),
+        parent_q.alias("gini_parent"),
+        split_q.alias("gini_split"),
+        # composition of quantized values: round() sits ~0.5e-6 from
+        # any boundary (docs/OPERATIONS.md)
+        F.round(parent_q - split_q, 6).alias("gini_gain"),
         F.col("nl").alias("n_left"),
         (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
     )
@@ -6912,7 +6948,7 @@ OTIF_SLA_DAYS = 30
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(otif) AS BIGINT) AS n_otif,
-           round(CAST(sum(otif) AS DOUBLE) / count(*), 6) AS otif_rate
+           {mean_quantized_sql("sum(otif)", "count(*)")} AS otif_rate
     FROM j GROUP BY o_orderpriority
     """,
 )
@@ -6959,9 +6995,7 @@ def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum("otif").cast("bigint").alias("n_otif"),
-        F.round(F.sum("otif").cast("double") / F.count("*"), 6).alias(
-            "otif_rate"
-        ),
+        mean_quantized(F.sum("otif"), F.count("*")).alias("otif_rate"),
     )
 
 
@@ -6975,7 +7009,7 @@ orders_otif_rate.__doc__ = orders_otif_rate.__doc__.format(d=OTIF_SLA_DAYS)
 
 @query(
     "orders_single_source_risk",
-    oracle="""
+    oracle=f"""
     WITH ps AS (SELECT l_partkey,
                        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -6989,8 +7023,10 @@ orders_otif_rate.__doc__ = orders_otif_rate.__doc__.format(d=OTIF_SLA_DAYS)
                AS n_single_source,
            CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
                 AS BIGINT) AS exposed_rev_cents,
-           round(CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
-                      AS DOUBLE) / sum(rev_cents), 6) AS exposed_rev_share
+           {mean_quantized_sql(
+               "sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)",
+               "sum(rev_cents)",
+           )} AS exposed_rev_share
     FROM j GROUP BY p_brand
     """,
 )
@@ -7024,7 +7060,7 @@ def orders_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum(single).cast("bigint").alias("n_single_source"),
         F.sum(exposed).cast("bigint").alias("exposed_rev_cents"),
-        F.round(F.sum(exposed).cast("double") / F.sum("rev_cents"), 6).alias(
+        mean_quantized(F.sum(exposed), F.sum("rev_cents")).alias(
             "exposed_rev_share"
         ),
     )
@@ -7381,7 +7417,7 @@ DOC_EMB_DIM = 16
                           AS BIGINT) AS contrib_ns
           FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd)
     SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-           round(CAST(sum(contrib_ns) AS BIGINT) / 1000000000.0, 6) AS weight
+           {mean_quantized_signed_sql("sum(contrib_ns)", "1000000000")} AS weight
     FROM w GROUP BY doc_id, dim
     """,
 )
@@ -7428,8 +7464,8 @@ def corpus_doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.groupBy("doc_id", "dim").agg(
-        F.round(
-            F.sum("contrib_ns").cast("bigint") / 1_000_000_000.0, 6
+        mean_quantized_signed(
+            F.sum("contrib_ns"), F.lit(1_000_000_000)
         ).alias("weight")
     )
 
@@ -7591,17 +7627,10 @@ def _mcnemar_oracle() -> str:
                 AS BIGINT) AS only_heuristic_right,
            CAST(sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS only_nb_right,
-           round(CAST(sum(a_right) AS DOUBLE) / count(*), 6)
+           CASE WHEN (count(*)) > 0 THEN CAST((2 * CAST(sum(a_right) AS HUGEINT) * 1000000 + (count(*))) // (2 * (count(*))) AS DOUBLE) / 1000000.0 END
                AS heuristic_accuracy,
-           round(CAST(sum(b_right) AS DOUBLE) / count(*), 6) AS nb_accuracy,
-           round(pow(abs(sum(CASE WHEN a_right = 1 AND b_right = 0
-                                  THEN 1 ELSE 0 END)
-                         - sum(CASE WHEN a_right = 0 AND b_right = 1
-                                    THEN 1 ELSE 0 END)) - 1, 2)
-                 / nullif(sum(CASE WHEN a_right = 1 AND b_right = 0
-                              THEN 1 ELSE 0 END)
-                          + sum(CASE WHEN a_right = 0 AND b_right = 1
-                                     THEN 1 ELSE 0 END), 0), 6) AS mcnemar_chi2
+           CASE WHEN (count(*)) > 0 THEN CAST((2 * CAST(sum(b_right) AS HUGEINT) * 1000000 + (count(*))) // (2 * (count(*))) AS DOUBLE) / 1000000.0 END AS nb_accuracy,
+           CASE WHEN (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) > 0 THEN CAST((2 * CAST(CAST(pow(abs(sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) - sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) - 1, 2) AS HUGEINT) AS HUGEINT) * 1000000 + (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) // (2 * (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) AS DOUBLE) / 1000000.0 END AS mcnemar_chi2
     FROM paired
     """
 
@@ -7705,13 +7734,13 @@ def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.agg(
         b.cast("bigint").alias("only_heuristic_right"),
         c.cast("bigint").alias("only_nb_right"),
-        F.round(F.sum("a_right").cast("double") / F.count("*"), 6).alias(
+        mean_quantized(F.sum("a_right"), F.count("*")).alias(
             "heuristic_accuracy"
         ),
-        F.round(F.sum("b_right").cast("double") / F.count("*"), 6).alias(
-            "nb_accuracy"
-        ),
-        F.round(
-            F.pow(F.abs(b - c) - 1, 2) / F.nullif(b + c, F.lit(0)), 6
+        mean_quantized(F.sum("b_right"), F.count("*")).alias("nb_accuracy"),
+        # (|b-c|-1)^2 is an exact integer (pow on bigint-valued doubles
+        # below 2^53), so the chi2 is an exact integer rational
+        mean_quantized(
+            F.pow(F.abs(b - c) - 1, 2).cast("decimal(38,0)"), b + c
         ).alias("mcnemar_chi2"),
     )

@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import (
+    mean_quantized,
+    mean_quantized_sql,
+    to_fixed,
+)
 from .registry import _t, query
 
 
@@ -27,7 +32,7 @@ def _ntz(lit: str):
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     WITH l AS (SELECT l_returnflag, l_linestatus,
                       CAST(l_quantity AS DECIMAL(15,2)) AS qty,
                       CAST(l_extendedprice AS DECIMAL(15,2)) AS ep,
@@ -40,9 +45,9 @@ def _ntz(lit: str):
            CAST(round(sum(ep), 2) AS DOUBLE) AS sum_base_price,
            CAST(round(sum(ep * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
            CAST(round(sum(ep * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(ep) AS DOUBLE) / count(*), 4) AS avg_price,
-           round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+           {mean_quantized_sql("CAST(sum(qty) * 100 AS HUGEINT)", "100 * count(*)")} AS avg_qty,
+           {mean_quantized_sql("CAST(sum(ep) * 100 AS HUGEINT)", "100 * count(*)", 10_000)} AS avg_price,
+           {mean_quantized_sql("CAST(sum(disc) * 100 AS HUGEINT)", "100 * count(*)")} AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM l GROUP BY l_returnflag, l_linestatus
     """,
@@ -120,9 +125,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se / 100, 2).cast("double").alias("sum_base_price"),
         F.round(sd / 10_000, 2).cast("double").alias("sum_disc_price"),
         F.round(sc / 1_000_000, 2).cast("double").alias("sum_charge"),
-        F.round((sq / 100).cast("double") / n, 6).alias("avg_qty"),
-        F.round((se / 100).cast("double") / n, 4).alias("avg_price"),
-        F.round((sdisc / 100).cast("double") / n, 6).alias("avg_disc"),
+        mean_quantized(sq, n * 100).alias("avg_qty"),
+        mean_quantized(se, n * 100, 10_000).alias("avg_price"),
+        mean_quantized(sdisc, n * 100).alias("avg_disc"),
         n.cast("bigint").alias("count_order"),
     )
 
@@ -209,32 +214,44 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_share",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
-      AND l_shipdate < TIMESTAMP '1997-07-01'
+    oracle=f"""
+    WITH l AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                          AS disc_u,
+                      p_type
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+                 AND l_shipdate < TIMESTAMP '1997-07-01')
+    SELECT {mean_quantized_sql(
+        "100 * sum(CASE WHEN p_type = 'PROMO' THEN disc_u ELSE 0 END)",
+        "sum(disc_u)",
+    )} AS promo_share
+    FROM l
     """,
 )
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: conditional ratio over a fact-dim join — part broadcasts,
-    both numerator and denominator come out of ONE aggregation."""
+    both numerator and denominator come out of ONE aggregation as
+    exact integer 1e-4-dollar units (cents × discount percent), so the
+    published ratio is an exact rational through the mean_quantized
+    lane (docs/OPERATIONS.md quantization contract)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ntz("1997-06-01"))
         & (F.col("l_shipdate") < _ntz("1997-07-01"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
+    disc_u = to_fixed("l_extendedprice", 100) * (
+        F.lit(100) - to_fixed("l_discount", 100)
+    )
+    promo_u = F.when(F.col("p_type") == "PROMO", disc_u).otherwise(0)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 6).alias(
-                "promo_share"
-            )
+            F.sum(promo_u).cast("decimal(38,0)").alias("__p"),
+            F.sum(disc_u).cast("decimal(38,0)").alias("__d"),
+        )
+        .select(
+            mean_quantized(F.col("__p") * 100, "__d").alias("promo_share")
         )
     )
 

@@ -7630,7 +7630,7 @@ def _mcnemar_oracle() -> str:
            CASE WHEN (count(*)) > 0 THEN CAST((2 * CAST(sum(a_right) AS HUGEINT) * 1000000 + (count(*))) // (2 * (count(*))) AS DOUBLE) / 1000000.0 END
                AS heuristic_accuracy,
            CASE WHEN (count(*)) > 0 THEN CAST((2 * CAST(sum(b_right) AS HUGEINT) * 1000000 + (count(*))) // (2 * (count(*))) AS DOUBLE) / 1000000.0 END AS nb_accuracy,
-           CASE WHEN (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) > 0 THEN CAST((2 * CAST(CAST(pow(abs(sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) - sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) - 1, 2) AS HUGEINT) AS HUGEINT) * 1000000 + (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) // (2 * (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) AS DOUBLE) / 1000000.0 END AS mcnemar_chi2
+           CASE WHEN (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) > 0 THEN CAST((2 * CAST((CAST(abs(sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) - sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) - 1 AS HUGEINT) * (abs(sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) - sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)) - 1)) AS HUGEINT) * 1000000 + (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) // (2 * (sum(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END) + sum(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END))) AS DOUBLE) / 1000000.0 END AS mcnemar_chi2
     FROM paired
     """
 
@@ -7738,9 +7738,10 @@ def stat_mcnemar_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heuristic_accuracy"
         ),
         mean_quantized(F.sum("b_right"), F.count("*")).alias("nb_accuracy"),
-        # (|b-c|-1)^2 is an exact integer (pow on bigint-valued doubles
-        # below 2^53), so the chi2 is an exact integer rational
+        # (|b-c|-1)^2 as exact integer multiplication in the decimal
+        # lane — pow() on doubles loses exactness past 2^53 counts
         mean_quantized(
-            F.pow(F.abs(b - c) - 1, 2).cast("decimal(38,0)"), b + c
+            (F.abs(b - c) - 1).cast("decimal(38,0)") * (F.abs(b - c) - 1),
+            b + c,
         ).alias("mcnemar_chi2"),
     )

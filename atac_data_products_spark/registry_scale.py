@@ -4393,10 +4393,12 @@ SRM_CHI2_95 = 3.841459  # chi-square 1-df critical value at α=0.05
                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
           FROM arms)
     SELECT n_a, n_b,
-           {mean_quantized_sql("(n_a - n_b) * (n_a - n_b)", "n_a + n_b")}
-               AS chi2,
-           {mean_quantized_sql("(n_a - n_b) * (n_a - n_b)", "n_a + n_b")}
-               > {SRM_CHI2_95} AS srm_detected
+           {mean_quantized_sql(
+               "CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)", "n_a + n_b"
+           )} AS chi2,
+           {mean_quantized_sql(
+               "CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)", "n_a + n_b"
+           )} > {SRM_CHI2_95} AS srm_detected
     FROM c
     """,
 )
@@ -4421,8 +4423,10 @@ def events_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
     )
+    # square in the decimal lane: int64 would overflow past ~3e9 users
     chi2 = mean_quantized(
-        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")),
+        (F.col("n_a") - F.col("n_b")).cast("decimal(38,0)")
+        * (F.col("n_a") - F.col("n_b")),
         F.col("n_a") + F.col("n_b"),
     )
     return c.select(

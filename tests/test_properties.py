@@ -443,3 +443,85 @@ def test_h5_truncated_bytes_raise_not_misread(frac, seed):
         f"truncation at {cut}/{len(content)} bytes decoded silently: "
         f"{type(out)}"
     )
+
+
+# --- exact quantized rationals (the round-8 integer-ratio contract) -----
+
+_mq_sums = st.integers(min_value=0, max_value=10**17)
+_mq_cnts = st.integers(min_value=0, max_value=10**12)
+_mq_units = st.sampled_from([100, 10_000, 1_000_000])
+
+
+@given(
+    st.lists(st.tuples(_mq_sums, _mq_cnts), min_size=1, max_size=30),
+    _mq_units,
+)
+@settings(**SETTINGS)
+def test_mean_quantized_cross_engine_and_exact(spark, cases, unit):
+    """For ANY (s, n, unit): Spark and DuckDB produce the identical
+    double, and it equals the exact half-up rational computed with
+    Python bigints — including the x.5 quanta round(double) gets wrong
+    and the past-int64 scaled magnitudes."""
+    import duckdb
+
+    from atac_data_products_spark.functions.numeric import (
+        mean_quantized,
+        mean_quantized_sql,
+    )
+
+    df = spark.createDataFrame(cases, "s bigint, n bigint").select(
+        mean_quantized("s", "n", unit).alias("m")
+    )
+    got = [r.m for r in df.collect()]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {mean_quantized_sql(str(s), str(n), unit)}"
+        ).fetchone()[0]
+        for s, n in cases
+    ]
+    con.close()
+    exact = [
+        None if n == 0 else float((2 * s * unit + n) // (2 * n)) / unit
+        for s, n in cases
+    ]
+    assert got == duck == exact
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-(10**17), max_value=10**17),
+                  st.integers(min_value=1, max_value=10**12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_mean_quantized_signed_half_away(spark, cases):
+    """Signed form: half AWAY from zero (SQL round semantics), odd
+    symmetry mq(-s, n) == -mq(s, n), both engines identical."""
+    import duckdb
+
+    from atac_data_products_spark.functions.numeric import (
+        mean_quantized_signed,
+        mean_quantized_signed_sql,
+    )
+
+    df = spark.createDataFrame(cases, "s bigint, n bigint").select(
+        mean_quantized_signed("s", "n").alias("m")
+    )
+    got = [r.m for r in df.collect()]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {mean_quantized_signed_sql(str(s), str(n))}"
+        ).fetchone()[0]
+        for s, n in cases
+    ]
+    con.close()
+    U = 1_000_000
+    exact = [
+        float((2 * abs(s) * U + n) // (2 * n)) / U * (1 if s >= 0 else -1)
+        for s, n in cases
+    ]
+    assert got == duck == exact

@@ -172,6 +172,8 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, chs, means = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload has no pixels
+                    continue
                 raw = bytes(payload)
                 if not is_png(raw):
                     raise NotImplementedError(
@@ -215,6 +217,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload has no pixels to resize
+                    continue
                 raw = bytes(payload)
                 if not is_png(raw):
                     raise NotImplementedError(

@@ -108,3 +108,35 @@ def mean_quantized_sql(sum_sql: str, cnt_sql: str, unit: int = 1_000_000) -> str
         f"CAST((2 * CAST({sum_sql} AS HUGEINT) * {unit} + ({cnt_sql}))"
         f" // (2 * ({cnt_sql})) AS DOUBLE) / {unit}.0 END"
     )
+
+
+def ratio_scaled_int(
+    sum_col: Column | str, cnt_col: Column | str, scale: int = 1_000_000
+) -> Column:
+    """Half-up of (s/n)·scale as an exact integer-valued DOUBLE:
+    floor(s·scale/n + 1/2) = (2·s·scale + n) div (2·n) in the
+    DECIMAL(38,0) lane.  The µs/ppm companion of :func:`mean_quantized`
+    for keys that publish the SCALED integer itself (round(x·scale, 0)
+    call sites) rather than the quantized ratio.  Requires s ≥ 0 and
+    n > 0 (NULL when n is 0, matching round(s·scale/NULLIF(n,0))).
+
+    A caller whose s or n exceeds ~1e18 must pre-cast the inputs to
+    decimal(38,0) BEFORE any multiplication, or the bigint product
+    overflows before this helper's own cast."""
+    s = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    n = (F.col(cnt_col) if isinstance(cnt_col, str) else cnt_col).cast(
+        "decimal(38,0)"
+    )
+    num = s.cast("decimal(38,0)") * F.lit(2 * scale) + n
+    d = n * F.lit(2)
+    q = (num - num % d) / d  # exact: num - num%d is a multiple of d
+    return F.when(n > 0, q.cast("double"))
+
+
+def ratio_scaled_int_sql(sum_sql: str, cnt_sql: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`ratio_scaled_int` (HUGEINT lane)."""
+    return (
+        f"CASE WHEN ({cnt_sql}) > 0 THEN "
+        f"CAST((2 * CAST({sum_sql} AS HUGEINT) * {scale} + ({cnt_sql}))"
+        f" // (2 * ({cnt_sql})) AS DOUBLE) END"
+    )

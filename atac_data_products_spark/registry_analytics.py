@@ -250,13 +250,17 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_moving_avg",
-    oracle="""
+    oracle=f"""
+    WITH w AS (SELECT event_id,
+                      sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          OVER win AS s_cents,
+                      count(value) OVER win AS n_val
+               FROM events WHERE ts IS NOT NULL
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT event_id,
-           round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
-               AS mov_avg
-    FROM events WHERE ts IS NOT NULL
+           {mean_quantized_sql("s_cents", "100 * n_val")} AS mov_avg
+    FROM w
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,8 +274,16 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
+    # exact-integer frame mean (2-dp money): cents sum and non-null
+    # count over the same frame through the quantized lane — a frame
+    # mean is s/(100n) with n <= 7, the highest-probability boundary
+    # class there is (docs/OPERATIONS.md quantization contract)
     return ev.select(
-        "event_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+        "event_id",
+        mean_quantized(
+            F.sum(to_fixed("value", 100)).over(w),
+            F.count("value").over(w) * 100,
+        ).alias("mov_avg"),
     )
 
 
@@ -373,7 +385,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract_battery",
-    oracle="""
+    oracle=f"""
     WITH j AS (SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
                            THEN TRY_CAST(json_extract_string(props, '$.k')
                                          AS BIGINT) END AS k_val,
@@ -382,7 +394,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k_val % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(max(k_val) AS BIGINT) AS max_k,
-           round(avg(value), 6) AS avg_value
+           {mean_quantized_sql(
+               "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+               "100 * count(value)")} AS avg_value
     FROM j GROUP BY 1
     """,
 )
@@ -399,10 +413,14 @@ def json_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_val"),
         "value",
     )
+    # avg_value through the exact cents lane (2-dp money), per the
+    # docs/OPERATIONS.md quantization contract
     return j.groupBy((F.col("k_val") % 10).alias("k_bucket")).agg(
         F.count("*").alias("n"),
         F.max("k_val").alias("max_k"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        mean_quantized(
+            F.sum(to_fixed("value", 100)), F.count("value") * 100
+        ).alias("avg_value"),
     )
 
 
@@ -1429,7 +1447,7 @@ def normalize_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_winsorize",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT c_mktsegment,
                       quantile_cont(c_acctbal, 0.05) AS p05,
                       quantile_cont(c_acctbal, 0.95) AS p95
@@ -1437,7 +1455,9 @@ def normalize_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            round(p.p05, 6) AS p05,
            round(p.p95, 6) AS p95,
-           round(avg(c.c_acctbal), 6) AS avg_raw,
+           {mean_quantized_signed_sql(
+               "sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))",
+               "100 * count(*)")} AS avg_raw,
            round(avg(least(greatest(c.c_acctbal, p.p05), p.p95)), 6)
                AS avg_winsorized
     FROM customer c JOIN p ON c.c_mktsegment = p.c_mktsegment
@@ -1466,8 +1486,15 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped"
         ),
     )
+    # avg_raw is an exact-integer ratio (2-dp money): published via the
+    # signed quantized lane (acctbal can be negative), never
+    # round(double-mean, 6) — docs/OPERATIONS.md quantization contract.
+    # avg_winsorized keeps round(): its operands include the
+    # interpolated P5/P95 (documented irrational-residual class).
     return clamped.groupBy("c_mktsegment", "p05", "p95").agg(
-        F.round(F.avg("c_acctbal"), 6).alias("avg_raw"),
+        mean_quantized_signed(
+            F.sum(to_fixed("c_acctbal", 100)), F.count("*") * 100
+        ).alias("avg_raw"),
         F.round(F.avg("clamped"), 6).alias("avg_winsorized"),
     ).select(
         "c_mktsegment",
@@ -2349,11 +2376,13 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_drift",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT user_id, event_id, value,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                FROM events WHERE ts IS NOT NULL),
-    mu AS (SELECT round(avg(value), 6) AS mean_v FROM e),
+    mu AS (SELECT {mean_quantized_sql(
+               "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+               "100 * count(value)")} AS mean_v FROM e),
     c AS (SELECT user_id,
                  sum(value - mean_v) OVER (PARTITION BY user_id
                                            ORDER BY ts_us, event_id
@@ -2377,7 +2406,14 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev_raw.select(
         "user_id", "event_id", "value", ts_us_expr(ev_raw).alias("ts_us")
     )
-    mu = ev.agg(F.round(F.avg("value"), 6).alias("mean_v"))
+    # exact quantized global mean (2-dp money / count), not
+    # round(double-mean) — docs/OPERATIONS.md quantization contract;
+    # the downstream cusum fold subtracts this exact broadcast scalar
+    mu = ev.agg(
+        mean_quantized(
+            F.sum(to_fixed("value", 100)), F.count("value") * 100
+        ).alias("mean_v")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "event_id")

@@ -48,6 +48,8 @@ from .functions.numeric import (
     mean_quantized_signed,
     mean_quantized_signed_sql,
     mean_quantized_sql,
+    ratio_scaled_int,
+    ratio_scaled_int_sql,
     to_fixed,
 )
 from pyspark.sql.window import Window
@@ -5497,10 +5499,10 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s00,
             max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00
           FROM g),
-    q AS (SELECT {mean_quantized_sql("s10", "100 * n10")} AS t0,
-                 {mean_quantized_sql("s11", "100 * n11")} AS t1,
-                 {mean_quantized_sql("s00", "100 * n00")} AS c0,
-                 {mean_quantized_sql("s01", "100 * n01")} AS c1
+    q AS (SELECT {mean_quantized_signed_sql("s10", "100 * n10")} AS t0,
+                 {mean_quantized_signed_sql("s11", "100 * n11")} AS t1,
+                 {mean_quantized_signed_sql("s00", "100 * n00")} AS c0,
+                 {mean_quantized_signed_sql("s01", "100 * n01")} AS c1
           FROM w)
     SELECT t0 AS treated_pre,
            t1 AS treated_post,
@@ -5570,12 +5572,17 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # four exactly-quantized cell means; the DiD composes quantized
     # values, so its round() sits ~0.5e-6 from any boundary (safe —
-    # only raw rationals can land ON one; docs/OPERATIONS.md)
+    # only raw rationals can land ON one; docs/OPERATIONS.md).
+    # Signed variant: the cell sums are non-negative today (price ≥ 0,
+    # discount ≤ 1) but only by domain argument — revenue adjustments /
+    # returns would flip a cell's sign, and unsigned mean_quantized
+    # silently quantizes toward zero for s < 0 (its documented s ≥ 0
+    # precondition).  The signed form costs one codegen branch.
     q = w.select(
-        mean_quantized("s10", F.col("n10") * 100).alias("t0"),
-        mean_quantized("s11", F.col("n11") * 100).alias("t1"),
-        mean_quantized("s00", F.col("n00") * 100).alias("c0"),
-        mean_quantized("s01", F.col("n01") * 100).alias("c1"),
+        mean_quantized_signed("s10", F.col("n10") * 100).alias("t0"),
+        mean_quantized_signed("s11", F.col("n11") * 100).alias("t1"),
+        mean_quantized_signed("s00", F.col("n00") * 100).alias("c0"),
+        mean_quantized_signed("s01", F.col("n01") * 100).alias("c1"),
     )
     return q.select(
         F.col("t0").alias("treated_pre"),
@@ -5971,7 +5978,8 @@ ATTR_WINDOW_US = 3_600_000_000  # 1 hour lookback
     credits AS (SELECT event_type,
                        CASE WHEN rk_first = 1 THEN 1000000 ELSE 0 END AS first_us,
                        CASE WHEN rk_last = 1 THEN 1000000 ELSE 0 END AS last_us,
-                       CAST(round(1000000.0 / n_touch) AS BIGINT) AS linear_us
+                       CAST({ratio_scaled_int_sql("1", "n_touch")} AS BIGINT)
+                           AS linear_us
                 FROM j)
     SELECT event_type AS channel,
            round(sum(first_us) / 1000000.0, 6) AS first_touch_credit,
@@ -6033,7 +6041,9 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("rk_first") == 1, 1_000_000).otherwise(0).alias("first_us"),
         F.when(F.col("rk_last") == 1, 1_000_000).otherwise(0).alias("last_us"),
-        F.round(1_000_000.0 / F.col("n_touch")).cast("bigint").alias("linear_us"),
+        # exact half-up integer µ-credit, not round(1e6/n double) — the
+        # quantization contract's integer lane (docs/OPERATIONS.md)
+        ratio_scaled_int(F.lit(1), "n_touch").cast("bigint").alias("linear_us"),
     )
     return credits.groupBy(F.col("event_type").alias("channel")).agg(
         F.round(F.sum("first_us") / 1_000_000.0, 6).alias("first_touch_credit"),

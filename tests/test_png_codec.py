@@ -173,3 +173,30 @@ def test_spark_decode_image_stats_and_resize(spark):
         np.testing.assert_array_equal(
             out, resize_nearest(imgs[r.media_id], 3, 3)
         )
+
+
+def test_spark_image_stats_null_payload_skipped(spark):
+    # NULL payload has no pixels (same contract as frame_sample /
+    # decode_audio_stats); it must not crash with TypeError(bytes(None))
+    from atac_data_products_spark.extensions.multimodal import (
+        decode_image_stats,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(_img(4, 4, 1)))), (2, None)],
+        "media_id bigint, payload binary",
+    )
+    rows = decode_image_stats(media).collect()
+    assert sorted({r.media_id for r in rows}) == [1]
+
+
+def test_spark_resize_null_payload_skipped(spark):
+    from atac_data_products_spark.extensions.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(_img(4, 4, 1)))), (2, None)],
+        "media_id bigint, payload binary",
+    )
+    rows = resize_images(media, 2, 2).collect()
+    assert [r.media_id for r in rows] == [1]
+    assert decode_png(bytes(rows[0].payload)).shape == (2, 2, 1)

@@ -140,3 +140,25 @@ def ratio_scaled_int_sql(sum_sql: str, cnt_sql: str, scale: int = 1_000_000) -> 
         f"CAST((2 * CAST({sum_sql} AS HUGEINT) * {scale} + ({cnt_sql}))"
         f" // (2 * ({cnt_sql})) AS DOUBLE) END"
     )
+
+
+def ratio_scaled_int_signed(
+    sum_col: Column | str, cnt_col: Column | str, scale: int = 1_000_000
+) -> Column:
+    """Signed companion of :func:`ratio_scaled_int` (n > 0 still
+    required): half-AWAY-from-zero, matching SQL round(), via the
+    non-negative form on |s| with the sign re-applied."""
+    s = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    return F.when(s >= 0, ratio_scaled_int(s, cnt_col, scale)).otherwise(
+        -ratio_scaled_int(-s, cnt_col, scale)
+    )
+
+
+def ratio_scaled_int_signed_sql(
+    sum_sql: str, cnt_sql: str, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`ratio_scaled_int_signed`."""
+    return (
+        f"CASE WHEN ({sum_sql}) >= 0 THEN {ratio_scaled_int_sql(sum_sql, cnt_sql, scale)} "
+        f"ELSE -({ratio_scaled_int_sql(f'-({sum_sql})', cnt_sql, scale)}) END"
+    )

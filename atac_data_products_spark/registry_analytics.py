@@ -3124,8 +3124,9 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-            <= 0.05 * count(DISTINCT user_id)) AS within_5pct
+           (20 * abs(approx_count_distinct(user_id)
+                     - count(DISTINCT user_id))
+            <= count(DISTINCT user_id)) AS within_5pct
     FROM events GROUP BY event_type
     """,
 )
@@ -3148,6 +3149,9 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     still fixed-size (more registers, same combinability), so the
     100 TB story is unchanged."""
     ev = _t(spark, sf_dir, "events")
+    # envelope as a pure-integer predicate (20·|d| ≤ exact ⇔ |d| ≤ 5%):
+    # 0.05·bigint is a binary-inexact float whose comparison can flip
+    # exactly ON the envelope edge — the integer cross-multiply can't
     return ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_exact"),
         (
@@ -3155,7 +3159,8 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_count_distinct("user_id", 0.01)
                 - F.count_distinct("user_id")
             )
-            <= 0.05 * F.count_distinct("user_id")
+            * 20
+            <= F.count_distinct("user_id")
         ).alias("within_5pct"),
     )
 
@@ -3624,12 +3629,14 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(
         F.count_distinct("user_id").cast("bigint").alias("n_exact_global")
     )
+    # integer-form envelope (20·|d| ≤ exact), same reasoning as
+    # approx_distinct_accuracy — no float comparison on the edge
     return exact.crossJoin(F.broadcast(merged)).select(
         "n_exact_global",
         "n_types",
         (
-            F.abs(F.col("est") - F.col("n_exact_global"))
-            <= 0.05 * F.col("n_exact_global")
+            F.abs(F.col("est") - F.col("n_exact_global")) * 20
+            <= F.col("n_exact_global")
         ).alias("merged_within_5pct"),
     )
 
@@ -3652,9 +3659,10 @@ _DEBOUNCE_US = 600_000_000  # 10 minutes
            CAST(count(*) FILTER (
              WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US}
            ) AS BIGINT) AS n_emitted,
-           round(1.0 - count(*) FILTER (
-             WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US}
-           ) / CAST(count(*) AS DOUBLE), 6) AS suppression_rate
+           {mean_quantized_sql(
+               "count(*) - count(*) FILTER ("
+               f"WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US})",
+               "count(*)")} AS suppression_rate
     FROM o GROUP BY user_id
     """,
 )
@@ -3685,8 +3693,10 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_raw"),
         F.count_if(emitted).cast("bigint").alias("n_emitted"),
-        F.round(
-            1.0 - F.count_if(emitted) / F.count("*").cast("double"), 6
+        # 1 − s/n == (n−s)/n: one exact quantized ratio, not a float
+        # composition (docs/OPERATIONS.md contract)
+        mean_quantized(
+            F.count("*") - F.count_if(emitted), F.count("*")
         ).alias("suppression_rate"),
     )
 
@@ -4005,7 +4015,7 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_lorenz_gini",
-    oracle="""
+    oracle=f"""
     WITH rev AS (SELECT o_custkey,
                         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                              AS BIGINT) AS cents
@@ -4020,8 +4030,9 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rk)
     SELECT n AS n_customers,
            round(total / 100.0, 2) AS total_revenue,
-           round(2.0 * weighted / (n * CAST(total AS DOUBLE))
-                 - (n + 1.0) / n, 6) AS gini
+           {mean_quantized_signed_sql(
+               "2 * CAST(weighted AS HUGEINT) - CAST(n + 1 AS HUGEINT) * total",
+               "CAST(n AS HUGEINT) * total")} AS gini
     FROM agg
     """,
 )
@@ -4051,13 +4062,16 @@ def stat_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total"),
         F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted"),
     )
+    # G = (2w − (n+1)·t)/(n·t) is one exact rational — signed quantized
+    # lane on DECIMAL pre-casts (w ~ n²·cents exceeds BIGINT at dim
+    # scale), not a float composition (docs/OPERATIONS.md contract)
     return agg.select(
         F.col("n").alias("n_customers"),
         F.round(F.col("total") / 100.0, 2).alias("total_revenue"),
-        F.round(
-            2.0 * F.col("weighted") / (F.col("n") * F.col("total").cast("double"))
-            - (F.col("n") + 1.0) / F.col("n"),
-            6,
+        mean_quantized_signed(
+            F.col("weighted").cast("decimal(38,0)") * 2
+            - (F.col("n").cast("decimal(38,0)") + 1) * F.col("total"),
+            F.col("n").cast("decimal(38,0)") * F.col("total"),
         ).alias("gini"),
     )
 
@@ -4194,7 +4208,7 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_ks_two_sample",
-    oracle="""
+    oracle=f"""
     WITH g AS (SELECT n_chars,
                       CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
                       CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS c2
@@ -4207,8 +4221,10 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
             FROM g)
     SELECT t.n1, t.n2,
-           round(max(abs(cdf.f1 * CAST(t.n2 AS DOUBLE) - cdf.f2 * t.n1))
-                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) AS ks_d
+           {mean_quantized_sql(
+               "max(abs(CAST(cdf.f1 AS HUGEINT) * t.n2"
+               " - CAST(cdf.f2 AS HUGEINT) * t.n1))",
+               "CAST(t.n1 AS HUGEINT) * t.n2")} AS ks_d
     FROM cdf CROSS JOIN t
     GROUP BY t.n1, t.n2
     """,
@@ -4241,15 +4257,18 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").over(w).cast("bigint").alias("f2"),
     )
     j = cdf.crossJoin(F.broadcast(t))
+    # cross-products on the DECIMAL lane — the double form lost
+    # exactness past 2^53 (misordering the max by an ulp at population
+    # scale) and round(max/n1n2) was the boundary-divergent ratio form.
+    # mean_quantized's n > 0 guard keeps the empty-sample NULL the
+    # try_divide used to provide (hostile-fixture find).
     diff = F.abs(
-        F.col("f1") * F.col("n2").cast("double") - F.col("f2") * F.col("n1")
+        F.col("f1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
     )
     return j.groupBy("n1", "n2").agg(
-        # try_divide: one sample may be empty (n1·n2 = 0), where KS is
-        # undefined — NULL, matching DuckDB's divide-by-zero semantics,
-        # instead of an ANSI DIVIDE_BY_ZERO crash (hostile-fixture find)
-        F.round(
-            F.try_divide(F.max(diff), F.col("n1") * F.col("n2").cast("double")), 6
+        mean_quantized(
+            F.max(diff), F.col("n1").cast("decimal(38,0)") * F.col("n2")
         ).alias("ks_d")
     )
 

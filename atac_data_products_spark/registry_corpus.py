@@ -358,7 +358,7 @@ _CORPUS_SH_MULTI_CTE = _CORPUS_SH_SET_CTE.replace("SELECT DISTINCT", "SELECT").r
              GROUP BY doc_id)
     SELECT t.doc_id, t.n_shingles,
            coalesce(c.n_contaminated, 0) AS n_contaminated,
-           round(coalesce(c.n_contaminated, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+           {mean_quantized_sql("coalesce(c.n_contaminated, 0)", "t.n_shingles")}
              AS contamination
     FROM tot t LEFT JOIN cont c USING (doc_id)
     """,
@@ -401,10 +401,10 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        F.round(
-            F.coalesce("n_contaminated", F.lit(0))
-            / F.col("n_shingles").cast("double"),
-            6,
+        # exact quantized integer ratio, not round(int/int double) —
+        # docs/OPERATIONS.md quantization contract
+        mean_quantized(
+            F.coalesce("n_contaminated", F.lit(0)), "n_shingles"
         ).alias("contamination"),
     )
 
@@ -925,9 +925,10 @@ VOCAB_TOPK = 200
     topk AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOPK})
     SELECT token, n,
            CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
-           round(CAST(sum(n) OVER (ORDER BY n DESC, token
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DOUBLE) / total, 6) AS cum_frac
+           {mean_quantized_sql(
+               "sum(n) OVER (ORDER BY n DESC, token "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+               "total")} AS cum_frac
     FROM topk CROSS JOIN total
     """,
 )
@@ -956,9 +957,9 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n",
         F.row_number().over(w).cast("bigint").alias("rank"),
-        F.round(
-            F.sum("n").over(wsum).cast("double") / F.col("total"), 6
-        ).alias("cum_frac"),
+        # cum_frac is an exact integer ratio (cumulative count / total):
+        # quantized lane per docs/OPERATIONS.md, not round(int/int, 6)
+        mean_quantized(F.sum("n").over(wsum), "total").alias("cum_frac"),
     )
 
 
@@ -1440,7 +1441,7 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_split_leakage_audit",
-    oracle=r"""
+    oracle=rf"""
     WITH n AS (SELECT doc_id,
                       md5(regexp_replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
                                          '[0-9]+', '<num>', 'g')) AS fp,
@@ -1455,8 +1456,9 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) FILTER (WHERE t.fp IS NOT NULL) AS BIGINT) AS n_leaked,
-           round(count(*) FILTER (WHERE t.fp IS NOT NULL)
-                 / CAST(count(*) AS DOUBLE), 6) AS leak_rate
+           {mean_quantized_sql(
+               "count(*) FILTER (WHERE t.fp IS NOT NULL)", "count(*)")}
+               AS leak_rate
     FROM s LEFT JOIN train_fp t ON s.fp = t.fp
     WHERE s.split != 'train'
     GROUP BY s.split
@@ -1492,8 +1494,9 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.count_if(F.col("t_fp").isNotNull()).alias("n_leaked"),
-        F.round(
-            F.count_if(F.col("t_fp").isNotNull()) / F.count("*").cast("double"), 6
+        # exact quantized count ratio (docs/OPERATIONS.md contract)
+        mean_quantized(
+            F.count_if(F.col("t_fp").isNotNull()), F.count("*")
         ).alias("leak_rate"),
     )
 
@@ -1506,7 +1509,7 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_sentence_stats",
-    oracle=r"""
+    oracle=rf"""
     WITH seg AS (SELECT doc_id,
                         list_filter(
                           list_transform(
@@ -1516,7 +1519,7 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM documents)
     SELECT doc_id,
            CAST(len(lens) AS BIGINT) AS n_sentences,
-           round(CAST(list_aggregate(lens, 'sum') AS DOUBLE) / len(lens), 6)
+           {mean_quantized_sql("list_aggregate(lens, 'sum')", "len(lens)")}
                AS avg_sentence_chars,
            CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_sentence_chars
     FROM seg WHERE len(lens) > 0
@@ -1546,12 +1549,12 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("lens").cast("bigint").alias("n_sentences"),
-            F.round(
+            # per-row exact integer mean (docs/OPERATIONS.md contract)
+            mean_quantized(
                 F.aggregate(
                     "lens", F.lit(0).cast("bigint"), lambda a, x: a + x
-                ).cast("double")
-                / F.size("lens"),
-                6,
+                ),
+                F.size("lens"),
             ).alias("avg_sentence_chars"),
             F.array_max("lens").cast("bigint").alias("max_sentence_chars"),
         )
@@ -1828,7 +1831,7 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_importance_resampling",
-    oracle="""
+    oracle=f"""
     WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
                FROM documents GROUP BY lang),
     t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_tot,
@@ -1836,9 +1839,11 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c),
     r AS (SELECT c.lang, c.n_lang,
                  least(1.0, (CAST(t.n_tot AS DOUBLE) / t.n_langs) / c.n_lang)
-                     AS accept_p
+                     AS accept_p,
+                 least(1.0, {mean_quantized_sql(
+                     "t.n_tot", "t.n_langs * c.n_lang")}) AS accept_p_pub
           FROM c CROSS JOIN t),
-    acc AS (SELECT d.lang, r.n_lang, r.accept_p,
+    acc AS (SELECT d.lang, r.n_lang, r.accept_p, r.accept_p_pub,
                    CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
                         < CAST(floor(r.accept_p * 1000000) AS BIGINT)
                         THEN 1 ELSE 0 END AS kept
@@ -1846,7 +1851,7 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            any_value(n_lang) AS n_orig,
            CAST(sum(kept) AS BIGINT) AS n_resampled,
-           round(any_value(accept_p), 6) AS accept_p
+           any_value(accept_p_pub) AS accept_p
     FROM acc GROUP BY lang
     """,
 )
@@ -1869,6 +1874,10 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lang").cast("bigint").alias("n_tot"),
         F.count("*").cast("bigint").alias("n_langs"),
     )
+    # accept_p drives the md5-slot accept test and stays the raw IEEE
+    # ratio (identical op sequence in both engines); the PUBLISHED
+    # probability goes through the exact quantized lane instead of
+    # round(double, 6) — docs/OPERATIONS.md quantization contract
     r = c.crossJoin(F.broadcast(t)).select(
         "lang",
         "n_lang",
@@ -1876,6 +1885,10 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
             (F.col("n_tot").cast("double") / F.col("n_langs")) / F.col("n_lang"),
         ).alias("accept_p"),
+        F.least(
+            F.lit(1.0),
+            mean_quantized("n_tot", F.col("n_langs") * F.col("n_lang")),
+        ).alias("accept_p_pub"),
     )
     slot = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -1885,12 +1898,12 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot < F.floor(F.col("accept_p") * 1_000_000).cast("bigint"), 1
     ).otherwise(0)
     acc = d.join(F.broadcast(r), "lang").select(
-        "lang", "n_lang", "accept_p", kept.alias("kept")
+        "lang", "n_lang", "accept_p_pub", kept.alias("kept")
     )
     return acc.groupBy("lang").agg(
         F.any_value("n_lang").alias("n_orig"),
         F.sum("kept").cast("bigint").alias("n_resampled"),
-        F.round(F.any_value("accept_p"), 6).alias("accept_p"),
+        F.any_value("accept_p_pub").alias("accept_p"),
     )
 
 

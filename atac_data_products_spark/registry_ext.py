@@ -2072,7 +2072,7 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ORDER BY c DESC, lang) AS rk
               FROM lc) WHERE rk = 1)
     SELECT tot.bucket, tot.n_docs, tot.n_langs, top.top_lang,
-           round(top.top_c / CAST(tot.n_docs AS DOUBLE), 6) AS purity
+           {mean_quantized_sql("top.top_c", "tot.n_docs")} AS purity
     FROM tot JOIN top ON tot.bucket = top.bucket
     """.replace("{bucket}", _bucket_sql()),
 )
@@ -2116,7 +2116,8 @@ def semantic_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.join(top, "bucket").select(
         "bucket", "n_docs", "n_langs", "top_lang",
-        F.round(F.col("top_c") / F.col("n_docs").cast("double"), 6).alias("purity"),
+        # exact quantized count ratio (docs/OPERATIONS.md contract)
+        mean_quantized("top_c", "n_docs").alias("purity"),
     )
 
 

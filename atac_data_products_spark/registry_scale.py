@@ -49,6 +49,8 @@ from .functions.numeric import (
     mean_quantized_signed_sql,
     mean_quantized_sql,
     ratio_scaled_int,
+    ratio_scaled_int_signed,
+    ratio_scaled_int_signed_sql,
     ratio_scaled_int_sql,
     to_fixed,
 )
@@ -363,13 +365,13 @@ PREFIX_JACCARD = PREFIX_JACCARD_NUM / PREFIX_JACCARD_DEN
               WHERE a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           {mean_quantized_sql(
+               "n_inter", "sa.n_sh + sb.n_sh - n_inter")} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(CAST(n_inter AS DOUBLE)
-                / (sa.n_sh + sb.n_sh - n_inter), 6)
+    WHERE {mean_quantized_sql(
+               "n_inter", "sa.n_sh + sb.n_sh - n_inter")}
           >= {PREFIX_JACCARD}
     """,
 )
@@ -494,10 +496,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            # exact quantized Jaccard, matching jaccard_pairs
+            # (extensions/dedup.py) — docs/OPERATIONS.md contract
+            mean_quantized(
+                "n_inter", F.col("n_a") + F.col("n_b") - F.col("n_inter")
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= PREFIX_JACCARD)
@@ -1523,7 +1525,7 @@ def _rake_oracle() -> str:
     ),
     word_scores AS (
       SELECT tok,
-             CAST(round(deg / CAST(freq AS DOUBLE) * 1000000) AS BIGINT)
+             CAST({ratio_scaled_int_sql("deg", "freq")} AS BIGINT)
                  AS score_us
       FROM word_stats
     ),
@@ -1599,11 +1601,11 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
     )
+    # exact half-up µ-score (deg/freq is the classic int ratio —
+    # docs/OPERATIONS.md); downstream phrase scores sum exact integers
     word_scores = word_stats.select(
         "tok",
-        F.round(F.col("deg") / F.col("freq").cast("double") * 1_000_000)
-        .cast("bigint")
-        .alias("score_us"),
+        ratio_scaled_int("deg", "freq").cast("bigint").alias("score_us"),
     )
     phrase_occ = phrases.groupBy("phrase").agg(F.count("*").alias("n_occ"))
     phrase_scores = (
@@ -2063,12 +2065,14 @@ ANOM_MAD_MULT = 3
           WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     t AS (SELECT day, day % 7 AS dow, daily_cents,
                  CAST(round((daily_cents / 100.0
-                             - round((CAST(fr_sum AS DOUBLE) / fr_n) / 100.0, 6))
+                             - {mean_quantized_signed_sql(
+                                 "fr_sum", "100 * fr_n")})
                             * 1000000) AS BIGINT) AS det_us
           FROM w WHERE fr_n = 7),
     se AS (SELECT day, daily_cents, det_us,
-                  CAST(round((CAST(sum(det_us) OVER (PARTITION BY dow) AS DOUBLE)
-                              / count(*) OVER (PARTITION BY dow))) AS BIGINT)
+                  CAST({ratio_scaled_int_signed_sql(
+                      "sum(det_us) OVER (PARTITION BY dow)",
+                      "count(*) OVER (PARTITION BY dow)", 1)} AS BIGINT)
                       AS seas_us
            FROM t),
     res AS (SELECT day, daily_cents, det_us - seas_us AS res_us FROM se),
@@ -2114,7 +2118,12 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("daily_cents").over(fr).cast("bigint").alias("fr_sum"),
         F.count("*").over(fr).cast("bigint").alias("fr_n"),
     ).where(F.col("fr_n") == 7)
-    trend = F.round((F.col("fr_sum").cast("double") / F.col("fr_n")) / 100.0, 6)
+    # trend and seasonal mean through the exact quantized lanes (the
+    # raw round((fr_sum/fr_n)/100, 6) / round(sum/count) forms were the
+    # boundary-divergent class — docs/OPERATIONS.md); det_us stays a
+    # quantized-composition round (1e-2 grid minus 1e-6 grid, ·1e6 —
+    # never within an ulp of a half)
+    trend = mean_quantized_signed("fr_sum", F.col("fr_n") * 100)
     t = w.select(
         "day",
         (F.col("day") % 7).alias("dow"),
@@ -2126,8 +2135,8 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = Window.partitionBy("dow")
     se = t.withColumn(
         "seas_us",
-        F.round(
-            F.sum("det_us").over(dw).cast("double") / F.count("*").over(dw)
+        ratio_scaled_int_signed(
+            F.sum("det_us").over(dw), F.count("*").over(dw), 1
         ).cast("bigint"),
     )
     res = se.select(
@@ -2322,12 +2331,10 @@ CODE_SCORE_THRESHOLD_US = 30_000  # 0.03 in integer micro-units
              CAST(len(text) AS BIGINT) AS n_chars
       FROM documents WHERE len(text) > 0)
     SELECT doc_id, n_symbols, n_keywords,
-           CAST(round((n_symbols + 10 * n_keywords)
-                      / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
-               AS code_score_us,
-           CAST(round((n_symbols + 10 * n_keywords)
-                      / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
-               > {CODE_SCORE_THRESHOLD_US} AS is_code
+           CAST({ratio_scaled_int_sql("n_symbols + 10 * n_keywords", "n_chars")}
+                AS BIGINT) AS code_score_us,
+           CAST({ratio_scaled_int_sql("n_symbols + 10 * n_keywords", "n_chars")}
+                AS BIGINT) > {CODE_SCORE_THRESHOLD_US} AS is_code
     FROM f
     """,
 )
@@ -2357,10 +2364,10 @@ def corpus_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kw.alias("n_keywords"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
-    score = F.round(
-        (F.col("n_symbols") + 10 * F.col("n_keywords"))
-        / F.col("n_chars").cast("double")
-        * 1_000_000
+    # exact half-up integer µ-score — round(int/int * 1e6) is the
+    # boundary-divergent form the quantization contract forbids
+    score = ratio_scaled_int(
+        F.col("n_symbols") + 10 * F.col("n_keywords"), "n_chars"
     ).cast("bigint")
     return f.select(
         "doc_id",
@@ -2698,8 +2705,9 @@ def _sweep_oracle() -> str:
     truth AS (SELECT doc_a, doc_b FROM inter
               JOIN sizes za ON za.doc_id = doc_a
               JOIN sizes zb ON zb.doc_id = doc_b
-              WHERE round(CAST(n_inter AS DOUBLE)
-                          / (za.n_sh + zb.n_sh - n_inter), 6) >= {SWEEP_THRESHOLD})"""]
+              WHERE {mean_quantized_sql(
+                  "n_inter", "za.n_sh + zb.n_sh - n_inter"
+              )} >= {SWEEP_THRESHOLD})"""]
     selects = []
     for bands, rows in SWEEP_CONFIGS:
         structs = []
@@ -2722,12 +2730,14 @@ def _sweep_oracle() -> str:
                  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
                 AS BIGINT) AS n_hits,
            CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-           round((SELECT count(*) FROM cand_{tag} c
-                  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
-                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
-           round((SELECT count(*) FROM cand_{tag} c
-                  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
-                 / CAST((SELECT count(*) FROM cand_{tag}) AS DOUBLE), 6)
+           {mean_quantized_sql(
+               f"(SELECT count(*) FROM cand_{tag} c "
+               "JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)",
+               "(SELECT count(*) FROM truth)")} AS recall,
+           {mean_quantized_sql(
+               f"(SELECT count(*) FROM cand_{tag} c "
+               "JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)",
+               f"(SELECT count(*) FROM cand_{tag})")}
                AS precision""")
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
 
@@ -2775,12 +2785,9 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_candidates").cast("bigint"),
                 F.col("n_hits").cast("bigint"),
                 F.col("n_truth").cast("bigint"),
-                F.round(
-                    F.col("n_hits") / F.col("n_truth").cast("double"), 6
-                ).alias("recall"),
-                F.round(
-                    F.col("n_hits") / F.col("n_candidates").cast("double"), 6
-                ).alias("precision"),
+                # exact quantized count ratios (docs/OPERATIONS.md)
+                mean_quantized("n_hits", "n_truth").alias("recall"),
+                mean_quantized("n_hits", "n_candidates").alias("precision"),
             )
         )
     out = outs[0]
@@ -2962,8 +2969,8 @@ QGATE_KEEP_FRACTION = 0.8
                       CAST(len(text) AS BIGINT) AS n_chars
                FROM documents WHERE len(text) > 0),
     sc AS (SELECT doc_id,
-                  CAST(round((n_punct + 1) / CAST(n_tokens + 1 AS DOUBLE)
-                             * 1000000) AS BIGINT)
+                  CAST({ratio_scaled_int_sql("n_punct + 1", "n_tokens + 1")}
+                       AS BIGINT)
                       + n_tokens AS q_score
            FROM f),
     thr AS (SELECT CAST(round(quantile_cont(q_score, {1 - QGATE_KEEP_FRACTION}))
@@ -2997,13 +3004,13 @@ def corpus_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFram
         F.size(tokens("text")).alias("n_tokens"),
         F.expr("CAST(regexp_count(text, '[.,;:!?]') AS BIGINT)").alias("n_punct"),
     )
+    # punct-density term via the exact integer lane (round(int/int*1e6)
+    # is the boundary-divergent form — docs/OPERATIONS.md)
     sc = f.select(
         "doc_id",
         (
-            F.round(
-                (F.col("n_punct") + 1)
-                / (F.col("n_tokens") + 1).cast("double")
-                * 1_000_000
+            ratio_scaled_int(
+                F.col("n_punct") + 1, F.col("n_tokens") + 1
             ).cast("bigint")
             + F.col("n_tokens")
         ).alias("q_score"),
@@ -3257,7 +3264,7 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stat_welch_ttest_ab",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT event_type,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                FROM events WHERE event_type IN ('click', 'view')),
@@ -3267,7 +3274,7 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
                      AS s2
           FROM s GROUP BY event_type),
-    v AS (SELECT event_type, n,
+    v AS (SELECT event_type, n, s1,
                  CAST(s1 AS DOUBLE) / n AS mean,
                  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
                      AS var
@@ -3275,7 +3282,9 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT * FROM v WHERE event_type = 'click'),
     b AS (SELECT * FROM v WHERE event_type = 'view')
     SELECT a.n AS n_click, b.n AS n_view,
-           round((a.mean - b.mean) / 100.0, 6) AS mean_diff,
+           {mean_quantized_signed_sql(
+               "CAST(a.s1 AS HUGEINT) * b.n - CAST(b.s1 AS HUGEINT) * a.n",
+               "100 * CAST(a.n AS HUGEINT) * b.n")} AS mean_diff,
            round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
                AS t_stat,
            round(pow(a.var / a.n + b.var / b.n, 2)
@@ -3313,19 +3322,29 @@ def stat_welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
     ) / (F.col("n") - 1)
-    v = m.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    v = m.select("event_type", "n", "s1", mean.alias("mean"), var.alias("var"))
     a = v.where(F.col("event_type") == "click").select(
-        F.col("n").alias("n_click"), F.col("mean").alias("ma"), F.col("var").alias("va")
+        F.col("n").alias("n_click"), F.col("s1").alias("sa"),
+        F.col("mean").alias("ma"), F.col("var").alias("va"),
     )
     b = v.where(F.col("event_type") == "view").select(
-        F.col("n").alias("n_view"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+        F.col("n").alias("n_view"), F.col("s1").alias("sb"),
+        F.col("mean").alias("mb"), F.col("var").alias("vb"),
     )
     j = a.crossJoin(b)
     se2 = F.col("va") / F.col("n_click") + F.col("vb") / F.col("n_view")
+    # mean_diff is the exact rational (sa·nb − sb·na)/(100·na·nb) —
+    # signed quantized lane with DECIMAL pre-casts (cents-sum × count
+    # exceeds BIGINT at corpus scale); t/df keep round(): sqrt/pow are
+    # the documented irrational residual (docs/OPERATIONS.md)
     return j.select(
         "n_click",
         "n_view",
-        F.round((F.col("ma") - F.col("mb")) / 100.0, 6).alias("mean_diff"),
+        mean_quantized_signed(
+            F.col("sa").cast("decimal(38,0)") * F.col("n_view")
+            - F.col("sb").cast("decimal(38,0)") * F.col("n_click"),
+            F.col("n_click").cast("decimal(38,0)") * F.col("n_view") * 100,
+        ).alias("mean_diff"),
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(
             F.pow(se2, 2)
@@ -3385,7 +3404,7 @@ def _boot_weight_sql(u: str) -> str:
     pt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
                   CAST(count(*) AS BIGINT) AS n FROM o)
     SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
-           round(CAST(pt.tot AS DOUBLE) / pt.n / 100.0, 6) AS point_mean,
+           {mean_quantized_sql("pt.tot", "100 * pt.n")} AS point_mean,
            round((SELECT quantile_cont(rmean, 0.025) FROM rm), 6) AS ci_lo,
            round((SELECT quantile_cont(rmean, 0.975) FROM rm), 6) AS ci_hi
     FROM pt
@@ -3464,10 +3483,10 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(rmean, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(rmean, 0.975)"), 6).alias("ci_hi"),
     )
+    # exact quantized cents mean (docs/OPERATIONS.md); the CI bounds stay
+    # round(percentile) — interpolation is the documented residual class
     pt = o.agg(
-        F.round(
-            F.sum("cents").cast("double") / F.count("*") / 100.0, 6
-        ).alias("point_mean")
+        mean_quantized(F.sum("cents"), F.count("*") * 100).alias("point_mean")
     )
     return (
         pt.crossJoin(F.broadcast(ci))
@@ -3510,11 +3529,11 @@ T_CLOSE_THRESHOLD_US = 400_000  # flag classes with TV distance > 0.4
                       AS num
            FROM grid GROUP BY nk, bb)
     SELECT nk AS c_nationkey, bb AS bal_band, CAST(n_c AS BIGINT) AS n,
-           CAST(round(CAST(num AS DOUBLE)
-                      / (2.0 * n_c * (SELECT n FROM tot)) * 1000000) AS BIGINT)
+           CAST({ratio_scaled_int_sql(
+               "num", "2 * n_c * (SELECT n FROM tot)")} AS BIGINT)
                AS tv_us,
-           CAST(round(CAST(num AS DOUBLE)
-                      / (2.0 * n_c * (SELECT n FROM tot)) * 1000000) AS BIGINT)
+           CAST({ratio_scaled_int_sql(
+               "num", "2 * n_c * (SELECT n FROM tot)")} AS BIGINT)
                > {T_CLOSE_THRESHOLD_US} AS at_risk
     FROM tv
     """,
@@ -3568,8 +3587,10 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("num"),
     )
-    tv_us = F.round(
-        F.col("num").cast("double") / (2.0 * F.col("n_c") * F.col("n")) * 1_000_000
+    # exact half-up integer µ-units (the docstring's 'rounds to integer
+    # µ-units' now rides the DECIMAL lane end-to-end, not a double)
+    tv_us = ratio_scaled_int(
+        "num", F.col("n_c").cast("decimal(38,0)") * F.col("n") * 2
     ).cast("bigint")
     return tv.select(
         F.col("nk").alias("c_nationkey"),
@@ -3663,14 +3684,16 @@ SLO_TARGET_PPM = 250_000  # error budget: 25% of events may be errors
           FROM h
           WINDOW fr AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
     SELECT hour,
-           CAST(round(n_err * 1000000.0 / n) AS BIGINT) AS rate_1h_ppm,
-           CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT) AS rate_6h_ppm,
-           round(CAST(round(n_err * 1000000.0 / n) AS BIGINT)
+           CAST({ratio_scaled_int_sql("n_err", "n")} AS BIGINT) AS rate_1h_ppm,
+           CAST({ratio_scaled_int_sql("err_6h", "n_6h")} AS BIGINT)
+               AS rate_6h_ppm,
+           round(CAST({ratio_scaled_int_sql("n_err", "n")} AS BIGINT)
                  / {SLO_TARGET_PPM}.0, 6) AS burn_1h,
-           round(CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT)
+           round(CAST({ratio_scaled_int_sql("err_6h", "n_6h")} AS BIGINT)
                  / {SLO_TARGET_PPM}.0, 6) AS burn_6h,
-           CAST(round(n_err * 1000000.0 / n) AS BIGINT) > {SLO_TARGET_PPM}
-             AND CAST(round(err_6h * 1000000.0 / n_6h) AS BIGINT)
+           CAST({ratio_scaled_int_sql("n_err", "n")} AS BIGINT)
+                 > {SLO_TARGET_PPM}
+             AND CAST({ratio_scaled_int_sql("err_6h", "n_6h")} AS BIGINT)
                  > {SLO_TARGET_PPM} AS page
     FROM w
     """,
@@ -3706,8 +3729,11 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(fr).cast("bigint").alias("n_6h"),
         F.sum("n_err").over(fr).cast("bigint").alias("err_6h"),
     )
-    r1 = F.round(F.col("n_err") * 1_000_000.0 / F.col("n")).cast("bigint")
-    r6 = F.round(F.col("err_6h") * 1_000_000.0 / F.col("n_6h")).cast("bigint")
+    # exact half-up integer ppm — round(int·1e6/int double) is the
+    # boundary-divergent form (docs/OPERATIONS.md); the burn ratio then
+    # divides an integer by 250000 (unit divides 1e6 — exact residual)
+    r1 = ratio_scaled_int("n_err", "n").cast("bigint")
+    r6 = ratio_scaled_int("err_6h", "n_6h").cast("bigint")
     return w.select(
         "hour",
         r1.alias("rate_1h_ppm"),
@@ -3872,8 +3898,9 @@ similarity_matryoshka_prefix_eval.__doc__ = (
     SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
            CAST((SELECT count(*) FROM tests) AS BIGINT) AS n_nonmembers,
            CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_false_pos,
-           round((SELECT count(*) FROM passed)
-                 / CAST((SELECT count(*) FROM tests) AS DOUBLE), 6) AS fpr,
+           {mean_quantized_sql(
+               "(SELECT count(*) FROM passed)",
+               "(SELECT count(*) FROM tests)")} AS fpr,
            round(pow(1 - exp(-3.0 * (SELECT count(*) FROM members)
                              / {BLOOM_BITS}), 3), 6) AS fpr_theory
     """,
@@ -3931,9 +3958,9 @@ def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("bigint"),
         F.col("n_nonmembers").cast("bigint"),
         F.col("n_false_pos").cast("bigint"),
-        F.round(
-            F.col("n_false_pos") / F.col("n_nonmembers").cast("double"), 6
-        ).alias("fpr"),
+        # exact quantized count ratio; fpr_theory keeps round() — exp is
+        # the documented irrational residual (docs/OPERATIONS.md)
+        mean_quantized("n_false_pos", "n_nonmembers").alias("fpr"),
         F.round(
             F.pow(1 - F.exp(-k * F.col("n_members") / F.lit(float(m))), k), 6
         ).alias("fpr_theory"),
@@ -4298,7 +4325,7 @@ vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
 
 @query(
     "timeseries_forecast_backtest",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000) % 86400000000) // 86400000000) AS day,
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                FROM events WHERE ts IS NOT NULL),
@@ -4311,12 +4338,12 @@ vector_pca_power_iteration.__doc__ = vector_pca_power_iteration.__doc__.format(
     e AS (SELECT day, y, naive, snaive FROM l
           WHERE naive IS NOT NULL AND snaive IS NOT NULL)
     SELECT CAST(count(*) AS BIGINT) AS n_days,
-           round(CAST(sum(abs(y - naive)) AS BIGINT) / count(*) / 100.0, 6)
+           {mean_quantized_sql("sum(abs(y - naive))", "100 * count(*)")}
                AS mae_naive,
-           round(CAST(sum(abs(y - snaive)) AS BIGINT) / count(*) / 100.0, 6)
+           {mean_quantized_sql("sum(abs(y - snaive))", "100 * count(*)")}
                AS mae_seasonal_naive,
-           round(CAST(sum(abs(y - snaive)) AS DOUBLE)
-                 / sum(abs(y - naive)), 6) AS skill_vs_naive
+           {mean_quantized_sql("sum(abs(y - snaive))", "sum(abs(y - naive))")}
+               AS skill_vs_naive
     FROM e
     """,
 )
@@ -4355,24 +4382,21 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("y", 1).over(w).alias("naive"),
         F.lag("y", 7).over(w).alias("snaive"),
     ).where(F.col("naive").isNotNull() & F.col("snaive").isNotNull())
+    # all three published ratios are exact-integer s/n forms — quantized
+    # lane, not float divisions (docs/OPERATIONS.md contract); the skill
+    # ratio's denominator is a non-negative error sum (NULL when 0 in
+    # both engines via the n > 0 guard)
     return l.agg(
         F.count("*").alias("n_days"),
-        F.round(
-            F.sum(F.abs(F.col("y") - F.col("naive"))).cast("bigint")
-            / F.count("*")
-            / 100.0,
-            6,
+        mean_quantized(
+            F.sum(F.abs(F.col("y") - F.col("naive"))), F.count("*") * 100
         ).alias("mae_naive"),
-        F.round(
-            F.sum(F.abs(F.col("y") - F.col("snaive"))).cast("bigint")
-            / F.count("*")
-            / 100.0,
-            6,
+        mean_quantized(
+            F.sum(F.abs(F.col("y") - F.col("snaive"))), F.count("*") * 100
         ).alias("mae_seasonal_naive"),
-        F.round(
-            F.sum(F.abs(F.col("y") - F.col("snaive"))).cast("double")
-            / F.sum(F.abs(F.col("y") - F.col("naive"))),
-            6,
+        mean_quantized(
+            F.sum(F.abs(F.col("y") - F.col("snaive"))),
+            F.sum(F.abs(F.col("y") - F.col("naive"))),
         ).alias("skill_vs_naive"),
     )
 
@@ -4533,12 +4557,12 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS sq
           FROM r)
     SELECT n_suppliers,
-           CAST(round(CAST(sq AS DOUBLE)
-                      / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
+           CAST({ratio_scaled_int_sql(
+               "sq", "CAST(tot AS HUGEINT) * tot", 10000)} AS BIGINT)
                AS hhi_points,
            {mean_quantized_sql("10000", "n_suppliers")} AS hhi_floor_points,
-           CAST(round(CAST(sq AS DOUBLE)
-                      / (CAST(tot AS DOUBLE) * tot) * 10000) AS BIGINT)
+           CAST({ratio_scaled_int_sql(
+               "sq", "CAST(tot AS HUGEINT) * tot", 10000)} AS BIGINT)
                > 2500 AS concentrated
     FROM t
     """,
@@ -4572,8 +4596,10 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").cast("bigint").alias("tot"),
         F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("sq"),
     )
-    hhi = F.round(
-        F.col("sq").cast("double") / (F.col("tot").cast("double") * F.col("tot")) * 10000
+    # exact half-up basis points on the DECIMAL lane — the 'single
+    # float division' is gone entirely (docs/OPERATIONS.md contract)
+    hhi = ratio_scaled_int(
+        "sq", F.col("tot").cast("decimal(38,0)") * F.col("tot"), 10_000
     ).cast("bigint")
     return t.select(
         F.col("n_suppliers").cast("bigint"),
@@ -4888,7 +4914,7 @@ def orders_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_revenue_bridge",
-    oracle="""
+    oracle=f"""
     WITH l AS (SELECT l_partkey,
                       epoch_us(l_shipdate) // 86400000000 // 30 AS period,
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS rev,
@@ -4910,11 +4936,13 @@ def orders_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM p1 FULL OUTER JOIN p2 ON p1.l_partkey = p2.l_partkey),
     eff AS (SELECT
       CAST(sum(CASE WHEN rev1 IS NOT NULL AND rev2 IS NOT NULL
-                    THEN CAST(round(CAST(rev1 AS DOUBLE) * (qty2 - qty1) / qty1)
+                    THEN CAST({ratio_scaled_int_signed_sql(
+                        "CAST(rev1 AS HUGEINT) * (qty2 - qty1)", "qty1", 1)}
                               AS BIGINT) ELSE 0 END) AS BIGINT) AS volume_effect,
       CAST(sum(CASE WHEN rev1 IS NOT NULL AND rev2 IS NOT NULL
                     THEN rev2 - rev1
-                         - CAST(round(CAST(rev1 AS DOUBLE) * (qty2 - qty1) / qty1)
+                         - CAST({ratio_scaled_int_signed_sql(
+                             "CAST(rev1 AS HUGEINT) * (qty2 - qty1)", "qty1", 1)}
                                 AS BIGINT) ELSE 0 END) AS BIGINT) AS price_mix_effect,
       CAST(sum(CASE WHEN rev1 IS NULL THEN rev2 ELSE 0 END) AS BIGINT)
           AS new_parts_effect,
@@ -4968,8 +4996,13 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = a.join(b, a.l_partkey == b.pk2, "full_outer")
     both = F.col("rev1").isNotNull() & F.col("rev2").isNotNull()
-    vol = F.round(
-        F.col("rev1").cast("double") * (F.col("qty2") - F.col("qty1")) / F.col("qty1")
+    # exact half-away volume effect on the DECIMAL lane (signed Δqty,
+    # qty1 > 0) — round(double-ratio) was the boundary-divergent form;
+    # pre-cast rev1 so the cents·Δqty product can't overflow BIGINT
+    vol = ratio_scaled_int_signed(
+        F.col("rev1").cast("decimal(38,0)") * (F.col("qty2") - F.col("qty1")),
+        "qty1",
+        1,
     ).cast("bigint")
     eff = j.agg(
         F.sum(F.when(both, vol).otherwise(0)).cast("bigint").alias("volume_effect"),
@@ -5012,8 +5045,9 @@ def _packing_eff_oracle() -> str:
     SELECT CAST(count(*) AS BIGINT) AS n_bins,
            CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           round(CAST(sum(total_tokens) AS DOUBLE)
-                 / (count(*) * {_PACK_CAP}), 6) AS fill_rate,
+           {mean_quantized_sql(
+               "sum(total_tokens)", f"count(*) * {_PACK_CAP}"
+           )} AS fill_rate,
            CAST(sum(CASE WHEN total_tokens < {_PACK_CAP} / 2 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_underfilled
     FROM bins
@@ -5039,8 +5073,9 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bins"),
         F.sum("total_tokens").cast("bigint").alias("total_tokens"),
         F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.round(
-            F.sum("total_tokens").cast("double") / (F.count("*") * _PACK_CAP), 6
+        # exact quantized token/capacity ratio (docs/OPERATIONS.md)
+        mean_quantized(
+            F.sum("total_tokens"), F.count("*") * _PACK_CAP
         ).alias("fill_rate"),
         F.sum(F.when(F.col("total_tokens") < _PACK_CAP / 2, 1).otherwise(0))
         .cast("bigint")
@@ -5775,8 +5810,9 @@ SPAN_MEAN_LEN = 3
                            AS BIGINT) AS n
                FROM documents),
     s AS (SELECT doc_id, n,
-                 CAST(round(n * {SPAN_MASK_RATE_PCT} / 100.0
-                            / {SPAN_MEAN_LEN}) AS BIGINT) AS n_spans
+                 CAST({ratio_scaled_int_sql(
+                     f"n * {SPAN_MASK_RATE_PCT}",
+                     f"100 * {SPAN_MEAN_LEN}", 1)} AS BIGINT) AS n_spans
           FROM t WHERE n >= {SPAN_MEAN_LEN}),
     masked AS (SELECT doc_id, n, n_spans,
                       CAST(len(list_distinct(flatten(
@@ -5815,10 +5851,14 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n"))
+    # exact half-up span count — round(n·rate/100/len double) is the
+    # boundary form (n·15/300 lands exactly on k+0.5 for n ≡ 10 mod 20)
     s = t.where(F.col("n") >= SPAN_MEAN_LEN).select(
         "doc_id",
         "n",
-        F.round(F.col("n") * SPAN_MASK_RATE_PCT / 100.0 / SPAN_MEAN_LEN)
+        ratio_scaled_int(
+            F.col("n") * SPAN_MASK_RATE_PCT, F.lit(100 * SPAN_MEAN_LEN), 1
+        )
         .cast("bigint")
         .alias("n_spans"),
     )
@@ -6689,8 +6729,9 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bounces,
-           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS bounce_rate
+           {mean_quantized_sql(
+               "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)", "count(*)"
+           )} AS bounce_rate
     FROM iv GROUP BY day
     """,
 )
@@ -6732,10 +6773,10 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_bounces"),
-        F.round(
-            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            6,
+        # exact quantized session ratio (docs/OPERATIONS.md contract)
+        mean_quantized(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)),
+            F.count("*"),
         ).alias("bounce_rate"),
     )
 

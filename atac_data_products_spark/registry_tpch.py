@@ -543,8 +543,10 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q17_small_qty_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT {mean_quantized_sql(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT))", "700", 100
+    )} AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3' AND p_type = 'PROMO'
       AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -570,7 +572,13 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # exact cents lane: round(double-sum/7, 2) was both fold-order-
+        # dependent and on the s/700 rational boundary class
+        .agg(
+            mean_quantized(
+                F.sum(to_fixed("l_extendedprice", 100)), F.lit(700), 100
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -673,13 +681,15 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           {mean_quantized_sql(
+               "sum(CASE WHEN nation = 'NATION_1' THEN volume_e4 ELSE 0 END)",
+               "sum(volume_e4)")} AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                 AS volume_e4,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON l_partkey = p_partkey
@@ -720,7 +730,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # volume is exact at 1e-4 (2-dp price × 2-dp discount factor):
+    # integer e4 units make the share one exact quantized rational
+    # instead of a fold-order-dependent double ratio (OPERATIONS.md)
+    vol_e4 = to_fixed(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -730,13 +745,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey, "left_semi")
         .join(F.broadcast(n2), s.s_nationkey == n2.s_nkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .withColumn("volume", vol)
+        .withColumn("volume_e4", vol_e4)
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                6,
+            mean_quantized(
+                F.sum(
+                    F.when(
+                        F.col("nation") == "NATION_1", F.col("volume_e4")
+                    ).otherwise(0)
+                ),
+                F.sum("volume_e4"),
             ).alias("mkt_share")
         )
     )
@@ -941,10 +959,12 @@ def tpch_q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "tpch_q2_min_cost_supplier",
-    oracle="""
+    oracle=f"""
     WITH costs AS (
       SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+             min({mean_quantized_sql(
+                 "CAST(round(l_extendedprice * 100) AS BIGINT)",
+                 "CAST(l_quantity AS BIGINT) * 100", 10_000)}) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey)
     SELECT p_partkey, p_brand, s_name, n_name, unit_cost
     FROM costs
@@ -971,10 +991,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
+    # each ratio quantizes EXACTLY at 1e-4 (cents over integer qty —
+    # the quantized lane, docs/OPERATIONS.md) before the min, so the
+    # tie-set equality below compares identical exact values; the old
+    # round(min(double-ratio), 4) sat on the s/(100·qty) boundary class
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+        F.min(
+            mean_quantized(
+                to_fixed("l_extendedprice", 100),
+                to_fixed("l_quantity", 1) * 100,
+                10_000,
+            )
+        ).alias("unit_cost")
     )
     w = Window.partitionBy("l_partkey")
     p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(

@@ -190,6 +190,7 @@ def main() -> None:
     # the same plans measured this way.)
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
@@ -201,6 +202,7 @@ def main() -> None:
         # timing window so min-of-N measures plan cost
         spark.sparkContext._jvm.System.gc()
         best = None
+        runs[name] = []
         for _ in range(n_iters):
             # plan construction is INSIDE the window: eager-iterative
             # operators (pagerank loop fallback, connected components)
@@ -211,6 +213,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            runs[name].append(round(dt, 3))
             best = dt if best is None else min(best, dt)
             # drop every block the query persisted: (a) iterations stay
             # COLD — plan-identical reruns would otherwise hit the
@@ -250,6 +253,14 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-key min + ALL run timings (r08 verdict task 5): a noisy
+        # grading host shows up as a wide sec_runs spread on unchanged
+        # keys, so cross-round diffs can adjudicate phantom regressions
+        # from the artifact itself instead of same-session A/B essays.
+        # `queries` (the min) stays the headline metric definition.
+        "queries_runs": {
+            k: {"sec_min": timings[k], "sec_runs": runs[k]} for k in timings
+        },
         "sf": sf,
         "n_queries": len(timings),
         "variance_index": variance_index,

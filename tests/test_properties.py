@@ -525,3 +525,104 @@ def test_mean_quantized_signed_half_away(spark, cases):
         for s, n in cases
     ]
     assert got == duck == exact
+
+
+# ---------------------------------------------------------------------------
+# r09 (verdict task 6): hypothesis twins for the remaining exact-integer
+# lanes — the EWMA integer-weight fold, the sketch-envelope integer
+# predicate, and the prefix-filter integer ceil — each pinned against
+# Python bigints/Fractions so every written contract has a property twin.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-10**12, max_value=10**12)),
+        min_size=8,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_ewma_integer_fold_matches_fraction(spark, lags):
+    """The EWMA lane (registry_analytics._ewma_terms_sql): integer
+    weights w_k = 7^k · 10^(7-k) over 8 explicit lags, published via
+    mean_quantized_signed(num, 100·den).  Must equal the exact
+    half-away-from-zero quantization of Fraction(num, 100·den) at 1e-6
+    for ANY lag window, including NULL gaps and negative cents."""
+    from fractions import Fraction
+
+    from atac_data_products_spark.functions.numeric import (
+        mean_quantized_signed,
+    )
+    from atac_data_products_spark.registry_analytics import (
+        _EWMA_LAGS,
+        _ewma_terms_sql,
+    )
+
+    num_sql, den_sql = _ewma_terms_sql(lambda k: f"x{k}")
+    schema = ", ".join(f"x{k} bigint" for k in range(_EWMA_LAGS))
+    df = spark.createDataFrame([tuple(lags)], schema).select(
+        mean_quantized_signed(
+            F.expr(f"({num_sql})"), F.expr(f"100 * CAST(({den_sql}) AS BIGINT)")
+        ).alias("ewma")
+    )
+    got = df.collect()[0].ewma
+
+    W = [7**k * 10 ** (_EWMA_LAGS - 1 - k) for k in range(_EWMA_LAGS)]
+    num = sum((x or 0) * W[k] for k, x in enumerate(lags))
+    den = 100 * sum(W[k] for k, x in enumerate(lags) if x is not None)
+    if den == 0:
+        assert got is None
+        return
+    U = 1_000_000
+    q = (2 * abs(num) * U + den) // (2 * den)
+    expect = float(q) / U * (1 if num >= 0 else -1)
+    assert got == expect
+
+
+@given(
+    st.integers(min_value=0, max_value=10**15),
+    st.integers(min_value=-(10**14), max_value=10**14),
+)
+@settings(**SETTINGS)
+def test_sketch_envelope_integer_predicate(spark, exact, delta):
+    """The sketch-envelope lane (approx_distinct_accuracy /
+    sketch_hll_mergeable_rollup): 20·|est − exact| <= exact must equal
+    the exact rational predicate |est − exact| <= exact/20 — including
+    exactly ON the edge, where the old 0.05·exact float comparison
+    could flip (0.05 is binary-inexact)."""
+    from fractions import Fraction
+
+    est = exact + delta
+    df = spark.createDataFrame([(exact, est)], "exact bigint, est bigint").select(
+        (F.abs(F.col("est") - F.col("exact")) * 20 <= F.col("exact")).alias("ok")
+    )
+    got = df.collect()[0].ok
+    assert got == (abs(est - exact) <= Fraction(exact, 20))
+
+
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=99),
+    st.integers(min_value=1, max_value=100),
+)
+@settings(**SETTINGS)
+def test_prefix_ceil_matches_fraction(spark, n, num, den):
+    """The prefix-filter integer ceil (dedup_prefix_filter_join):
+    (n·num + den − 1) DIV den must equal ceil(n·num/den) exactly, and
+    the implied prefix length p = n − ceil(t·n) + 1 must stay in
+    [1, n] for every threshold t = num/den ≤ 1 (the AllPairs prefix
+    theorem's domain)."""
+    import math
+    from fractions import Fraction
+
+    if num > den:  # thresholds are ≤ 1 by construction
+        num, den = den, num
+    df = spark.createDataFrame([(n,)], "__n bigint").select(
+        F.expr(f"CAST((__n * {num} + {den} - 1) DIV {den} AS BIGINT)").alias("c")
+    )
+    got = df.collect()[0].c
+    expect = math.ceil(Fraction(n * num, den))
+    assert got == expect
+    p = n - expect + 1
+    assert 1 <= p <= n

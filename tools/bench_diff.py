@@ -19,15 +19,34 @@ import sys
 def load_bench(path: str) -> dict:
     with open(path) as f:
         raw = json.load(f)
-    if "queries" in raw:
-        return raw
-    if isinstance(raw.get("parsed"), dict) and "queries" in raw["parsed"]:
-        return raw["parsed"]
-    # driver wrapper without parsed: fish the JSON line out of the tail
-    for line in reversed(raw.get("tail", "").splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise ValueError(f"{path}: no bench JSON found")
+    bench = None
+    if "queries" in raw or "queries_runs" in raw:
+        bench = raw
+    elif isinstance(raw.get("parsed"), dict) and "queries" in raw["parsed"]:
+        bench = raw["parsed"]
+    else:
+        # driver wrapper without parsed: fish the JSON line out of the tail
+        for line in reversed(raw.get("tail", "").splitlines()):
+            if line.startswith("{"):
+                bench = json.loads(line)
+                break
+    if bench is None:
+        raise ValueError(f"{path}: no bench JSON found")
+    # prefer the r09+ per-key run records (sec_min == the old `queries`
+    # min by definition, but carries the full sec_runs spread)
+    qr = bench.get("queries_runs")
+    if isinstance(qr, dict) and qr:
+        bench = dict(bench)
+        bench["queries"] = {k: v["sec_min"] for k, v in qr.items()}
+        bench["_runs"] = {k: v.get("sec_runs", []) for k, v in qr.items()}
+    return bench
+
+
+def _spread(runs: list[float] | None) -> str:
+    """max/min run ratio — >~1.3 on an unchanged key means host noise."""
+    if not runs or len(runs) < 2 or min(runs) <= 0:
+        return ""
+    return f" runs×{max(runs) / min(runs):.2f}"
 
 
 def main() -> int:
@@ -96,6 +115,9 @@ def main() -> int:
             flag = f"  REGRESSED >{thr}x"
             if mid_ratio:
                 flag += f" (mid-normalized {(b / a) / mid_ratio:.2f}x)"
+            # per-key run spread (r09): a flagged key whose new-side
+            # sec_runs spread exceeds its ratio is host noise, not code
+            flag += _spread(new.get("_runs", {}).get(name))
             regressed.append(name)
         print(f"{name:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
     print(

@@ -215,9 +215,92 @@ def round_ratio_sites(plan: str) -> dict[str, str]:
 # Exemption list: (key, column) -> residual class.  EXACT in both
 # directions (hostile-sweep standard): a flag not listed here fails the
 # scan; an entry the scan no longer flags fails as stale.
+#
+# Classes (each is an argument for why a 10^-k boundary hit is either
+# impossible or measure-zero; docs/OPERATIONS.md "Corollaries"):
+#   exact-unit-divide    exact integer over a constant unit dividing a
+#                        power of 10 at the round scale (cents/100 @2,
+#                        µs/1e6 @6, k/32 minhash, k/10 recall, ppm/
+#                        250000 burn, int/1000 inertia) — the value IS
+#                        its rounded form; round() is a schema no-op.
+#   quantized-composition  ±/abs/min/max/coalesce of ALREADY-exact
+#                        values (quantized-lane outputs, exact-unit
+#                        values): the result sits ON the grid, never
+#                        within an ulp of a half-boundary.
+#   signed-denominator   documented accepted residual: ratios of
+#                        rounded aggregates whose DENOMINATOR is
+#                        sign-indefinite (mom_change, ratio_to_report).
+#   statistical-fold     multi-term IEEE accumulation (cusum extremes,
+#                        Holt state, ANOVA sums of squares, var/covar):
+#                        identical pinned op sequence in both engines,
+#                        and the accumulated value's shortest decimal
+#                        repr is ~17 digits — a 7-digit-5 ending is
+#                        measure-zero.
+#   inexact-double       the value pipeline passes through arbitrary-
+#                        precision doubles (embedding floats) or
+#                        binary-inexact literal coefficients (flesch's
+#                        206.835/1.015/84.6): same measure-zero
+#                        shortest-repr argument.
 # ---------------------------------------------------------------------------
 
-EXEMPT: dict[tuple[str, str], str] = {}
+EXEMPT: dict[tuple[str, str], str] = {
+    ("agg_stats_battery", "covar_qty_disc"): "statistical-fold",
+    ("agg_stats_battery", "var_qty"): "statistical-fold",
+    ("array_hof_battery", "mean_elem"): "inexact-double",
+    ("attribution_model_compare", "first_touch_credit"): "exact-unit-divide",
+    ("attribution_model_compare", "last_touch_credit"): "exact-unit-divide",
+    ("attribution_model_compare", "linear_credit"): "exact-unit-divide",
+    ("cohort_ltv_curve", "cum_revenue"): "exact-unit-divide",
+    ("dedup_cluster_chain_audit", "max_edge_jaccard"): "quantized-composition",
+    ("dedup_cluster_chain_audit", "min_edge_jaccard"): "quantized-composition",
+    ("dedup_minhash_estimate_calibration", "abs_err"): "quantized-composition",
+    ("dedup_minhash_estimate_calibration", "jaccard_est"): "exact-unit-divide",
+    ("dedup_minhash_estimate_calibration", "jaccard_exact"): "quantized-composition",
+    ("dedup_sampled_rate_estimate", "abs_error"): "quantized-composition",
+    ("dedup_similarity_histogram", "hi"): "quantized-composition",
+    ("dedup_similarity_histogram", "lo"): "quantized-composition",
+    ("events_anomaly_seasonal", "daily_value"): "exact-unit-divide",
+    ("events_anomaly_seasonal", "det_us"): "quantized-composition",
+    ("events_anomaly_seasonal", "residual"): "exact-unit-divide",
+    ("events_cusum_drift", "max_abs_cusum"): "statistical-fold",
+    ("events_cusum_drift", "max_cusum"): "statistical-fold",
+    ("events_cusum_drift", "min_cusum"): "statistical-fold",
+    ("events_kpi_daily", "revenue"): "exact-unit-divide",
+    ("events_slo_burn_rate", "burn_1h"): "exact-unit-divide",
+    ("events_slo_burn_rate", "burn_6h"): "exact-unit-divide",
+    ("growth_month_over_month", "mom_change"): "signed-denominator",
+    ("similarity_ann_recall_eval", "recall_at_10"): "exact-unit-divide",
+    ("similarity_matryoshka_prefix_eval", "overlap_at_k"): "exact-unit-divide",
+    ("stat_anova_oneway", "f_stat"): "statistical-fold",
+    ("stat_diff_in_diff", "did_estimate"): "quantized-composition",
+    ("stat_lorenz_gini", "total_revenue"): "exact-unit-divide",
+    ("text_keyword_rake", "score"): "exact-unit-divide",
+    ("text_readability_scores", "flesch"): "inexact-double",
+    ("timeseries_ewma_smoothing", "daily_value"): "exact-unit-divide",
+    ("timeseries_holt_forecast", "forecast_1d"): "statistical-fold",
+    ("timeseries_holt_forecast", "forecast_7d"): "statistical-fold",
+    ("timeseries_holt_forecast", "level_value"): "statistical-fold",
+    ("timeseries_holt_forecast", "trend_value"): "statistical-fold",
+    ("timeseries_ohlc_downsample", "close"): "exact-unit-divide",
+    ("timeseries_ohlc_downsample", "high"): "exact-unit-divide",
+    ("timeseries_ohlc_downsample", "low"): "exact-unit-divide",
+    ("timeseries_ohlc_downsample", "open"): "exact-unit-divide",
+    ("timeseries_ohlc_downsample", "volume"): "exact-unit-divide",
+    ("timeseries_seasonal_decompose", "daily_value"): "exact-unit-divide",
+    ("timeseries_seasonal_decompose", "det_us"): "quantized-composition",
+    ("timeseries_seasonal_decompose", "residual"): "quantized-composition",
+    ("tpch_q1_pricing_summary", "sum_base_price"): "exact-unit-divide",
+    ("tpch_q1_pricing_summary", "sum_charge"): "exact-unit-divide",
+    ("tpch_q1_pricing_summary", "sum_disc_price"): "exact-unit-divide",
+    ("tpch_q1_pricing_summary", "sum_qty"): "exact-unit-divide",
+    ("vector_centroids", "centroid_val"): "inexact-double",
+    ("vector_dim_profile", "mean_x"): "inexact-double",
+    ("vector_kmeans_lloyd", "centroid_d0"): "exact-unit-divide",
+    ("vector_kmeans_lloyd", "inertia"): "exact-unit-divide",
+    ("vector_quantize_int8", "q"): "inexact-double",
+    ("window_distribution_battery", "ratio_to_report"): "signed-denominator",
+    ("window_rolling_median", "daily_value"): "exact-unit-divide",
+}
 
 
 def scan(spark, qs, keys, sf_dir) -> dict:

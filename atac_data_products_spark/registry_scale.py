@@ -5862,9 +5862,14 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_spans"),
     )
+    # CAST the conv() STRING to BIGINT before the modulo: under
+    # ansi.enabled=false Spark coerces string % bigint through DOUBLE,
+    # which loses bits past 2^53 on a 15-hex-digit hash and shifts the
+    # span starts (caught by the round-9 ANSI-off conf-invariance
+    # sweep); the explicit cast is exact under both ANSI regimes
     start = (
-        "conv(substring(md5(concat('span', CAST(doc_id AS STRING), '_', "
-        "CAST(k AS STRING))), 1, 15), 16, 10) % n + 1"
+        "CAST(conv(substring(md5(concat('span', CAST(doc_id AS STRING), '_', "
+        "CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % n + 1"
     )
     masked = s.withColumn(
         "n_masked",

@@ -3516,10 +3516,17 @@ def _ewma_terms_sql(lag_fn) -> tuple[str, str]:
     scaling the whole ratio by 10^(L-1) makes w_k = 7^k·10^(L-1-k) —
     the EWMA becomes one integer rational for the mean_quantized lane
     instead of a float fold whose round() can sit on a boundary
-    (docs/OPERATIONS.md quantization contract)."""
+    (docs/OPERATIONS.md quantization contract).
+
+    The numerator terms ride DECIMAL(38,0): w_0 = 10^7, and daily
+    cents at population scale reach ~10^13-10^15, so cents·w exceeds
+    int64 — ANSI Spark would crash, non-ANSI would silently wrap
+    (round-9 hypothesis find; the cast text is valid in both engines,
+    DuckDB reads it as DECIMAL(38,0) too)."""
     W = [7**k * 10 ** (_EWMA_LAGS - 1 - k) for k in range(_EWMA_LAGS)]
     num = " + ".join(
-        f"coalesce({lag_fn(k)}, 0) * {W[k]}" for k in range(_EWMA_LAGS)
+        f"CAST(coalesce({lag_fn(k)}, 0) AS DECIMAL(38,0)) * {W[k]}"
+        for k in range(_EWMA_LAGS)
     )
     den = " + ".join(
         f"(CASE WHEN {lag_fn(k)} IS NOT NULL THEN {W[k]} ELSE 0 END)"

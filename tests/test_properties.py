@@ -626,3 +626,35 @@ def test_prefix_ceil_matches_fraction(spark, n, num, den):
     assert got == expect
     p = n - expect + 1
     assert 1 <= p <= n
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**12),
+    st.sampled_from([1, 100, 10_000, 1_000_000]),
+)
+@settings(**SETTINGS)
+def test_ratio_scaled_int_signed_matches_bigints(spark, s, n, scale):
+    """ratio_scaled_int_signed (the round(x·scale) µ-unit lane used by
+    orders_revenue_bridge / events_anomaly_seasonal): must equal the
+    half-AWAY-from-zero integer of Fraction(s·scale, n) — Spark column,
+    DuckDB twin, and Python bigints all three ways."""
+    import duckdb
+
+    from atac_data_products_spark.functions.numeric import (
+        ratio_scaled_int_signed,
+        ratio_scaled_int_signed_sql,
+    )
+
+    df = spark.createDataFrame([(s, n)], "s bigint, n bigint").select(
+        ratio_scaled_int_signed("s", "n", scale).alias("r")
+    )
+    got = df.collect()[0].r
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {ratio_scaled_int_signed_sql(str(s), str(n), scale)}"
+    ).fetchone()[0]
+    con.close()
+    q = (2 * abs(s) * scale + n) // (2 * n)
+    expect = float(q if s >= 0 else -q)
+    assert got == duck == expect

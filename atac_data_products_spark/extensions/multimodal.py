@@ -187,7 +187,17 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     ws.append(w)
                     hs.append(h)
                     chs.append(ch)
-                    means.append(round(float(img[:, :, ch].mean()), 6))
+                    # exact half-up quantization of the RATIONAL mean
+                    # (pixel_sum / (h·w)) at 1e-6 with Python bigints —
+                    # Python round() is HALF-EVEN while the DuckDB
+                    # oracle's round() is half-away: a channel of 2^7·k
+                    # pixels with an odd sum lands exactly ON a 1e-6
+                    # half-boundary and the two disagree (the registered
+                    # 8x8 key dodges it only because /64 means are
+                    # 6-dp-exact; docs/OPERATIONS.md quantization
+                    # contract, driver/UDF lane)
+                    s, n = int(img[:, :, ch].sum()), h * w
+                    means.append(((2 * s * 1_000_000 + n) // (2 * n)) / 1e6)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

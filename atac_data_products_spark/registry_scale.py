@@ -7300,12 +7300,22 @@ def _irls_oracle() -> str:
                     CAST(sum(cnt * wxz_ns) AS BIGINT) AS swxz
              FROM q{r}),
     b{r} AS (SELECT
-               round((CAST(swxx AS DOUBLE) * swz - CAST(swx AS DOUBLE) * swxz)
-                     / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
-                     9) AS b0,
-               round((CAST(sw AS DOUBLE) * swxz - CAST(swx AS DOUBLE) * swz)
-                     / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
-                     9) AS b1
+               CAST({ratio_scaled_int_signed_sql(
+                   "CAST(swxx AS HUGEINT) * swz - CAST(swx AS HUGEINT) * swxz",
+                   "CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx",
+                   _NS)} AS BIGINT) AS b0_ns,
+               CAST({ratio_scaled_int_signed_sql(
+                   "CAST(sw AS HUGEINT) * swxz - CAST(swx AS HUGEINT) * swz",
+                   "CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx",
+                   _NS)} AS BIGINT) AS b1_ns,
+               CAST({ratio_scaled_int_signed_sql(
+                   "CAST(swxx AS HUGEINT) * swz - CAST(swx AS HUGEINT) * swxz",
+                   "CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx",
+                   _NS)} AS BIGINT) / 1000000000.0 AS b0,
+               CAST({ratio_scaled_int_signed_sql(
+                   "CAST(sw AS HUGEINT) * swxz - CAST(swx AS HUGEINT) * swz",
+                   "CAST(sw AS HUGEINT) * swxx - CAST(swx AS HUGEINT) * swx",
+                   _NS)} AS BIGINT) / 1000000000.0 AS b1
              FROM m{r})""")
     last = IRLS_ITERS
     return (
@@ -7313,8 +7323,8 @@ def _irls_oracle() -> str:
         + ",".join(ctes)
         + f"""
     SELECT CAST({IRLS_ITERS} AS BIGINT) AS n_iters,
-           round(b0, 6) AS beta0,
-           round(b1, 6) AS beta1
+           {mean_quantized_signed_sql("b0_ns", str(_NS))} AS beta0,
+           {mean_quantized_signed_sql("b1_ns", str(_NS))} AS beta1
     FROM b{last}"""
     )
 
@@ -7377,14 +7387,38 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(
                 [], "n_iters bigint, beta0 double, beta1 double"
             )
-        det = float(m.sw) * m.swxx - float(m.swx) * m.swx
-        beta = (
-            round((float(m.swxx) * m.swz - float(m.swx) * m.swxz) / det, 9),
-            round((float(m.sw) * m.swxz - float(m.swx) * m.swz) / det, 9),
-        )
+        # closed-form solve in EXACT Python bigints, quantized half-away
+        # at 1e-9 — Python's round() is HALF-EVEN while SQL round() is
+        # half-away, so the old float round(x, 9) could diverge from the
+        # oracle exactly ON a 1e-9 boundary (the driver-loop blind spot
+        # of tools/quantization_scan.py; docs/OPERATIONS.md contract).
+        # det = ΣW·ΣWx² − (ΣWx)² ≥ 0 by Cauchy-Schwarz on positive
+        # weights; a zero det means x is constant — nothing to fit.
+        det = m.sw * m.swxx - m.swx * m.swx
+        if det == 0:
+            g.unpersist()
+            return spark.createDataFrame(
+                [], "n_iters bigint, beta0 double, beta1 double"
+            )
+
+        def _q_ns(num: int, den: int, scale: int) -> int:
+            q = (2 * abs(num) * scale + den) // (2 * den)
+            return q if num >= 0 else -q
+
+        b0_ns = _q_ns(m.swxx * m.swz - m.swx * m.swxz, det, _NS)
+        b1_ns = _q_ns(m.sw * m.swxz - m.swx * m.swz, det, _NS)
+        # exact ints ≤ ~1e10 convert losslessly; one IEEE /1e9 — the
+        # identical conversion the oracle's CAST(ns AS DOUBLE)/1e9 makes
+        beta = (b0_ns / 1e9, b1_ns / 1e9)
     g.unpersist()
+    # publish = half-away re-quantization of the 1e-9 integers at 1e-6
+    # (the exact twin of the oracle's mean_quantized_signed publish)
     spark_b = spark.createDataFrame(
-        [(IRLS_ITERS, round(beta[0], 6), round(beta[1], 6))],
+        [(
+            IRLS_ITERS,
+            _q_ns(b0_ns, 1000, 1) / 1e6,
+            _q_ns(b1_ns, 1000, 1) / 1e6,
+        )],
         "n_iters bigint, beta0 double, beta1 double",
     )
     return spark_b

@@ -200,3 +200,22 @@ def test_spark_resize_null_payload_skipped(spark):
     rows = resize_images(media, 2, 2).collect()
     assert [r.media_id for r in rows] == [1]
     assert decode_png(bytes(rows[0].payload)).shape == (2, 2, 1)
+
+
+def test_spark_image_stats_halfway_mean_rounds_half_up(spark):
+    # 16x8 = 128 = 2^7 pixels: an ODD pixel sum puts the exact mean
+    # s/128 EXACTLY on a 1e-6 half-boundary (terminates at 7 decimals,
+    # last digit 5).  The published value must be the half-UP/away
+    # quantization (SQL round semantics), not Python round()'s
+    # half-even — e.g. sum=1 -> 0.0078125 -> 0.007813, never 0.007812.
+    from atac_data_products_spark.extensions.multimodal import (
+        decode_image_stats,
+    )
+
+    img = np.zeros((16, 8, 1), dtype=np.uint8)
+    img[0, 0, 0] = 1  # sum = 1, mean = 1/128 = 0.0078125
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "media_id bigint, payload binary"
+    )
+    row = decode_image_stats(media).collect()[0]
+    assert row.mean_value == 0.007813

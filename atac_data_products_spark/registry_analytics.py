@@ -259,7 +259,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT event_id,
-           {mean_quantized_sql("s_cents", "100 * n_val")} AS mov_avg
+           {mean_quantized_signed_sql("s_cents", "100 * n_val")} AS mov_avg
     FROM w
     """,
 )
@@ -277,10 +277,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-integer frame mean (2-dp money): cents sum and non-null
     # count over the same frame through the quantized lane — a frame
     # mean is s/(100n) with n <= 7, the highest-probability boundary
-    # class there is (docs/OPERATIONS.md quantization contract)
+    # class there is (docs/OPERATIONS.md quantization contract).
+    # SIGNED lane: value >= 0 holds on current fixtures but is a domain
+    # argument, not a schema constraint — same rationale as
+    # stat_diff_in_diff (r09 ADVICE consistency fix).
     return ev.select(
         "event_id",
-        mean_quantized(
+        mean_quantized_signed(
             F.sum(to_fixed("value", 100)).over(w),
             F.count("value").over(w) * 100,
         ).alias("mov_avg"),
@@ -394,7 +397,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k_val % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(max(k_val) AS BIGINT) AS max_k,
-           {mean_quantized_sql(
+           {mean_quantized_signed_sql(
                "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
                "100 * count(value)")} AS avg_value
     FROM j GROUP BY 1
@@ -414,11 +417,12 @@ def json_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     # avg_value through the exact cents lane (2-dp money), per the
-    # docs/OPERATIONS.md quantization contract
+    # docs/OPERATIONS.md quantization contract — signed lane, since
+    # value's non-negativity is domain knowledge, not a schema fact
     return j.groupBy((F.col("k_val") % 10).alias("k_bucket")).agg(
         F.count("*").alias("n"),
         F.max("k_val").alias("max_k"),
-        mean_quantized(
+        mean_quantized_signed(
             F.sum(to_fixed("value", 100)), F.count("value") * 100
         ).alias("avg_value"),
     )
@@ -2380,7 +2384,7 @@ def join_interval_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, event_id, value,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                FROM events WHERE ts IS NOT NULL),
-    mu AS (SELECT {mean_quantized_sql(
+    mu AS (SELECT {mean_quantized_signed_sql(
                "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
                "100 * count(value)")} AS mean_v FROM e),
     c AS (SELECT user_id,
@@ -2408,9 +2412,10 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact quantized global mean (2-dp money / count), not
     # round(double-mean) — docs/OPERATIONS.md quantization contract;
-    # the downstream cusum fold subtracts this exact broadcast scalar
+    # the downstream cusum fold subtracts this exact broadcast scalar.
+    # Signed lane: value >= 0 is a domain argument only (r09 ADVICE).
     mu = ev.agg(
-        mean_quantized(
+        mean_quantized_signed(
             F.sum(to_fixed("value", 100)), F.count("value") * 100
         ).alias("mean_v")
     )

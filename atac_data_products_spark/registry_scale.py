@@ -3530,10 +3530,10 @@ T_CLOSE_THRESHOLD_US = 400_000  # flag classes with TV distance > 0.4
            FROM grid GROUP BY nk, bb)
     SELECT nk AS c_nationkey, bb AS bal_band, CAST(n_c AS BIGINT) AS n,
            CAST({ratio_scaled_int_sql(
-               "num", "2 * n_c * (SELECT n FROM tot)")} AS BIGINT)
+               "num", "2 * CAST(n_c AS HUGEINT) * (SELECT n FROM tot)")} AS BIGINT)
                AS tv_us,
            CAST({ratio_scaled_int_sql(
-               "num", "2 * n_c * (SELECT n FROM tot)")} AS BIGINT)
+               "num", "2 * CAST(n_c AS HUGEINT) * (SELECT n FROM tot)")} AS BIGINT)
                > {T_CLOSE_THRESHOLD_US} AS at_risk
     FROM tv
     """,
@@ -7383,9 +7383,14 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("wxz_ns")).cast("bigint").alias("swxz"),
         ).first()
         if m.sw is None:  # sums over zero rows are NULL: nothing to fit
+            # one (n_iters, NULL, NULL) row, not zero rows: the oracle's
+            # aggregate-without-GROUP-BY always yields exactly one row
+            # with NULL betas, and the degenerate shapes must agree
+            # (r09 ADVICE — cross-engine row-count symmetry)
             g.unpersist()
             return spark.createDataFrame(
-                [], "n_iters bigint, beta0 double, beta1 double"
+                [(IRLS_ITERS, None, None)],
+                "n_iters bigint, beta0 double, beta1 double",
             )
         # closed-form solve in EXACT Python bigints, quantized half-away
         # at 1e-9 — Python's round() is HALF-EVEN while SQL round() is
@@ -7395,10 +7400,11 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         # det = ΣW·ΣWx² − (ΣWx)² ≥ 0 by Cauchy-Schwarz on positive
         # weights; a zero det means x is constant — nothing to fit.
         det = m.sw * m.swxx - m.swx * m.swx
-        if det == 0:
+        if det == 0:  # constant x — same one-row NULL shape as above
             g.unpersist()
             return spark.createDataFrame(
-                [], "n_iters bigint, beta0 double, beta1 double"
+                [(IRLS_ITERS, None, None)],
+                "n_iters bigint, beta0 double, beta1 double",
             )
 
         def _q_ns(num: int, den: int, scale: int) -> int:

@@ -82,3 +82,32 @@ def test_survives_empty_input(key, spark, empty_sf, queries):
     n = df.count()  # must not raise
     assert n >= 0
     assert len(df.schema) > 0, f"{key}: empty result lost its schema"
+
+
+def test_irls_degenerate_shape_matches_oracle(spark, empty_sf, queries, tmp_path):
+    """Both IRLS early-return branches must yield the ORACLE's shape:
+    exactly one row (n_iters, NULL, NULL) — a DuckDB aggregate without
+    GROUP BY always emits one row, so a 0-row Spark result would be a
+    cross-engine row-count mismatch on degenerate data (r09 ADVICE).
+
+    Branch 1: empty events (sums-over-nothing are NULL).
+    Branch 2: constant x (det = ΣW·ΣWx² − (ΣWx)² = 0)."""
+    from atac_data_products_spark.registry_scale import IRLS_ITERS
+
+    # branch 1 — empty input
+    rows = queries["ml_logistic_irls"](spark, empty_sf).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_iters, rows[0].beta0, rows[0].beta1) == (IRLS_ITERS, None, None)
+
+    # branch 2 — constant x: every event has the same value
+    const_dir = tmp_path / "const_sf"
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 3}", "purchase" if i % 2 else "view", 5.0, None, None)
+         for i in range(20)],
+        "event_id bigint, user_id string, event_type string, value double,"
+        " ts timestamp, props string",
+    )
+    ev.write.parquet(str(const_dir / "events.parquet"))
+    rows = queries["ml_logistic_irls"](spark, str(const_dir)).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_iters, rows[0].beta0, rows[0].beta1) == (IRLS_ITERS, None, None)

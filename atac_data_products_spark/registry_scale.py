@@ -2695,19 +2695,15 @@ def _sweep_oracle() -> str:
         "FROM toks WHERE len(t) >= 3)"
     )
     h40 = f"((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {mask_m})"
+    # truth via the prefix-filtered exact-Jaccard twin (recall-lossless,
+    # tests/test_prefix_truth_identity.py) — the naive all-pairs
+    # inverted-index CTE spilled >80 GB at the 8x value sweep
+    from .registry_ext import prefix_pair_sql
+
     parts = [f"""{toks}, {shingles},
     h AS (SELECT doc_id, {h40} AS h FROM shingles),
     sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-    inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
-              FROM shingles s1 JOIN shingles s2 USING (shingle)
-              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
-    truth AS (SELECT doc_a, doc_b FROM inter
-              JOIN sizes za ON za.doc_id = doc_a
-              JOIN sizes zb ON zb.doc_id = doc_b
-              WHERE {mean_quantized_sql(
-                  "n_inter", "za.n_sh + zb.n_sh - n_inter"
-              )} >= {SWEEP_THRESHOLD})"""]
+    truth AS (SELECT doc_a, doc_b FROM ({prefix_pair_sql(1, 5)}))"""]
     selects = []
     for bands, rows in SWEEP_CONFIGS:
         structs = []

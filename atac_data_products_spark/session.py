@@ -31,9 +31,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
+    # SPARK_GRAFT_MASTER: sweep seam for master URLs that can't ride
+    # ADP_SWEEP_CONF's comma-separated k=v list (local-cluster[2,8,8192]
+    # contains commas) — used by tools/retry_sweep.py
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -92,19 +92,31 @@ def prefix_pair_sql(num: int, den: int) -> str:
     The length filter (t*max(|x|,|y|) <= min(|x|,|y|), Arasu bound) is
     pure integer math and also lossless.  Ordering for the prefix is
     (document frequency ASC, shingle ASC) — deterministic; any total
-    order satisfies the theorem."""
+    order satisfies the theorem.
+
+    AS MATERIALIZED on the multiply-referenced CTEs is load-bearing:
+    DuckDB inlines CTEs by default, so without it each of pf_sh's five
+    references (and pf_prefix's two) re-runs the tokenize+shingle scan
+    — and when a CALLER embeds this query under its own multiply-
+    referenced `truth` CTE, the re-evaluations multiply (the actual
+    mechanism behind the r09 '>80 GB spill': the intermediates here
+    measure only ~9M rows).  Materialization is an evaluation-strategy
+    hint; the result set is byte-identical."""
     jac = mean_quantized_sql("n_inter", "l.na + l.nb - n_inter")
     return f"""
     WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-    pf_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
-    pf_sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pf_sh AS MATERIALIZED (SELECT doc_id, shingle FROM shingles),
+    pf_df AS (SELECT shingle, count(*) AS df FROM pf_sh GROUP BY shingle),
+    pf_sizes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n_sh FROM pf_sh GROUP BY doc_id),
     pf_ranked AS (SELECT s.doc_id, s.shingle, z.n_sh,
                          row_number() OVER (PARTITION BY s.doc_id
                                             ORDER BY d.df, s.shingle) AS rk
-                  FROM shingles s
+                  FROM pf_sh s
                   JOIN pf_df d USING (shingle)
                   JOIN pf_sizes z USING (doc_id)),
-    pf_prefix AS (SELECT doc_id, shingle FROM pf_ranked
+    pf_prefix AS MATERIALIZED (
+                  SELECT doc_id, shingle FROM pf_ranked
                   WHERE rk <= n_sh - ((n_sh * {num} + {den} - 1) // {den}) + 1),
     pf_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM pf_prefix a JOIN pf_prefix b USING (shingle)
@@ -117,9 +129,9 @@ def prefix_pair_sql(num: int, den: int) -> str:
                  AND {num} * zb.n_sh <= {den} * za.n_sh),
     pf_inter AS (SELECT l.doc_a, l.doc_b, l.na, l.nb, count(*) AS n_inter
                  FROM pf_len l
-                 JOIN shingles sa ON sa.doc_id = l.doc_a
-                 JOIN shingles sb ON sb.doc_id = l.doc_b
-                                 AND sb.shingle = sa.shingle
+                 JOIN pf_sh sa ON sa.doc_id = l.doc_a
+                 JOIN pf_sh sb ON sb.doc_id = l.doc_b
+                               AND sb.shingle = sa.shingle
                  GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b, {jac} AS jaccard
     FROM pf_inter l WHERE {jac} >= {num / den}
@@ -2528,18 +2540,27 @@ def _simhash_eval_oracle() -> str:
         f"& {(1 << _SIMHASH_BAND_BITS) - 1} AS bv FROM fp"
         for b in range(_SIMHASH_BANDS)
     )
+    # MATERIALIZED is load-bearing: fp reaches this query's output
+    # through bands (8 UNION ALL arms), ver (two more joins), and the
+    # scalar-count subqueries — DuckDB's default CTE inlining would
+    # re-evaluate the full per-shingle bit aggregation once per path
+    # (multiplicatively under the correlated-subquery rewrite; the
+    # actual mechanism behind the r09 '>80 GB spill').  Evaluation
+    # hint only — the result set is unchanged.
     return f"""
-    WITH fp AS ({fp_sql}),
-    bands AS ({bands}),
+    WITH fp AS MATERIALIZED ({fp_sql}),
+    bands AS MATERIALIZED ({bands}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-    ver AS (SELECT c.doc_a, c.doc_b
+    ver AS MATERIALIZED (
+            SELECT c.doc_a, c.doc_b
             FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id
                         JOIN fp fb ON c.doc_b = fb.doc_id
             WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_HAM_RADIUS}),
-    truth AS (SELECT doc_a, doc_b FROM ({truth_sql})),
-    hit AS (SELECT v.doc_a FROM ver v
+    truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({truth_sql})),
+    hit AS MATERIALIZED (
+            SELECT v.doc_a FROM ver v
             JOIN truth t ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_candidates,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,

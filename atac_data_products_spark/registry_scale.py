@@ -2700,10 +2700,17 @@ def _sweep_oracle() -> str:
     # inverted-index CTE spilled >80 GB at the 8x value sweep
     from .registry_ext import prefix_pair_sql
 
+    # MATERIALIZED is load-bearing on every multiply-referenced CTE:
+    # DuckDB inlines CTEs by default, so sig (3 bk_* consumers), truth
+    # (9 scalar-count references), and each cand_* (4 references) would
+    # otherwise re-run their whole upstream — multiplicatively, which
+    # is the actual mechanism behind the r09 '>80 GB spill' (the
+    # materialized intermediates measure <10M rows at 8x).  Evaluation
+    # hint only; the result set is unchanged.
     parts = [f"""{toks}, {shingles},
     h AS (SELECT doc_id, {h40} AS h FROM shingles),
-    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    truth AS (SELECT doc_a, doc_b FROM ({prefix_pair_sql(1, 5)}))"""]
+    sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({prefix_pair_sql(1, 5)}))"""]
     selects = []
     for bands, rows in SWEEP_CONFIGS:
         structs = []
@@ -2714,9 +2721,11 @@ def _sweep_oracle() -> str:
             structs.append(f"{{'band': {bi}, 'sig': {hash59_sql(concat)}}}")
         tag = f"b{bands}r{rows}"
         parts.append(f"""
-    bk_{tag} AS (SELECT doc_id, u.band AS band, u.sig AS sig
+    bk_{tag} AS MATERIALIZED (
+                 SELECT doc_id, u.band AS band, u.sig AS sig
                  FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS u FROM sig)),
-    cand_{tag} AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    cand_{tag} AS MATERIALIZED (
+                   SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
                    FROM bk_{tag} b1 JOIN bk_{tag} b2 USING (band, sig)
                    WHERE b1.doc_id < b2.doc_id)""")
         selects.append(f"""

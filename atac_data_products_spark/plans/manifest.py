@@ -43,6 +43,11 @@ def search_datasets(hits: DataFrame, organ_code: str | None = None) -> DataFrame
         "query": {"bool": {"must": must, "must_not": [{"exists": {"field": "next_revision_uuid"}}]}},
         "from": 0,
         "size": 10_000,
+        # deterministic page cursor (ES search_after contract): uuid is
+        # the hits' unique id, so the 10k window is the same row set on
+        # every run/retry/plan — lexicographic VARCHAR order, matched
+        # byte-for-byte by the oracle's ORDER BY uuid LIMIT
+        "sort": ["uuid"],
     }
     return apply_search(hits, dsl)
 

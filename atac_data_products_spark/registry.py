@@ -264,6 +264,7 @@ def scan_file_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE lang = 'en'
       AND (CASE WHEN doc_id % 7 = 0 THEN 'rev' END) IS NULL
+    ORDER BY doc_id LIMIT 10000
     """,
 )
 def scan_rest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +283,10 @@ def scan_rest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         "from": 0,
         "size": 10_000,
+        # deterministic page cursor — see apply_search: an unsorted
+        # window is plan-dependent the moment it binds (it binds at the
+        # 32x scale probe); oracle carries the same ORDER BY+LIMIT
+        "sort": ["doc_id"],
     }
     return apply_search(docs, dsl).select("doc_id", "lang", "source")
 
@@ -1250,6 +1255,7 @@ def pipeline_product_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS race
     FROM customer
     WHERE c_custkey % 5 != 0 AND c_custkey % 3 != 0 AND c_custkey % 7 != 0
+    ORDER BY CAST(c_custkey AS VARCHAR) LIMIT 10000
     """,
 )
 def pipeline_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:

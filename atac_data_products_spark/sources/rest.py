@@ -73,12 +73,36 @@ def compile_bool_query(dsl: dict) -> Column | None:
     return out
 
 
+def _sort_columns(sort_spec) -> list[Column]:
+    """ES-style sort spec → Spark sort columns.  Accepts the two forms
+    the ES search API takes: a bare field name (asc), or
+    ``{field: {"order": "asc"|"desc"}}``."""
+    cols: list[Column] = []
+    for entry in sort_spec:
+        if isinstance(entry, str):
+            cols.append(F.col(entry).asc())
+            continue
+        (field, opts), = entry.items()
+        order = (opts or {}).get("order", "asc") if isinstance(opts, dict) else opts
+        cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+    return cols
+
+
 def apply_search(df: DataFrame, dsl: dict) -> DataFrame:
     """Apply a compiled bool query + paging window to a DataFrame.
 
     ES ``from``/``size`` paging (make_uuids_tsv.py:24-25) needs a total
-    order to be deterministic; ES itself uses score/doc order.  The engine
-    only reproduces the reference's actual usage: from=0, size=N — a LIMIT.
+    order to be deterministic — ES itself only guarantees a stable page
+    under an explicit ``sort`` (its search_after contract; score/doc
+    order is shard- and refresh-dependent).  The engine makes that
+    explicit: a DSL with ``size`` MUST carry ``sort``.  A bare
+    ``df.limit(n)`` takes an arbitrary plan-dependent subset the moment
+    the window binds (it never binds at the reference's data size, which
+    is why the reference gets away without one) — on a cluster the
+    picked rows would differ per run, per task retry, and per AQE
+    re-plan.  ``orderBy().limit()`` compiles to TakeOrderedAndProject —
+    distributed per-partition top-N, merged at the driver — so the
+    deterministic form costs no extra shuffle at any scale.
     """
     cond = compile_bool_query(dsl)
     if cond is not None:
@@ -88,5 +112,12 @@ def apply_search(df: DataFrame, dsl: dict) -> DataFrame:
         raise NotImplementedError("non-zero 'from' paging not used by the reference")
     size = dsl.get("size")
     if size is not None:
-        df = df.limit(size)
+        sort_spec = dsl.get("sort")
+        if not sort_spec:
+            raise ValueError(
+                "DSL with 'size' must carry an ES 'sort' spec: an unsorted "
+                "page window is nondeterministic the moment it binds "
+                "(plan-, retry-, and AQE-dependent row pick)"
+            )
+        df = df.orderBy(*_sort_columns(sort_spec)).limit(size)
     return df

@@ -146,9 +146,33 @@ def test_es_dsl_compiles_to_filters(spark):
             }
         },
         "size": 10000,
+        "sort": ["uuid"],
     }
     out = apply_search(df, dsl).collect()
     assert [r.uuid for r in out] == ["u1"]
+
+    # size without sort is rejected: an unsorted page window takes an
+    # arbitrary plan-dependent subset the moment it binds
+    import pytest
+
+    with pytest.raises(ValueError, match="sort"):
+        apply_search(df, {"query": dsl["query"], "size": 1})
+
+    # the window is a deterministic top-N under the cursor when it
+    # binds: 3 matching rows, size=2 -> the 2 smallest uuids, and a
+    # desc-order spec flips the pick
+    df3 = df.sparkSession.createDataFrame(
+        [("u3", "ATACseq", "public", None),
+         ("u1", "ATACseq", "public", None),
+         ("u2", "ATACseq", "public", None)],
+        "uuid string, dataset_type string, data_access_level string, next_revision_uuid string",
+    )
+    picked = apply_search(df3, {**dsl, "size": 2})
+    assert sorted(r.uuid for r in picked.collect()) == ["u1", "u2"]
+    picked_desc = apply_search(
+        df3, {**dsl, "size": 2, "sort": [{"uuid": {"order": "desc"}}]}
+    )
+    assert sorted(r.uuid for r in picked_desc.collect()) == ["u2", "u3"]
 
 
 def test_pivot_width_guardrail(spark):

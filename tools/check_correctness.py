@@ -18,6 +18,19 @@ spark.sql.adaptive.enabled=false' python tools/check_correctness.py ...
 
 Results must be identical — the conf decides the physical plan, never
 the answer.  Record full-registry runs in docs/SCALE_SWEEP.md.
+
+Task-retry chaos mode: set ADP_CHAOS_KILL to a kill probability (e.g.
+0.25) to start a driver-side chaos thread that polls the status REST
+API and calls SparkContext.killTaskAttempt on that fraction of RUNNING
+first attempts (at most one kill per (stage, partition) — kills do not
+count toward spark.task.maxFailures, so every killed partition re-runs
+exactly once).  This makes REAL task re-execution happen inside every
+long-enough stage of every key; the hash gate then proves published
+bytes are attempt-invariant.  Speculative duplicates can NOT be used
+for this on a single machine: TaskSetManager.dequeueSpeculativeTask
+requires the copy to run on a different HOST (verified empirically —
+a 2-executor local-cluster with an 8s straggler and
+speculation.interval=20ms launches zero speculative attempts).
 """
 
 from __future__ import annotations
@@ -84,6 +97,83 @@ def compare(key: str, spark_df, oracle_df) -> str:
     return "OK"
 
 
+def start_chaos_killer(spark, prob: float) -> "ChaosKiller":
+    killer = ChaosKiller(spark, prob)
+    killer.start()
+    return killer
+
+
+class ChaosKiller:
+    """Driver-side task-attempt killer (ADP_CHAOS_KILL).
+
+    Polls /api/v1/applications/{app}/stages?status=ACTIVE&details=true
+    and kills a deterministic ``prob`` sample of RUNNING attempt-0
+    tasks via SparkContext.killTaskAttempt.  TaskKilled does not count
+    toward spark.task.maxFailures and the partition is re-enqueued, so
+    each killed (stage, partition) re-executes exactly once — genuine
+    attempt re-execution with zero changes to the keys under test.
+    The sample is hash-picked (not random) so runs are reproducible.
+    """
+
+    def __init__(self, spark, prob: float):
+        import threading
+
+        self._spark = spark
+        self._prob = prob
+        self._seen: set[tuple[int, int]] = set()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.kills = 0
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        import hashlib
+        import json as _json
+        import urllib.request
+
+        sc = self._spark.sparkContext
+        app_id = sc.applicationId
+        port = sc.getConf().get("spark.ui.port", "4040")
+        url = (
+            f"http://localhost:{port}/api/v1/applications/{app_id}"
+            "/stages?status=ACTIVE&details=true"
+        )
+        jsc_sc = sc._jsc.sc()
+        while not self._stop.is_set():
+            try:
+                stages = _json.load(urllib.request.urlopen(url, timeout=2))
+            except Exception:
+                self._stop.wait(0.1)
+                continue
+            for st in stages:
+                sid = st.get("stageId")
+                for t in (st.get("tasks") or {}).values():
+                    if t.get("status") != "RUNNING" or t.get("attempt", 0) != 0:
+                        continue
+                    part = (sid, t.get("index"))
+                    if part in self._seen:
+                        continue
+                    pick = hashlib.md5(f"{sid}:{part[1]}".encode()).digest()[0]
+                    if pick >= int(self._prob * 256):
+                        self._seen.add(part)  # decided: spared
+                        continue
+                    self._seen.add(part)
+                    try:
+                        jsc_sc.killTaskAttempt(
+                            int(t["taskId"]), True, "chaos-retry-sweep"
+                        )
+                        self.kills += 1
+                    except Exception:
+                        pass
+            self._stop.wait(0.05)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from __spark_entry__ import oracle_sql, queries
@@ -100,7 +190,13 @@ def main() -> int:
     }
     if sweep_conf:
         print(f"conf-invariance sweep: {sweep_conf}")
+    chaos_prob = float(os.environ.get("ADP_CHAOS_KILL", "0") or 0)
+    if chaos_prob:
+        sweep_conf.setdefault("spark.ui.enabled", "true")
+        sweep_conf.setdefault("spark.ui.port", "4046")
+        print(f"chaos mode: killing ~{chaos_prob:.0%} of first task attempts")
     spark = get_spark("correctness-check", extra_conf=sweep_conf or None)
+    killer = start_chaos_killer(spark, chaos_prob) if chaos_prob else None
     con = duck_connect(sf_dir)
     failed = []
     for key in keys:
@@ -125,6 +221,9 @@ def main() -> int:
         if verdict != "OK":
             print("\n".join(verdict.splitlines()[1:]))
             failed.append(key)
+    if killer is not None:
+        killer.stop()
+        print(f"chaos kills (re-executed partitions): {killer.kills}")
     print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
     if failed:
         print("FAILED:", failed)

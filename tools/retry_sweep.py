@@ -1,33 +1,45 @@
 """Dynamic half of the task-retry determinism sweep (r09 verdict task
-4): run the REAL oracle gate with every task eligible for a duplicate
-speculative attempt, on a genuine multi-executor cluster.
+4 → round 10): run the REAL oracle gate with genuine task
+re-execution happening inside every long-enough stage, on a genuine
+multi-executor cluster.
 
-Spark re-executes tasks — speculatively when an attempt looks slow,
-and from scratch on failure.  If any expression published different
-bytes on a second attempt (the hazard tools/nondeterminism_scan.py
-hunts statically), the winning-attempt lottery would flip value
-hashes.  This sweep makes the lottery actually happen:
+Spark re-executes tasks on failure/kill, and an expression that
+publishes different bytes on a second attempt (the hazard class
+tools/nondeterminism_scan.py hunts statically) would flip value
+hashes depending on which attempt's output survives.  This sweep
+makes re-execution actually happen, via TWO mechanisms at once:
 
-- master = local-cluster[2, C, M]: a real standalone mini-cluster with
-  TWO executor JVMs (speculation never launches on local[N] — a
-  speculative copy must run on a different executor than the
-  original, and local mode has exactly one);
-- spark.speculation=true with quantile 0.1 / multiplier 1.01 /
-  interval 20ms: after 10% of a stage's tasks finish, every task
-  running longer than ~1.01x the median gets a duplicate attempt on
-  the other executor;
-- the comparator is tools/check_correctness.py itself — the identical
-  hash/rowcount/schema gate the driver runs.
+- master = local-cluster[2, C, M]: a real standalone mini-cluster
+  with TWO executor JVMs — real serialization boundaries, real
+  shuffle fetches between separate processes, real executor-side
+  Python workers (PYTHONPATH propagated so Arrow-seam UDFs unpickle);
+- ADP_CHAOS_KILL: check_correctness's driver-side chaos thread kills
+  a hash-picked sample of RUNNING first task attempts through
+  SparkContext.killTaskAttempt.  TaskKilled does NOT count toward
+  spark.task.maxFailures, so each killed (stage, partition) is
+  re-enqueued and re-executes exactly once — genuine duplicate
+  attempts on live registry keys with zero changes to the keys.
 
-Results must be byte-identical to the plain-local run: scheduling
-decides WHICH attempt wins, never the answer.
+Why not spark.speculation: speculative duplicates CANNOT launch on a
+single machine — TaskSetManager.dequeueSpeculativeTask requires the
+copy to run on a different HOST, not merely a different executor
+(verified empirically: a 2-executor local-cluster with an 8s
+straggler, quantile 0.1, multiplier 1.01, interval 20ms launches
+zero speculative attempts per the status REST API).  The conf is
+still set — it must at minimum not corrupt anything — but the chaos
+kills are what actually exercise re-execution.  spark.task.maxFailures
+stays at 4 so a key whose re-run path is broken fails loudly rather
+than silently succeeding on attempt 1.
+
+The comparator is tools/check_correctness.py itself — the identical
+hash/rowcount/schema gate the driver runs.  Results must be
+byte-identical to the plain-local run: scheduling decides WHICH
+attempt's output survives, never the answer.
 
 Usage:
     python tools/retry_sweep.py [sf_dir] [key ...]
 
-Record full-registry runs in docs/SCALE_SWEEP.md.  PYTHONPATH is
-propagated to the executor env so Arrow-seam UDFs can unpickle
-package references inside the executor JVMs' Python workers.
+Record full-registry runs in docs/SCALE_SWEEP.md.
 """
 
 from __future__ import annotations
@@ -61,6 +73,9 @@ def main() -> int:
     env = {
         **os.environ,
         "ADP_SWEEP_CONF": conf,
+        # kill ~25% of first attempts: real re-execution in every
+        # stage long enough for the 50ms chaos poll to observe
+        "ADP_CHAOS_KILL": os.environ.get("ADP_CHAOS_KILL", "0.25"),
         # master rides its own env var: the URL's commas would break
         # ADP_SWEEP_CONF's k=v,k=v parsing (session.py seam)
         "SPARK_GRAFT_MASTER": SWEEP_MASTER,

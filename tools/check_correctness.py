@@ -103,6 +103,59 @@ def start_chaos_killer(spark, prob: float) -> "ChaosKiller":
     return killer
 
 
+class ExecutorChaos:
+    """Executor-JVM chaos (ADP_CHAOS_EXEC_KILL=<period seconds>).
+
+    Every ``period`` seconds SIGKILLs one CoarseGrainedExecutorBackend
+    process (round-robin over live pids).  On a standalone
+    local-cluster the worker reports the crash and the master
+    relaunches a replacement executor, while every shuffle block the
+    dead executor held is LOST — the next reducer fetch raises
+    FetchFailed and the DAGScheduler resubmits the parent map stages.
+    This exercises the third re-execution path (stage retry + lineage
+    recompute) that neither task kills (ChaosKiller) nor speculation
+    can reach: recomputed map outputs must produce byte-identical
+    published results no matter which partitions recompute.
+
+    SIGKILL, not killExecutor(): the latter is the dynamic-allocation
+    downscale API — it lowers the executor target and the master never
+    replaces the loss, so repeated use starves the app.
+    """
+
+    def __init__(self, period: float):
+        import threading
+
+        self._period = period
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.kills = 0
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        import signal
+        import subprocess
+
+        while not self._stop.wait(self._period):
+            try:
+                pids = subprocess.run(
+                    ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                    capture_output=True, text=True, timeout=5,
+                ).stdout.split()
+                if len(pids) < 2:
+                    continue  # keep at least one executor alive
+                victim = int(pids[self.kills % len(pids)])
+                os.kill(victim, signal.SIGKILL)
+                self.kills += 1
+            except Exception:
+                pass
+
+
 class ChaosKiller:
     """Driver-side task-attempt killer (ADP_CHAOS_KILL).
 
@@ -195,8 +248,15 @@ def main() -> int:
         sweep_conf.setdefault("spark.ui.enabled", "true")
         sweep_conf.setdefault("spark.ui.port", "4046")
         print(f"chaos mode: killing ~{chaos_prob:.0%} of first task attempts")
+    exec_kill = float(os.environ.get("ADP_CHAOS_EXEC_KILL", "0") or 0)
+    if exec_kill:
+        print(f"executor chaos: SIGKILL one executor JVM every {exec_kill:g}s")
     spark = get_spark("correctness-check", extra_conf=sweep_conf or None)
     killer = start_chaos_killer(spark, chaos_prob) if chaos_prob else None
+    exec_chaos = None
+    if exec_kill:
+        exec_chaos = ExecutorChaos(exec_kill)
+        exec_chaos.start()
     con = duck_connect(sf_dir)
     failed = []
     for key in keys:
@@ -224,6 +284,9 @@ def main() -> int:
     if killer is not None:
         killer.stop()
         print(f"chaos kills (re-executed partitions): {killer.kills}")
+    if exec_chaos is not None:
+        exec_chaos.stop()
+        print(f"executor chaos kills (SIGKILLed executor JVMs): {exec_chaos.kills}")
     print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
     if failed:
         print("FAILED:", failed)

@@ -29,6 +29,7 @@ from ..functions.numeric import mean_quantized
 
 from ..functions.hashes import hash59
 from .text import shingle_table
+from ..spill import ckpt_eager as _ckpt_eager
 
 # MinHash permutation parameters (a*h + b) mod p over the masked base
 # hash — generated deterministically so Spark and any re-implementation
@@ -428,7 +429,7 @@ def duplicate_clusters(
         both.select(F.col("src").alias(id_col))
         .distinct()
         .select(F.col(id_col), F.col(id_col).alias("label"))
-        .localCheckpoint()
+        .transform(_ckpt_eager)
     )
     label_cp = labels  # checkpointed frame owning the blocks to free
     converged = False
@@ -450,7 +451,7 @@ def duplicate_clusters(
                 ),
                 F.col("label").alias("__prev"),
             )
-            .localCheckpoint()
+            .transform(_ckpt_eager)
         )
         changed = new_labels.where(F.col("label") != F.col("__prev")).count()
         # free the superseded generation's checkpoint blocks — they

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..spill import ckpt_eager as _ckpt_eager
 
 RANK_SCALE = 1_000_000_000_000  # fixed-point 1.0
 DAMP_NUM = 85  # damping 0.85 as an integer ratio
@@ -108,7 +109,7 @@ def _pagerank_loop(e: DataFrame, n_iterations: int) -> DataFrame:
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).transform(_ckpt_eager)
     n_nodes = deg.count()
     if n_nodes == 0:
         e.unpersist()
@@ -140,7 +141,7 @@ def _pagerank_loop(e: DataFrame, n_iterations: int) -> DataFrame:
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ckpt_eager)
         )
         # the new generation is materialized; release the old one so
         # checkpoint blocks don't accumulate across the session

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..spill import ckpt_lazy as _ckpt_lazy
 
 
 def first_per_group(
@@ -99,7 +100,7 @@ def _range_partitioned(df: DataFrame, order_by: Sequence):
     if sp.sparkContext.getCheckpointDir():
         rdf = pinned.checkpoint(eager=False)
     else:
-        rdf = pinned.localCheckpoint(eager=False)
+        rdf = pinned.transform(_ckpt_lazy)
     return rdf, cols, nparts
 
 

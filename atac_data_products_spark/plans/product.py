@@ -36,6 +36,7 @@ from ..functions.strings import concat_cell_id, replace_literal
 from ..operators.joins import broadcast_dim_join, intersect_keys
 from ..operators.unions import union_outer
 from ..sinks.writers import write_product
+from ..spill import ckpt_eager as _ckpt_eager
 
 BARCODE_PREFIX = "BAM_data#"  # stripped at bin/concatenate.py:67
 
@@ -258,7 +259,7 @@ def append_dataset_to_product(
     removed = old_obs.where(F.col("dataset") == dataset).count()
     merged_obs = (
         obs_kept.unionByName(new_obs) if new_obs is not None else obs_kept
-    ).localCheckpoint()
+    ).transform(_ckpt_eager)
 
     # drop the dataset's prior contribution everywhere before writing
     # the new one — partition-directory deletes, no other bytes touched

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from .registry import _t, _values_sql, query
 from .sources.tables import epoch_day_expr, epoch_day_from_us, load_table, ts_us_expr
+from .spill import ckpt_lazy as _ckpt_lazy
 
 # ---------------------------------------------------------------------------
 # Statistics battery
@@ -2284,7 +2285,7 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(to_fixed("o_totalprice", 100))
         .cast("bigint")
         .alias("monetary_cents"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     # ^ pin the orders-wide aggregate ONCE: each global_ntile branch
     # otherwise re-executes it ~2x (range-sampling pass + shuffle pass),
     # ~6x total over three branches (round-5 review finding)

@@ -67,6 +67,7 @@ from . import registry_analytics  # noqa: F401  (registers scd2/welch specs)
 from . import registry_corpus  # noqa: F401  (registers the packer spec)
 from . import registry_ext  # noqa: F401  (registers gram/LSH/NB deps)
 from .registry import _t, query
+from .spill import ckpt_lazy as _ckpt_lazy
 
 
 # Iterative-operator caching policy (ADVICE r03): loop state and
@@ -1000,7 +1001,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     seeds = (
         _t(spark, sf_dir, "part")
@@ -1851,7 +1852,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -1867,7 +1868,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select(F.col("n").alias("node"), "label")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members"),
@@ -2599,7 +2600,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_ids = (
         cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=MMR_POOL)
         .select("vec_id", F.col("cosine").alias("qcos"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     pool = pool_ids.join(emb.select("vec_id", "embedding"), "vec_id")
     e = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
@@ -2622,7 +2623,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         a.join(b, F.col("ia") != F.col("ib"))
         .select("ia", "ib", cos(e(F.col("va")), e(F.col("vb"))).alias("cos"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     sel = (
         pool_ids.orderBy(F.desc("qcos"), "vec_id")
@@ -2658,7 +2659,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # uncheckpointed chain re-evaluates every earlier round's
         # subplan — O(k²) tiny stages of pure scheduler overhead
         # (round-5 A/B below); the checkpoint makes rounds linear
-        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+        sel = sel.unionByName(nxt).transform(_ckpt_lazy)
     return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
 
 
@@ -4274,7 +4275,7 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gut.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     v = g.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(PCA_V0_Q).cast("bigint").alias("vq")
     )
@@ -4291,7 +4292,7 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / float(PCA_SCALE)
                 ).alias("wd")
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         nrm = w.agg(
             F.sqrt(
@@ -6594,11 +6595,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(_ckpt_lazy)
     surv = nodes
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -6610,7 +6609,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             deg.where(F.col("deg") >= KCORE_K)
             .select("node")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     core_edges = (
         edges.join(surv.select(F.col("node").alias("src")), "src")
@@ -7635,9 +7634,7 @@ def corpus_hashed_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # lazy localCheckpoint: the derived embedding table feeds the query
     # row, dots, and norms; blocks die with the result (ADVICE r03)
-    emb = QUERIES["corpus_doc_embedding_hashed"](spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    emb = QUERIES["corpus_doc_embedding_hashed"](spark, sf_dir).transform(_ckpt_lazy)
     q = emb.where(F.col("doc_id") == HASHED_QUERY_DOC).select(
         "dim", F.col("weight").alias("qw")
     )

@@ -260,3 +260,54 @@ def spill_once(df, spark: SparkSession, path: str):
     if not _success_exists(spark, path):
         df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def lineage_checkpoint(df, eager: bool = True):
+    """Truncate plan lineage with the strongest checkpoint the session
+    affords — the fault-tolerance twin of ``spill_root``.
+
+    Iterative operators (connected components, pagerank, PCA/IRLS
+    generations, SCD frontiers) checkpoint per generation to stop plan
+    growth.  ``localCheckpoint`` does that at memory speed but stores
+    the blocks ONLY on the executors that computed them AND severs
+    lineage — so a single executor loss makes the query unrecoverable
+    (``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``; found by the round-10
+    executor-SIGKILL chaos sweep, which killed `orders_abc_xyz_matrix`
+    mid-run).  On a 1000-executor cluster an executor loss is routine,
+    not exceptional.
+
+    Resolution (mirrors the ``adp.spill.root`` philosophy):
+
+    1. ``adp.checkpoint.root`` session conf set → RELIABLE
+       ``df.checkpoint()`` into that directory (any Hadoop-FS URI every
+       executor can reach).  Survives executor loss: lost partitions
+       re-read from shared storage.  A deployment sets this alongside
+       ``adp.spill.root``.
+    2. Unset → ``localCheckpoint`` (single-process local default:
+       driver and executors share a lifetime, so the non-replicated
+       blocks add no NEW failure mode there).
+
+    Values are identical either way; only recoverability differs.
+    """
+    spark = df.sparkSession
+    try:
+        root = spark.conf.get("adp.checkpoint.root")
+    except Exception:
+        root = None
+    if not root:
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(root)
+    return df.checkpoint(eager=eager)
+
+
+def ckpt_eager(df):
+    """``.transform(ckpt_eager)`` — drop-in for ``.localCheckpoint()``."""
+    return lineage_checkpoint(df, eager=True)
+
+
+def ckpt_lazy(df):
+    """``.transform(ckpt_lazy)`` — drop-in for
+    ``.localCheckpoint(eager=False)``."""
+    return lineage_checkpoint(df, eager=False)

@@ -30,6 +30,7 @@ from ..functions.numeric import mean_quantized
 from ..functions.hashes import hash59
 from .text import shingle_table
 from ..spill import ckpt_eager as _ckpt_eager
+from ..spill import release_checkpoint as _release_ckpt
 
 # MinHash permutation parameters (a*h + b) mod p over the masked base
 # hash — generated deterministically so Spark and any re-implementation
@@ -454,10 +455,11 @@ def duplicate_clusters(
             .transform(_ckpt_eager)
         )
         changed = new_labels.where(F.col("label") != F.col("__prev")).count()
-        # free the superseded generation's checkpoint blocks — they
-        # otherwise accumulate for the life of the session and bleed
-        # memory pressure into every later query
-        label_cp.unpersist()
+        # free the superseded generation — cached blocks and, in
+        # reliable-checkpoint mode, its files; they otherwise accumulate
+        # for the life of the session (memory pressure locally,
+        # unbounded shared-storage growth on a cluster)
+        _release_ckpt(label_cp)
         label_cp = new_labels
         labels = new_labels.drop("__prev")
         if changed == 0:

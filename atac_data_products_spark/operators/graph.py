@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from ..spill import ckpt_eager as _ckpt_eager
+from ..spill import release_checkpoint as _release_ckpt
 
 RANK_SCALE = 1_000_000_000_000  # fixed-point 1.0
 DAMP_NUM = 85  # damping 0.85 as an integer ratio
@@ -143,12 +144,13 @@ def _pagerank_loop(e: DataFrame, n_iterations: int) -> DataFrame:
             )
             .transform(_ckpt_eager)
         )
-        # the new generation is materialized; release the old one so
-        # checkpoint blocks don't accumulate across the session
-        prev.unpersist()
+        # the new generation is eagerly materialized; release the old
+        # one — cached blocks AND, in reliable mode, its checkpoint
+        # files (unpersist alone leaks those for the app lifetime)
+        _release_ckpt(prev)
     e.unpersist()
     if n_iterations > 0:
         # the returned generation is materialized; the seed frame is not
         # referenced by it anymore
-        deg.unpersist()
+        _release_ckpt(deg)
     return ranks

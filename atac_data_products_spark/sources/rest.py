@@ -23,15 +23,33 @@ def fetch_search_hits(
     timeout: float = 30.0,
 ):
     """Live search fetch (the network side of scan_rest_search,
-    make_uuids_tsv.py:41-59): POST the DSL, follow redirects, unnest the
-    ES hit envelope, and materialize a DataFrame under an explicit schema.
+    make_uuids_tsv.py:41-64): POST the DSL, follow the search API's
+    redirect contract, unnest the ES hit envelope, and materialize a
+    DataFrame under an explicit schema.
+
+    Redirects: besides standard Location-header 3xx (urllib follows
+    those, converting a 303 POST into a GET per RFC 9110), the search
+    API offloads oversized responses as a **bodyless-Location 303 whose
+    redirect URL is the response BODY** (a presigned object-store URL) —
+    the reference follows that URL with a plain GET
+    (make_uuids_tsv.py:50-59: ``response.text.strip()`` then
+    ``requests.get``).  urllib surfaces a Location-less 303 as an
+    ``HTTPError``, which carries the body; we mirror the reference's
+    strip+GET exactly.
+
+    Hit envelope (make_uuids_tsv.py:67-88): rows are each hit's
+    ``_source`` object; hits without the envelope pass through as-is.
+    An empty/missing ``hits.hits`` yields an empty frame under the
+    same schema.
 
     Driver-side by design — the result is a small manifest-shaped set
-    (≤ the ES page window), immediately broadcastable.  Import-gated and
-    never exercised by tests or queries (the compiled-filter path is the
-    tested semantics; this is the thin I/O shim around it).
+    (≤ the ES page window), immediately broadcastable.  Exercised in
+    tests against a stdlib ``http.server`` fixture (no network); the
+    compiled-filter path is the tested query semantics, this is the
+    thin I/O shim around it.
     """
     import json as _json
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(
@@ -39,8 +57,16 @@ def fetch_search_hits(
         data=_json.dumps(dsl).encode(),
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # follows 3xx
-        payload = _json.load(resp)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            payload = _json.load(resp)
+    except urllib.error.HTTPError as e:
+        if e.code != 303:
+            raise
+        # Location-less 303: the redirect URL is the response body
+        redirect_url = e.read().decode().strip()
+        with urllib.request.urlopen(redirect_url, timeout=timeout) as resp:
+            payload = _json.load(resp)
     hits = [h.get("_source", h) for h in payload.get("hits", {}).get("hits", [])]
     return spark.createDataFrame(hits, schema)
 
@@ -76,15 +102,27 @@ def compile_bool_query(dsl: dict) -> Column | None:
 def _sort_columns(sort_spec) -> list[Column]:
     """ES-style sort spec → Spark sort columns.  Accepts the two forms
     the ES search API takes: a bare field name (asc), or
-    ``{field: {"order": "asc"|"desc"}}``."""
+    ``{field: {"order": "asc"|"desc"}}``.
+
+    Null ordering: ES's sort contract places missing values LAST by
+    default (``missing: _last``) for BOTH directions, and DuckDB's
+    default ORDER BY is likewise NULLS LAST in both directions
+    (verified empirically).  Spark's bare ``asc()``/``desc()`` are
+    NULLS FIRST for asc — so a nullable sort cursor whose page window
+    binds would pick a different page than both ES and the oracle.
+    Pin nulls-last explicitly on both directions."""
     cols: list[Column] = []
     for entry in sort_spec:
         if isinstance(entry, str):
-            cols.append(F.col(entry).asc())
+            cols.append(F.col(entry).asc_nulls_last())
             continue
         (field, opts), = entry.items()
         order = (opts or {}).get("order", "asc") if isinstance(opts, dict) else opts
-        cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+        cols.append(
+            F.col(field).desc_nulls_last()
+            if order == "desc"
+            else F.col(field).asc_nulls_last()
+        )
     return cols
 
 

@@ -288,6 +288,19 @@ def lineage_checkpoint(df, eager: bool = True):
        blocks add no NEW failure mode there).
 
     Values are identical either way; only recoverability differs.
+
+    Checkpoint-file lifecycle (reliable mode): ``df.checkpoint()`` files
+    are NOT freed by ``unpersist()`` — that only drops cached blocks.
+    Spark deletes the files when the JVM-side RDD is garbage-collected
+    ONLY if ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (default false, and it must be set at session build — the
+    ContextCleaner registers checkpoints for cleanup at checkpoint
+    time).  A deployment that sets ``adp.checkpoint.root`` should set
+    that conf alongside it; this function warns once per session if it
+    is missing.  Iterative operators additionally free superseded
+    generations deterministically via :func:`release_checkpoint`, which
+    deletes the generation's checkpoint directory directly — shared-
+    storage usage stays O(live generations), not O(iterations).
     """
     spark = df.sparkSession
     try:
@@ -297,9 +310,76 @@ def lineage_checkpoint(df, eager: bool = True):
     if not root:
         return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
+    # Re-resolve the dir whenever the configured root changes mid-session
+    # (or something else — a test, _range_partitioned — set a different
+    # dir first): the conf is the source of truth, last write wins.
+    if _CKPT_ROOT_SET.get(sc.applicationId) != root:
         sc.setCheckpointDir(root)
+        _CKPT_ROOT_SET[sc.applicationId] = root
+        try:
+            clean = (sc.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            ) or "false").lower()
+        except Exception:
+            clean = "false"
+        if clean != "true":
+            import warnings
+
+            warnings.warn(
+                "adp.checkpoint.root is set but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is not "
+                "'true': Spark will never delete superseded checkpoint "
+                "files on GC, so shared-storage usage grows for the app "
+                "lifetime except where release_checkpoint() frees "
+                "generations explicitly. Set it at session build.",
+                stacklevel=2,
+            )
     return df.checkpoint(eager=eager)
+
+
+# app-id → the adp.checkpoint.root value this module last applied via
+# setCheckpointDir (the resolved dir itself gains a per-app UUID suffix,
+# so the conf value — not getCheckpointDir() — is what we compare).
+_CKPT_ROOT_SET: dict = {}
+
+
+def release_checkpoint(df) -> None:
+    """Free a superseded checkpoint generation: ``unpersist`` plus, in
+    reliable mode, delete the generation's checkpoint files from shared
+    storage.
+
+    ``unpersist()`` alone leaks reliable-checkpoint FILES (see
+    :func:`lineage_checkpoint`); per-generation deletion keeps an
+    iterative operator's shared-storage footprint bounded by the number
+    of LIVE generations regardless of iteration count.  Callers promise
+    the same thing ``unpersist`` already required: nothing references
+    this generation anymore (the successor generation was eagerly
+    checkpointed, so its files — not this lineage — back it).
+
+    Only an exact :func:`lineage_checkpoint` result has its files
+    deleted (analyzed plan root is the checkpoint's LogicalRDD with a
+    defined checkpoint file); for any other frame — including
+    localCheckpoint results, which have no files — this degrades to
+    plain ``unpersist``.
+    """
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        opt = plan.rdd().getCheckpointFile()
+        if not opt.isDefined():
+            return
+        path = opt.get()
+        spark = df.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        # best-effort: a failed delete only costs storage, never
+        # correctness — the session-build cleaner conf is the backstop
+        pass
 
 
 def ckpt_eager(df):

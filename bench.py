@@ -156,6 +156,50 @@ VARIANCE_INDEX_MID_KEYS = [
 ]
 
 
+# Interleaved calibration probe (VERDICT r10 task 4): a FIXED,
+# plan-frozen, data-independent unit of work measured immediately before
+# every real key.  The two variance indices above normalize the run as a
+# whole; a probe measured NEXT TO each key captures load at that moment,
+# so per-key load-normalized seconds (sec / nearby-probe sec) compare
+# across rounds with host load cancelled — flags self-adjudicate in
+# tools/bench_diff.py instead of costing a round of hand-run A/Bs (the
+# r10 driver host ran at variance_index 2.825 vs r09's 2.203 and every
+# raw diff needed manual adjudication).  The probe spans the cost
+# classes load perturbs: task scheduling (32 partitions), codegen
+# arithmetic, and one small shuffle.  No input tables: immune to page-
+# cache state, identical work at every sf.
+_CAL_ROWS = 4_000_000
+
+
+def _calibration_probe(spark) -> None:
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, _CAL_ROWS, 1, 32)
+        .select((F.col("id") % 97).alias("k"), "id")
+        .groupBy("k")
+        .agg(
+            F.sum("id").alias("s"),
+            F.count("*").alias("c"),
+            F.avg(F.col("id") * 3 % 101).alias("a"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def _measure_calibration(spark, n: int = 2) -> list[float]:
+    """n back-to-back probe timings; the MEAN is the load signal (a min
+    would erase exactly the load spikes the probe exists to capture)."""
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        _calibration_probe(spark)
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -189,8 +233,13 @@ def main() -> None:
     # cost.  (r01/r02 were single-shot — totals are ~10-15% higher than
     # the same plans measured this way.)
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # pay the probe's one-time analysis/codegen cost in warmup so the
+    # first interleaved measurement is load, not compilation
+    _measure_calibration(spark, n=1)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    cal: dict[str, float] = {}
+    cal_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
@@ -201,6 +250,9 @@ def main() -> None:
         # vs 6.4 s after an explicit collection) — pay it OUTSIDE the
         # timing window so min-of-N measures plan cost
         spark.sparkContext._jvm.System.gc()
+        # calibration probe adjacent to (not inside) the key's window
+        cal_runs[name] = _measure_calibration(spark)
+        cal[name] = round(sum(cal_runs[name]) / len(cal_runs[name]), 3)
         best = None
         runs[name] = []
         for _ in range(n_iters):
@@ -259,7 +311,18 @@ def main() -> None:
         # from the artifact itself instead of same-session A/B essays.
         # `queries` (the min) stays the headline metric definition.
         "queries_runs": {
-            k: {"sec_min": timings[k], "sec_runs": runs[k]} for k in timings
+            k: {
+                "sec_min": timings[k],
+                "sec_runs": runs[k],
+                # load signal adjacent to this key's runs + the key's
+                # load-normalized cost in probe units (r10 task 4):
+                # cross-round, (sec_min/cal_sec) ratios cancel host load
+                # per-key — tools/bench_diff.py prefers them
+                "cal_sec": cal[k],
+                "cal_runs": cal_runs[k],
+                "sec_load_norm": round(timings[k] / cal[k], 3) if cal[k] else None,
+            }
+            for k in timings
         },
         "sf": sf,
         "n_queries": len(timings),
@@ -267,6 +330,16 @@ def main() -> None:
         "variance_index_keys": vi_present,
         "variance_index_mid": variance_index_mid,
         "variance_index_mid_keys": vim_present,
+        # run-level calibration summary: the probe's median and spread
+        # over the whole run — a one-glance host-quality figure (the
+        # median moves with sustained load; the spread with burstiness)
+        "cal_median": round(sorted(cal.values())[len(cal) // 2], 3) if cal else None,
+        "cal_spread": (
+            round(max(cal.values()) / min(cal.values()), 2)
+            if cal and min(cal.values()) > 0
+            else None
+        ),
+        "cal_probe": {"rows": _CAL_ROWS, "partitions": 32, "version": 1},
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -290,6 +363,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "variance_index": variance_index,
                 "variance_index_mid": variance_index_mid,
+                "cal_median": detail["cal_median"],
+                "cal_spread": detail["cal_spread"],
                 "detail": "BENCH_DETAIL.json",
             }
         ),

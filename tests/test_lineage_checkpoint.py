@@ -19,7 +19,12 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from atac_data_products_spark.spill import ckpt_eager, ckpt_lazy, lineage_checkpoint
+from atac_data_products_spark.spill import (
+    ckpt_eager,
+    ckpt_lazy,
+    lineage_checkpoint,
+    release_checkpoint,
+)
 
 
 @pytest.fixture()
@@ -69,3 +74,48 @@ def test_values_identical_across_modes(spark, ckpt_root):
     local = lineage_checkpoint(_demo(spark)).collect()
     spark.conf.set("adp.checkpoint.root", ckpt_root)  # fixture unsets
     assert sorted(map(tuple, reliable)) == sorted(map(tuple, local))
+
+
+def _rdd_dirs(root):
+    return set(glob.glob(os.path.join(root, "**", "rdd-*"), recursive=True))
+
+
+def test_release_checkpoint_deletes_reliable_files(spark, ckpt_root):
+    # unpersist() alone leaks reliable checkpoint FILES (cleanCheckpoints
+    # defaults to false) — release_checkpoint must delete the superseded
+    # generation's directory so iterative operators stay O(live
+    # generations) on shared storage, not O(iterations). (ADVICE r10)
+    out = _demo(spark).transform(ckpt_eager)
+    assert out.count() == 100
+    before = _rdd_dirs(ckpt_root)
+    assert before, "eager reliable checkpoint wrote no rdd-* dir"
+    release_checkpoint(out)
+    assert _rdd_dirs(ckpt_root) == set(), "checkpoint files survived release"
+
+
+def test_release_checkpoint_noop_on_plain_frames(spark, ckpt_root):
+    # non-checkpoint frames and localCheckpoint results (no files) must
+    # degrade to plain unpersist without raising
+    release_checkpoint(_demo(spark))
+    spark.conf.unset("adp.checkpoint.root")
+    local = lineage_checkpoint(_demo(spark))
+    assert local.count() == 100
+    release_checkpoint(local)
+    spark.conf.set("adp.checkpoint.root", ckpt_root)  # fixture unsets
+
+
+def test_root_change_mid_session_redirects(spark, ckpt_root):
+    # changing adp.checkpoint.root mid-session must redirect new
+    # checkpoints to the NEW root — the conf is the source of truth,
+    # not whichever setCheckpointDir call happened first (ADVICE r10)
+    first = _demo(spark).transform(ckpt_eager)
+    assert first.count() == 100
+    assert _rdd_dirs(ckpt_root)
+    new_root = tempfile.mkdtemp(prefix="adp_ckpt_test2_")
+    spark.conf.set("adp.checkpoint.root", new_root)
+    try:
+        second = _demo(spark).transform(ckpt_eager)
+        assert second.count() == 100
+        assert _rdd_dirs(new_root), "checkpoint did not follow the conf change"
+    finally:
+        spark.conf.set("adp.checkpoint.root", ckpt_root)

@@ -174,6 +174,25 @@ def test_es_dsl_compiles_to_filters(spark):
     )
     assert sorted(r.uuid for r in picked_desc.collect()) == ["u2", "u3"]
 
+    # nullable sort cursor: ES's sort contract puts missing values LAST
+    # by default (missing:_last, both directions) and DuckDB's ORDER BY
+    # default is likewise nulls-last both ways — Spark's bare asc() is
+    # NULLS FIRST, so without the explicit pin a bound window would pick
+    # the null row first and diverge from both (ADVICE r10)
+    df4 = df.sparkSession.createDataFrame(
+        [("u1", "ATACseq", "public", None, "b"),
+         ("u2", "ATACseq", "public", None, None),
+         ("u3", "ATACseq", "public", None, "a")],
+        "uuid string, dataset_type string, data_access_level string, "
+        "next_revision_uuid string, cursor string",
+    )
+    asc_pick = apply_search(df4, {**dsl, "size": 2, "sort": ["cursor"]})
+    assert sorted(r.uuid for r in asc_pick.collect()) == ["u1", "u3"]
+    desc_pick = apply_search(
+        df4, {**dsl, "size": 2, "sort": [{"cursor": {"order": "desc"}}]}
+    )
+    assert sorted(r.uuid for r in desc_pick.collect()) == ["u1", "u3"]
+
 
 def test_pivot_width_guardrail(spark):
     import pytest

@@ -39,6 +39,10 @@ def load_bench(path: str) -> dict:
         bench = dict(bench)
         bench["queries"] = {k: v["sec_min"] for k, v in qr.items()}
         bench["_runs"] = {k: v.get("sec_runs", []) for k, v in qr.items()}
+        # r11+: per-key calibration probe adjacent to each key's runs
+        bench["_cal"] = {
+            k: v["cal_sec"] for k, v in qr.items() if v.get("cal_sec")
+        }
     return bench
 
 
@@ -98,6 +102,27 @@ def main() -> int:
         mid_ratio = nmi / omi
         print(f"variance_index_mid: {omi:.3f}s -> {nmi:.3f}s "
               f"(shuffle-class ratio {mid_ratio:.2f} — diagnostic only)")
+    # Per-key calibration normalization (r11, preferred when BOTH sides
+    # carry it): each key's cost in units of the fixed probe measured
+    # RIGHT BEFORE it — (new_sec/new_cal)/(old_sec/old_cal) cancels host
+    # load at the moment each side ran, where the run-level
+    # variance_index can only cancel the run's average load.  Probe
+    # identity is checked: ratios in different probe units are garbage.
+    ocal, ncal = old.get("_cal", {}), new.get("_cal", {})
+    cal_comparable = bool(ocal) and bool(ncal)
+    oprobe, nprobe = old.get("cal_probe"), new.get("cal_probe")
+    if cal_comparable and oprobe != nprobe:
+        print(
+            f"cal_probe definitions differ ({oprobe} vs {nprobe}) — "
+            "per-key calibration normalization SKIPPED"
+        )
+        cal_comparable = False
+    if cal_comparable:
+        print(
+            "per-key calibration present on both sides — ratios are "
+            "load-normalized per key (probe units), variance_index is "
+            "the fallback for keys missing a probe"
+        )
     regressed = []
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in sorted(set(oq) | set(nq)):
@@ -106,14 +131,23 @@ def main() -> int:
             tag = "NEW" if a is None else "GONE"
             print(f"{name:34s} {a if a is not None else '-':>8} {b if b is not None else '-':>8}   {tag}")
             continue
-        ratio = (b / a if a else float("inf")) / load_ratio
+        ca, cb = ocal.get(name), ncal.get(name)
+        if cal_comparable and ca and cb:
+            key_load = cb / ca  # how much slower the probe ran beside new
+            norm_tag = "cal"
+        else:
+            key_load = load_ratio
+            norm_tag = ""
+        ratio = (b / a if a else float("inf")) / key_load
         flag = ""
         # the noise floor must use the NORMALIZED delta: with the raw
         # delta, a less-loaded new host masks genuine normalized
         # regressions whose raw times happen to match (review finding)
-        if ratio > thr and (b / load_ratio) - a > 0.2:
+        if ratio > thr and (b / key_load) - a > 0.2:
             flag = f"  REGRESSED >{thr}x"
-            if mid_ratio:
+            if norm_tag:
+                flag += f" (cal-normalized; probe {ca:.3f}->{cb:.3f}s)"
+            elif mid_ratio:
                 flag += f" (mid-normalized {(b / a) / mid_ratio:.2f}x)"
             # per-key run spread (r09): a flagged key whose new-side
             # sec_runs spread exceeds its ratio is host noise, not code

@@ -122,10 +122,18 @@ class ExecutorChaos:
     replaces the loss, so repeated use starves the app.
     """
 
-    def __init__(self, period: float):
+    def __init__(self, period: float, app_id: str | None = None):
         import threading
 
         self._period = period
+        # Scope pgrep to THIS application's executors: executor JVMs are
+        # launched with "--app-id <appId>" on their command line, so an
+        # unrelated Spark app running on the same host is never touched.
+        self._pattern = (
+            f"CoarseGrainedExecutorBackend.*{app_id}"
+            if app_id
+            else "CoarseGrainedExecutorBackend"
+        )
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self.kills = 0
@@ -144,7 +152,7 @@ class ExecutorChaos:
         while not self._stop.wait(self._period):
             try:
                 pids = subprocess.run(
-                    ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                    ["pgrep", "-f", self._pattern],
                     capture_output=True, text=True, timeout=5,
                 ).stdout.split()
                 if len(pids) < 2:
@@ -192,11 +200,12 @@ class ChaosKiller:
 
         sc = self._spark.sparkContext
         app_id = sc.applicationId
-        port = sc.getConf().get("spark.ui.port", "4040")
-        url = (
-            f"http://localhost:{port}/api/v1/applications/{app_id}"
-            "/stages?status=ACTIVE&details=true"
-        )
+        # sc.uiWebUrl is the address the UI actually BOUND to — on a port
+        # conflict Spark increments spark.ui.port (spark.port.maxRetries),
+        # so deriving the URL from the conf would 404 forever and the
+        # sweep would silently run with zero kills.
+        base = sc.uiWebUrl or "http://localhost:4040"
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=ACTIVE&details=true"
         jsc_sc = sc._jsc.sc()
         while not self._stop.is_set():
             try:
@@ -255,7 +264,7 @@ def main() -> int:
     killer = start_chaos_killer(spark, chaos_prob) if chaos_prob else None
     exec_chaos = None
     if exec_kill:
-        exec_chaos = ExecutorChaos(exec_kill)
+        exec_chaos = ExecutorChaos(exec_kill, app_id=spark.sparkContext.applicationId)
         exec_chaos.start()
     con = duck_connect(sf_dir)
     failed = []
@@ -284,9 +293,17 @@ def main() -> int:
     if killer is not None:
         killer.stop()
         print(f"chaos kills (re-executed partitions): {killer.kills}")
+        if killer.kills == 0:
+            # A zero-kill "chaos" run certifies retry determinism that was
+            # never exercised (e.g. the UI poll URL was wrong) — fail loudly.
+            print("CHAOS SWEEP INVALID: 0 task kills — nothing was exercised")
+            failed.append("__chaos_zero_kills__")
     if exec_chaos is not None:
         exec_chaos.stop()
         print(f"executor chaos kills (SIGKILLed executor JVMs): {exec_chaos.kills}")
+        if exec_chaos.kills == 0:
+            print("EXEC CHAOS SWEEP INVALID: 0 executor kills — nothing was exercised")
+            failed.append("__exec_chaos_zero_kills__")
     print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
     if failed:
         print("FAILED:", failed)

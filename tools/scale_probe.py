@@ -8,15 +8,25 @@ A plan whose time ratio tracks the data ratio is shuffle/scan-bound
 (healthy); a super-linear ratio exposes a pair-explosion or a
 single-partition stage before it becomes a 100 TB incident.
 
-Usage: python tools/scale_probe.py [multiplier] [key ...]
+Usage: python tools/scale_probe.py [multiplier] [key ...] [--attr]
+
+``--attr`` (r10 verdict task 1): per-stage attribution from the UI
+REST API — for each timed run, the stages it submitted are diffed off
+a stage-id watermark and the top stages by executor time are printed
+with shuffle-read/write bytes, input bytes, and task counts.  This is
+what separates "the candidate set grew with the data" (data-inherent:
+shuffle bytes track rows) from "the plan got more expensive per row"
+(fixable: task time grows while bytes don't).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, ".")
 
@@ -123,14 +133,72 @@ def build_scaled(spark, mult: int, out_dir: str) -> None:
             shutil.copy(src, dst)
 
 
-def timed(qs, key, spark, sf_dir, n=2):
-    best = None
+class StageAttribution:
+    """Per-stage metrics via the UI REST API (round-11 task 1).
+
+    ``watermark()`` before a run, ``report(mark)`` after: every stage
+    with id > mark belongs to the run (one driver thread; stage ids are
+    monotone).  Uses ``sc.uiWebUrl`` — the address the UI actually
+    bound, not the conf (ADVICE r10 on the chaos killer's 404 loop).
+    """
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        base = sc.uiWebUrl
+        if not base:
+            raise RuntimeError("--attr needs spark.ui.enabled=true")
+        self._url = f"{base}/api/v1/applications/{sc.applicationId}/stages"
+
+    def _stages(self) -> list[dict]:
+        with urllib.request.urlopen(self._url, timeout=10) as r:
+            return json.load(r)
+
+    def watermark(self) -> int:
+        return max((s["stageId"] for s in self._stages()), default=-1)
+
+    def report(self, mark: int, top: int = 6) -> list[dict]:
+        rows = [
+            {
+                "stage": s["stageId"],
+                "tasks": s.get("numTasks", 0),
+                "exec_s": round(s.get("executorRunTime", 0) / 1000, 1),
+                "in_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "sh_r_rows": s.get("shuffleReadRecords", 0),
+                "name": s.get("name", "")[:60],
+            }
+            for s in self._stages()
+            if s["stageId"] > mark and s.get("status") != "SKIPPED"
+        ]
+        rows.sort(key=lambda r: -r["exec_s"])
+        return rows[:top]
+
+
+def timed(qs, key, spark, sf_dir, n=2, attr=None):
+    best, best_stages = None, None
     for _ in range(n):
+        mark = attr.watermark() if attr else -1
         t0 = time.time()
         qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+        if best is None or dt < best:
+            best = dt
+            if attr:
+                best_stages = attr.report(mark)
+    return (best, best_stages) if attr else best
+
+
+def _print_attr(tag: str, stages: list[dict]) -> None:
+    print(f"  -- {tag}: top stages by executor time")
+    hdr = f"  {'stage':>6} {'tasks':>5} {'exec_s':>8} {'in_mb':>9} {'shR_mb':>9} {'shW_mb':>9} {'shR_rows':>11}  name"
+    print(hdr)
+    for s in stages:
+        print(
+            f"  {s['stage']:>6} {s['tasks']:>5} {s['exec_s']:>8.1f} "
+            f"{s['in_mb']:>9.1f} {s['sh_r_mb']:>9.1f} {s['sh_w_mb']:>9.1f} "
+            f"{s['sh_r_rows']:>11}  {s['name']}"
+        )
 
 
 def main() -> None:
@@ -138,20 +206,39 @@ def main() -> None:
 
     import __spark_entry__ as e
 
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    keys = sys.argv[2:] or DEFAULT_KEYS
-    spark = get_spark("scale-probe")
+    args = [a for a in sys.argv[1:] if a != "--attr"]
+    want_attr = "--attr" in sys.argv[1:]
+    mult = int(args[0]) if args else 8
+    keys = args[1:] or DEFAULT_KEYS
+    extra = None
+    if want_attr:
+        extra = {
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "5000",
+        }
+    spark = get_spark("scale-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    attr = StageAttribution(spark) if want_attr else None
     out_dir = f"/tmp/scale_probe_x{mult}"
-    print(f"building {mult}x corpus at {out_dir} ...", flush=True)
-    build_scaled(spark, mult, out_dir)
+    if os.environ.get("ADP_SCALE_REUSE") and os.path.exists(out_dir):
+        print(f"reusing {mult}x corpus at {out_dir}", flush=True)
+    else:
+        print(f"building {mult}x corpus at {out_dir} ...", flush=True)
+        build_scaled(spark, mult, out_dir)
     qs = e.queries()
     qs["product_cell_count"](spark, BASE).write.format("noop").mode("overwrite").save()
     print(f"{'key':32} {'1x':>7} {f'{mult}x':>8} {'ratio':>6}  (data x{mult})")
     for k in keys:
-        t1 = timed(qs, k, spark, BASE)
-        tn = timed(qs, k, spark, out_dir)
-        print(f"{k:32} {t1:7.2f} {tn:8.2f} {tn / t1:6.2f}", flush=True)
+        if attr:
+            t1, s1 = timed(qs, k, spark, BASE, attr=attr)
+            tn, sn = timed(qs, k, spark, out_dir, attr=attr)
+            print(f"{k:32} {t1:7.2f} {tn:8.2f} {tn / t1:6.2f}", flush=True)
+            _print_attr("1x", s1)
+            _print_attr(f"{mult}x", sn)
+        else:
+            t1 = timed(qs, k, spark, BASE)
+            tn = timed(qs, k, spark, out_dir)
+            print(f"{k:32} {t1:7.2f} {tn:8.2f} {tn / t1:6.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -168,7 +168,11 @@ VARIANCE_INDEX_MID_KEYS = [
 # classes load perturbs: task scheduling (32 partitions), codegen
 # arithmetic, and one small shuffle.  No input tables: immune to page-
 # cache state, identical work at every sf.
-_CAL_ROWS = 4_000_000
+# 1.5M rows: the probe's cost is ~85% task-scheduling floor (32 tasks ×
+# 2 stages + noop commit ≈ 0.55s quiet regardless of rows — measured
+# 1M/1.5M/4M all ≈ 0.57-0.6s warm), which is exactly the load signal;
+# the small compute term keeps it sensitive to CPU contention too.
+_CAL_ROWS = 1_500_000
 
 
 def _calibration_probe(spark) -> None:

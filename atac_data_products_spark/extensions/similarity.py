@@ -153,13 +153,26 @@ def cosine_pairs(
             "must not run a Spark action to discover vector dimensionality"
         )
     if not bucketed:
+        # adp.allpairs.max_rows: explicit session-level opt-in to a
+        # larger exact baseline (the scale value sweeps verify the
+        # brute-force key above the default cap with it — round 11).
+        # Same philosophy as adp.checkpoint.root/adp.spill.root: the
+        # quadratic path never silently widens, an operator RAISES the
+        # cap on purpose, per session.
+        try:
+            conf_cap = embeddings.sparkSession.conf.get("adp.allpairs.max_rows")
+        except Exception:
+            conf_cap = None
+        if conf_cap:
+            max_rows = max(max_rows, int(conf_cap))
         probe = embeddings.limit(max_rows + 1).count()
         if probe > max_rows:
             raise ValueError(
                 f"cosine_pairs(bucketed=False) is the O(n^2) brute-force "
                 f"baseline and is capped at max_rows={max_rows} input rows "
                 f"(got >{max_rows}); use bucketed=True (hyperplane LSH) for "
-                "large corpora, or raise max_rows explicitly"
+                "large corpora, or raise max_rows explicitly (the "
+                "adp.allpairs.max_rows session conf raises it for sweeps)"
             )
     # Pre-normalize per vector (cost n, not n²): the pair computation is
     # then a single fold — dot(vn_a, vn_b) — instead of three.  The

@@ -91,6 +91,16 @@ def test_cosine_pairs_brute_force_guard_trips(spark):
         cosine_pairs(emb, 0.5, max_rows=10)
     # explicit raise of the cap unblocks the same input
     assert cosine_pairs(emb, 0.5, max_rows=11).count() > 0
+    # the session conf raises it too (the scale value sweeps' seam) —
+    # and only RAISES: a conf below the explicit arg never tightens it
+    spark.conf.set("adp.allpairs.max_rows", "11")
+    try:
+        assert cosine_pairs(emb, 0.5, max_rows=10).count() > 0
+        spark.conf.set("adp.allpairs.max_rows", "2")
+        with pytest.raises(ValueError, match="brute-force"):
+            cosine_pairs(emb, 0.5, max_rows=10)
+    finally:
+        spark.conf.unset("adp.allpairs.max_rows")
 
 
 def test_cosine_pairs_bucketed_builds_without_spark_action(spark):

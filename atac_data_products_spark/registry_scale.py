@@ -443,6 +443,11 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = F.col("__n") - F.expr(
         f"CAST((__n * {num} + {den} - 1) DIV {den} AS BIGINT)"
     ) + 1
+    # __rk (the doc's global df-order rank) and __n (its set size) ride
+    # ALONG into the prefix self-join — they are already in flight here,
+    # so the two filters below evaluate inside the join at +16 bytes per
+    # prefix row, replacing the two post-distinct size-joins the plan
+    # used through round 10 (two whole shuffle joins removed).
     ranked = (
         sh.join(df_tab, "g")
         .join(sizes, "doc_id")
@@ -453,30 +458,58 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("__rk") <= prefix_len)
-        .select("doc_id", "g")
+        .select("doc_id", "g", "__rk", "__n")
     )
-    a = ranked.select(F.col("doc_id").alias("doc_a"), "g")
-    b = ranked.select(F.col("doc_id").alias("doc_b"), "g")
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        "g",
+        F.col("__rk").alias("__pa"),
+        F.col("__n").alias("__na"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "g",
+        F.col("__rk").alias("__pb"),
+        F.col("__n").alias("__nb"),
+    )
+    # Two lossless pre-distinct prunes (both public results):
+    #
+    # LENGTH FILTER (Arasu/Chaudhuri size bound): J(x,y) ≥ t requires
+    # t·|x| ≤ |y| ≤ |x|/t — integer comparison, no recall loss.
+    #
+    # POSITIONAL FILTER (PPJoin, Xiao et al. 2008): a shared prefix
+    # element at global ranks (pa, pb) bounds the overlap by
+    # ubound = 1 + min(na − pa, nb − pb), and J ≥ t needs
+    # overlap ≥ ceil((na+nb)·t/(1+t)); an occurrence violating
+    # ubound·(num+den) ≥ (na+nb)·num cannot witness a qualifying pair.
+    # Keep-if-ANY-occurrence-passes semantics (the distinct below) is
+    # lossless: for a true pair the FIRST shared element in the global
+    # order has no shared elements before it, so its ubound ≥ the real
+    # overlap ≥ the requirement — that occurrence always survives.
+    # This is the filter that kills the "marginal shared shingle" class
+    # of candidate — pairs meeting only deep in both prefixes — which
+    # the 64× stage attribution showed feeding the dominant verify
+    # stage (307.7M-row probe stream, docs/SCALE_SWEEP.md round 11).
     cand = (
         a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # LENGTH FILTER (lossless, Arasu/Chaudhuri size bound): J(x,y) ≥ t
-    # requires t·|x| ≤ |y| ≤ |x|/t, so candidate pairs whose set sizes
-    # already violate the ratio are pruned BEFORE the two intersection
-    # joins — pure integer comparison, no recall loss
-    la = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
-    lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
-    cand = (
-        cand.join(la, "doc_a")
-        .join(lb, "doc_b")
         .where(
-            (F.col("__nb") * den >= F.col("__na") * num)
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("__nb") * den >= F.col("__na") * num)
             & (F.col("__na") * den >= F.col("__nb") * num)
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("__na") - F.col("__pa"),
+                        F.col("__nb") - F.col("__pb"),
+                    )
+                )
+                * (num + den)
+                >= (F.col("__na") + F.col("__nb")) * num
+            )
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     # pair-driven exact-Jaccard verify over digest shingles (the
     # jaccard_pairs plan inlined on the digest key)

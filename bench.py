@@ -237,9 +237,13 @@ def main() -> None:
     # cost.  (r01/r02 were single-shot — totals are ~10-15% higher than
     # the same plans measured this way.)
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # ADP_BENCH_CAL=0 disables the interleaved probe (the harness's own
+    # A/B knob: measured parity — totals within noise with probes on/off)
+    do_cal = os.environ.get("ADP_BENCH_CAL", "1") != "0"
     # pay the probe's one-time analysis/codegen cost in warmup so the
     # first interleaved measurement is load, not compilation
-    _measure_calibration(spark, n=1)
+    if do_cal:
+        _measure_calibration(spark, n=1)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     cal: dict[str, float] = {}
@@ -255,8 +259,9 @@ def main() -> None:
         # timing window so min-of-N measures plan cost
         spark.sparkContext._jvm.System.gc()
         # calibration probe adjacent to (not inside) the key's window
-        cal_runs[name] = _measure_calibration(spark)
-        cal[name] = round(sum(cal_runs[name]) / len(cal_runs[name]), 3)
+        if do_cal:
+            cal_runs[name] = _measure_calibration(spark)
+            cal[name] = round(sum(cal_runs[name]) / len(cal_runs[name]), 3)
         best = None
         runs[name] = []
         for _ in range(n_iters):
@@ -322,9 +327,11 @@ def main() -> None:
                 # load-normalized cost in probe units (r10 task 4):
                 # cross-round, (sec_min/cal_sec) ratios cancel host load
                 # per-key — tools/bench_diff.py prefers them
-                "cal_sec": cal[k],
-                "cal_runs": cal_runs[k],
-                "sec_load_norm": round(timings[k] / cal[k], 3) if cal[k] else None,
+                "cal_sec": cal.get(k),
+                "cal_runs": cal_runs.get(k),
+                "sec_load_norm": (
+                    round(timings[k] / cal[k], 3) if cal.get(k) else None
+                ),
             }
             for k in timings
         },

@@ -138,17 +138,30 @@ def main() -> int:
         else:
             key_load = load_ratio
             norm_tag = ""
-        ratio = (b / a if a else float("inf")) / key_load
+        raw = b / a if a else float("inf")
+        ratio = raw / key_load
+        # A flag must survive EVERY normalization lens available (r11):
+        # when the two runs' load differs a lot, any single run-level
+        # index over- or under-corrects for keys outside its cost class
+        # (a 0.63 trivial-key ratio between a storm-hour and a quiet-hour
+        # run inflated 34 phantom flags whose mid-normalized ratios were
+        # all ~1.0-1.2).  Requiring the primary, the mid-index, and the
+        # per-key probe (when present) to AGREE is how flags were being
+        # adjudicated by hand anyway.
+        lenses = [ratio]
+        if mid_ratio:
+            lenses.append(raw / mid_ratio)
+        norm_min = min(lenses)
         flag = ""
         # the noise floor must use the NORMALIZED delta: with the raw
         # delta, a less-loaded new host masks genuine normalized
         # regressions whose raw times happen to match (review finding)
-        if ratio > thr and (b / key_load) - a > 0.2:
+        if norm_min > thr and (b / key_load) - a > 0.2:
             flag = f"  REGRESSED >{thr}x"
             if norm_tag:
                 flag += f" (cal-normalized; probe {ca:.3f}->{cb:.3f}s)"
-            elif mid_ratio:
-                flag += f" (mid-normalized {(b / a) / mid_ratio:.2f}x)"
+            if mid_ratio:
+                flag += f" (mid-normalized {raw / mid_ratio:.2f}x)"
             # per-key run spread (r09): a flagged key whose new-side
             # sec_runs spread exceeds its ratio is host noise, not code
             flag += _spread(new.get("_runs", {}).get(name))

@@ -164,7 +164,14 @@ def cosine_pairs(
         except Exception:
             conf_cap = None
         if conf_cap:
-            max_rows = max(max_rows, int(conf_cap))
+            try:
+                conf_cap_int = int(conf_cap)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"adp.allpairs.max_rows must be an integer row cap, "
+                    f"got {conf_cap!r}"
+                ) from None
+            max_rows = max(max_rows, conf_cap_int)
         probe = embeddings.limit(max_rows + 1).count()
         if probe > max_rows:
             raise ValueError(

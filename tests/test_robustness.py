@@ -99,6 +99,11 @@ def test_cosine_pairs_brute_force_guard_trips(spark):
         spark.conf.set("adp.allpairs.max_rows", "2")
         with pytest.raises(ValueError, match="brute-force"):
             cosine_pairs(emb, 0.5, max_rows=10)
+        # a malformed conf value names the conf key and the bad value
+        # instead of a bare int() ValueError (advisor find, r12)
+        spark.conf.set("adp.allpairs.max_rows", "10k")
+        with pytest.raises(ValueError, match="adp.allpairs.max_rows.*'10k'"):
+            cosine_pairs(emb, 0.5, max_rows=10)
     finally:
         spark.conf.unset("adp.allpairs.max_rows")
 

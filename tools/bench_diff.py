@@ -150,7 +150,16 @@ def main() -> int:
         # adjudicated by hand anyway.
         lenses = [ratio]
         if mid_ratio:
-            lenses.append(raw / mid_ratio)
+            # Leave-one-out (r12, advisor find): a key that is itself a
+            # member of the mid index inflates mid_ratio with its own
+            # regression and self-masks its mid-normalized lens — a
+            # genuine regression in a mid-index key could never flag.
+            # The index is sum(queries[k] for k in mid_keys), so the
+            # key's own contribution can be subtracted from both sides.
+            key_mid_ratio = mid_ratio
+            if omk and name in omk and (omi - a) > 0 and (nmi - b) > 0:
+                key_mid_ratio = (nmi - b) / (omi - a)
+            lenses.append(raw / key_mid_ratio)
         norm_min = min(lenses)
         flag = ""
         # the noise floor must use the NORMALIZED delta: with the raw
@@ -161,7 +170,10 @@ def main() -> int:
             if norm_tag:
                 flag += f" (cal-normalized; probe {ca:.3f}->{cb:.3f}s)"
             if mid_ratio:
-                flag += f" (mid-normalized {raw / mid_ratio:.2f}x)"
+                flag += f" (mid-normalized {raw / key_mid_ratio:.2f}x"
+                if key_mid_ratio != mid_ratio:
+                    flag += ", leave-one-out"
+                flag += ")"
             # per-key run spread (r09): a flagged key whose new-side
             # sec_runs spread exceeds its ratio is host noise, not code
             flag += _spread(new.get("_runs", {}).get(name))

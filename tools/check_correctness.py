@@ -290,6 +290,11 @@ def main() -> int:
         if verdict != "OK":
             print("\n".join(verdict.splitlines()[1:]))
             failed.append(key)
+    # Sweep-validity sentinels are tracked apart from per-key failures
+    # (advisor find, r12): appending them to `failed` made the 'N/M
+    # passed' summary undercount per-key passes (344/345 printed when
+    # every key passed but zero chaos kills fired).
+    invalid_sweeps = []
     if killer is not None:
         killer.stop()
         print(f"chaos kills (re-executed partitions): {killer.kills}")
@@ -297,17 +302,19 @@ def main() -> int:
             # A zero-kill "chaos" run certifies retry determinism that was
             # never exercised (e.g. the UI poll URL was wrong) — fail loudly.
             print("CHAOS SWEEP INVALID: 0 task kills — nothing was exercised")
-            failed.append("__chaos_zero_kills__")
+            invalid_sweeps.append("__chaos_zero_kills__")
     if exec_chaos is not None:
         exec_chaos.stop()
         print(f"executor chaos kills (SIGKILLed executor JVMs): {exec_chaos.kills}")
         if exec_chaos.kills == 0:
             print("EXEC CHAOS SWEEP INVALID: 0 executor kills — nothing was exercised")
-            failed.append("__exec_chaos_zero_kills__")
+            invalid_sweeps.append("__exec_chaos_zero_kills__")
     print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
     if failed:
         print("FAILED:", failed)
-    return 1 if failed else 0
+    if invalid_sweeps:
+        print("INVALID SWEEPS (exit 1, not per-key failures):", invalid_sweeps)
+    return 1 if failed or invalid_sweeps else 0
 
 
 if __name__ == "__main__":

@@ -246,6 +246,18 @@ def _success_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+# Per-path locks serializing concurrent spill_once writers (round 12):
+# two queries sharing a spill tag (dedup_minhash_lsh /
+# corpus_dedup_survivors share the digest multiset) can run in separate
+# driver threads of ONE session — the concurrent gate's default shape —
+# and the unguarded check-then-write raced two mode("overwrite") jobs
+# onto one path (first full concurrent-gate run after the spill landed
+# flagged dedup_minhash_lsh).  Cross-PROCESS racing is impossible by
+# construction: the path embeds the applicationId.
+_SPILL_LOCKS: dict[str, object] = {}
+_SPILL_LOCKS_GUARD = __import__("threading").Lock()
+
+
 def spill_once(df, spark: SparkSession, path: str):
     """Write ``df`` to ``path`` unless THIS session already has (checked
     via the _SUCCESS commit marker) and return the parquet-backed scan.
@@ -256,9 +268,16 @@ def spill_once(df, spark: SparkSession, path: str):
     (session, tag, sf_dir) and rewriting them on every invocation of
     the same query (bench min-of-N, repeated notebook calls) is pure
     waste.  A failed/partial write leaves no _SUCCESS, so it is
-    rewritten on the next call."""
-    if not _success_exists(spark, path):
-        df.write.mode("overwrite").parquet(path)
+    rewritten on the next call.  Thread-safe: concurrent callers on one
+    path serialize on a per-path lock; the loser of the race sees the
+    winner's _SUCCESS and goes straight to the scan."""
+    import threading
+
+    with _SPILL_LOCKS_GUARD:
+        lock = _SPILL_LOCKS.setdefault(path, threading.Lock())
+    with lock:  # type: ignore[union-attr]
+        if not _success_exists(spark, path):
+            df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

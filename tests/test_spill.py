@@ -259,3 +259,47 @@ def test_heartbeat_daemon_thread_started(spark, tmp_path, monkeypatch):
         assert n_after == n_before
     finally:
         spark.conf.unset("adp.spill.root")
+
+
+def test_spill_once_concurrent_callers_write_once(spark, tmp_path):
+    """Round-12 concurrent-gate find: two registry keys share a spill
+    tag (dedup_minhash_lsh / corpus_dedup_survivors both spill the LSH
+    digest multiset), so under the concurrent gate two driver threads
+    hit spill_once on ONE path — the unguarded check-then-write raced
+    two mode("overwrite") jobs onto it.  The per-path lock must
+    serialize: every caller sees the full dataset, the source is
+    materialized exactly once."""
+    import threading
+
+    from atac_data_products_spark.spill import spill_once
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count_rows(it):
+        for x in it:
+            acc.add(1)
+            yield (x,)
+
+    df = (
+        spark.sparkContext.parallelize(range(100), 4)
+        .mapPartitions(_count_rows)
+        .toDF("v bigint")
+    )
+    path = str(tmp_path / "shared_spill")
+    counts, errors = [], []
+
+    def _worker():
+        try:
+            counts.append(spill_once(df, spark, path).count())
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=_worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert counts == [100, 100, 100, 100]
+    # exactly one materialization of the source across all 4 callers
+    assert acc.value == 100

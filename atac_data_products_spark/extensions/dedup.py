@@ -71,7 +71,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: k min-aggregates over one permuted base
     hash — a single map-side-combinable aggregation, no UDFs.
@@ -79,12 +82,23 @@ def minhash_signatures(
     The k permutation expressions are built as SQL strings (one py4j
     call each, parsed JVM-side) rather than nested Column operations —
     the Column form spent ~1s of driver time on py4j round trips just
-    constructing this plan (measured sf0.1; semantics identical)."""
-    base = shingles.selectExpr(
-        id_col,
-        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-        f" % {_MASK40 + 1} AS h",
-    )
+    constructing this plan (measured sf0.1; semantics identical).
+
+    ``digest_col``: the 60-bit hash59 digest of the shingle, when the
+    caller already computed it (the digest-spill path).  The base hash
+    here is exactly ``hash59(shingle) % 2^40`` — same md5 substring,
+    same conv — so deriving h from the digest is value-identical to
+    deriving it from the shingle string."""
+    if digest_col is not None:
+        base = shingles.selectExpr(
+            id_col, f"{digest_col} % {_MASK40 + 1} AS h"
+        )
+    else:
+        base = shingles.selectExpr(
+            id_col,
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_MASK40 + 1} AS h",
+        )
     aggs = [
         F.expr(f"min((h * {a} + {b}) % {_P}) AS mh_{i}")
         for i, (a, b) in enumerate(_perm_params(k))
@@ -301,6 +315,7 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
+    digest_spill_path: str | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs at scale.
 
@@ -317,8 +332,29 @@ def minhash_lsh_dedup_pairs(
     duplicate-insensitive, so MinHash over the shingle *multiset* is
     identical.
     """
-    sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
-    sig = minhash_signatures(sh_multiset, id_col)
+    if digest_spill_path is not None:
+        # Digest spill (round-12 re-A/B of the round-5 decision at 64×):
+        # one parquet write of (id, hash59-digest) 16-byte rows, then
+        # the three consumers scan the columnar spill instead of each
+        # re-tokenizing + re-hashing the corpus.  The round-5 sf0.1 A/B
+        # spilled the shingle STRINGS — the digest rows are ~10× fewer
+        # bytes, and at 64× the tokenize+md5 recompute is three full
+        # corpus passes.  MinHash h = hash59 % 2^40 (same md5 substring)
+        # and the verify counts digest matches — the engine-wide hash59
+        # acceptance (collision odds 2^-60 per co-occurring pair).
+        from ..spill import spill_once as _spill_once
+
+        sh_multiset = _spill_once(
+            shingle_table(docs, text_col, id_col, distinct=False).select(
+                id_col, hash59(F.col("shingle")).alias("shingle")
+            ),
+            docs.sparkSession,
+            digest_spill_path,
+        )
+        sig = minhash_signatures(sh_multiset, id_col, digest_col="shingle")
+    else:
+        sh_multiset = shingle_table(docs, text_col, id_col, distinct=False)
+        sig = minhash_signatures(sh_multiset, id_col)
     # keep the candidate distinct: near-dup pairs collide in MANY bands,
     # so one dedup shuffle of the multiset bounds both downstream
     # semi-join shuffles by the unique-pair set (measured sf0.1: parity;

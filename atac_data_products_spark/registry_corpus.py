@@ -874,13 +874,19 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .registry_ext import JACCARD_THRESHOLD
 
-    # no spill: round-5 A/B measured recompute faster for the LSH
-    # shingle subtree (4.79s vs 5.63s at sf0.1) — see dedup_minhash_lsh
+    # Digest spill (round-12 64× re-A/B of the round-5 string-spill
+    # decision — see dedup_minhash_lsh and docs/SCALE_SWEEP.md r12)
+    from .spill import spill_root as _spill_root
+
     docs = _t(spark, sf_dir, "documents")
     edges = minhash_lsh_dedup_pairs(
         docs,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
+        # tag shared with dedup_minhash_lsh: same digest multiset
+        digest_spill_path=_spill_root(
+            spark, "lsh_digest_shingles", sf_dir
+        ),
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # (doc_id, cluster_id), members only
     sized = dup.groupBy("cluster_id").agg(F.count("*").alias("n_members"))

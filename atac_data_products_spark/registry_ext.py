@@ -381,15 +381,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding AND the cap from the same constants, so even this
     approximate path is value-checked; its exact brute-force twin is
     dedup_ngram_jaccard, its uncapped form dedup_minhash_lsh_exact."""
-    # round-5 A/B (sf0.1, fresh sessions, min-of-3): the parquet spill
-    # of the shingle multiset LOST here (4.83s spill-on vs 3.47s off) —
-    # the three LSH consumers recompute the narrow shingle subtree
-    # cheaper than one write + three re-scans.  Spill stays opt-in for
-    # dedup_prefix_filter_join where four heavier branches made it win.
+    # Spill history: the round-5 A/B spilled the shingle STRING multiset
+    # and lost at sf0.1 (4.83s vs 3.47s).  Round 12 re-ran the A/B at
+    # 64× per the r11 verdict with a DIGEST spill instead — 16-byte
+    # (id, hash59) rows, ~10× fewer bytes, feeding all three consumers
+    # (h = digest % 2^40; verify counts digest matches — the engine-wide
+    # hash59 acceptance).  Result: docs/SCALE_SWEEP.md round 12.
+    from .spill import spill_root as _spill_root
+
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
+        # tag shared with corpus_dedup_survivors: both spill the SAME
+        # digest multiset, so one write serves both keys per session
+        digest_spill_path=_spill_root(spark, "lsh_digest_shingles", sf_dir),
     )
 
 

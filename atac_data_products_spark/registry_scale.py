@@ -440,14 +440,16 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    # PROBE prefix (Chaudhuri et al. 2006): any pair with overlap O
+    # intersects within the first n − O + 1 elements of each side; for
+    # a qualifying pair O ≥ ceil(t·n), so n − ceil(t·n) + 1 suffices.
     prefix_len = F.col("__n") - F.expr(
         f"CAST((__n * {num} + {den} - 1) DIV {den} AS BIGINT)"
     ) + 1
     # __rk (the doc's global df-order rank) and __n (its set size) ride
     # ALONG into the prefix self-join — they are already in flight here,
-    # so the two filters below evaluate inside the join at +16 bytes per
-    # prefix row, replacing the two post-distinct size-joins the plan
-    # used through round 10 (two whole shuffle joins removed).
+    # so every filter below evaluates inside the join at +16 bytes per
+    # prefix row (no post-hoc size-join shuffles).
     ranked = (
         sh.join(df_tab, "g")
         .join(sizes, "doc_id")
@@ -490,6 +492,36 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of candidate — pairs meeting only deep in both prefixes — which
     # the 64× stage attribution showed feeding the dominant verify
     # stage (307.7M-row probe stream, docs/SCALE_SWEEP.md round 11).
+    #
+    # The REST of the PPJoin family was EVALUATED AND REJECTED at the
+    # 64× ladder (round 12, docs/SCALE_SWEEP.md — every variant kept
+    # the oracle green; none beat this plan):
+    # - INDEX PREFIX + ORIENTATION (the smaller side needs only a
+    #   ~n/3-element prefix at t = 1/2): candidates IDENTICAL (at
+    #   t = 1/2 this positional filter already restricts matches to
+    #   rank ≲ n/3 + 1, subsuming the index bound) and the orientation
+    #   predicate + least/greatest canonicalization measured +13% wall
+    #   back-to-back (20.98s → 23.81s).
+    # - ACCUMULATED positional filter (Algorithm 1's running overlap,
+    #   c + min(na − pa*, nb − pb*) via groupBy in place of
+    #   filter+distinct): provably ≤ this bound, but soundness forbids
+    #   pre-filtering occurrences (c must count ALL prefix matches), so
+    #   every length-passing join row reaches a 5-buffer aggregation
+    #   where this plan drops ~40% of rows BEFORE a plain distinct —
+    #   measured 25.2s vs 17.4s, with ZERO extra candidate pruning.
+    # - SUFFIX filter (PPJoin+): would prune 44.5% of surviving
+    #   candidates at the paper's depth 2 (98.4% at depth 4), measured
+    #   exactly offline by tools/suffix_probe.py — but it needs
+    #   pair-specific access to ordered suffix arrays.
+    # - FIXED-BOUNDARY HISTOGRAM filter (the pair-independent-payload
+    #   stand-in: overlap ≤ Σ_k min(h_x[k], h_y[k]) over top-digest-bit
+    #   buckets): prunes 99.6% of candidates at K=256, but measured
+    #   347s vs 17s at 64× — the candidate set is dominated by SHORT
+    #   docs (verify probe stream ≈ 5.8 rows/pair), so the exact verify
+    #   costs ~6 16-byte rows per pair and ANY pair-level filter
+    #   payload ≥ that loses by construction.  Pruning 99.6% of
+    #   candidates is worthless when deciding each candidate is cheaper
+    #   than the prune.
     cand = (
         a.join(b, "g")
         .where(

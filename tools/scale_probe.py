@@ -218,6 +218,13 @@ def main() -> None:
         }
     spark = get_spark("scale-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    # same sweep seam as check_correctness: ADP_SWEEP_CONF="k=v,k=v"
+    # (runtime confs only — used e.g. to A/B adp.spill.enabled)
+    for pair in os.environ.get("ADP_SWEEP_CONF", "").split(","):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            spark.conf.set(k.strip(), v.strip())
+            print(f"sweep conf: {k.strip()}={v.strip()}", flush=True)
     attr = StageAttribution(spark) if want_attr else None
     out_dir = f"/tmp/scale_probe_x{mult}"
     if os.environ.get("ADP_SCALE_REUSE") and os.path.exists(out_dir):

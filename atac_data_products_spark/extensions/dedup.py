@@ -309,6 +309,34 @@ def jaccard_pairs(
     )
 
 
+def spilled_digest_shingles(
+    docs: DataFrame, text_col: str, id_col: str, path: str
+) -> DataFrame:
+    """The LSH digest-spill (round-12 re-A/B of the round-5 decision at
+    64×, −15%/−10% wall on the two heaviest LSH keys): one parquet
+    write of (id, hash59-digest) 16-byte rows, then every consumer
+    scans the columnar spill instead of re-tokenizing + re-hashing the
+    corpus.  The round-5 sf0.1 A/B spilled the shingle STRINGS — the
+    digest rows are ~10× fewer bytes, and at 64× the tokenize+md5
+    recompute is three full corpus passes per key.  MinHash h =
+    hash59 % 2^40 (same md5 substring, pass digest_col="shingle" to
+    minhash_signatures) and the verify counts digest matches — the
+    engine-wide hash59 acceptance (collision odds 2^-60 per
+    co-occurring pair).  The digest column keeps the name "shingle" so
+    every downstream consumer (jaccard_pairs, containment_pairs) works
+    unchanged.  Callers share one spill per (session, corpus) via a
+    shared tag (spill.spill_root)."""
+    from ..spill import spill_once as _spill_once
+
+    return _spill_once(
+        shingle_table(docs, text_col, id_col, distinct=False).select(
+            id_col, hash59(F.col("shingle")).alias("shingle")
+        ),
+        docs.sparkSession,
+        path,
+    )
+
+
 def minhash_lsh_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -333,23 +361,8 @@ def minhash_lsh_dedup_pairs(
     identical.
     """
     if digest_spill_path is not None:
-        # Digest spill (round-12 re-A/B of the round-5 decision at 64×):
-        # one parquet write of (id, hash59-digest) 16-byte rows, then
-        # the three consumers scan the columnar spill instead of each
-        # re-tokenizing + re-hashing the corpus.  The round-5 sf0.1 A/B
-        # spilled the shingle STRINGS — the digest rows are ~10× fewer
-        # bytes, and at 64× the tokenize+md5 recompute is three full
-        # corpus passes.  MinHash h = hash59 % 2^40 (same md5 substring)
-        # and the verify counts digest matches — the engine-wide hash59
-        # acceptance (collision odds 2^-60 per co-occurring pair).
-        from ..spill import spill_once as _spill_once
-
-        sh_multiset = _spill_once(
-            shingle_table(docs, text_col, id_col, distinct=False).select(
-                id_col, hash59(F.col("shingle")).alias("shingle")
-            ),
-            docs.sparkSession,
-            digest_spill_path,
+        sh_multiset = spilled_digest_shingles(
+            docs, text_col, id_col, digest_spill_path
         )
         sig = minhash_signatures(sh_multiset, id_col, digest_col="shingle")
     else:

@@ -1933,42 +1933,60 @@ def _quant_sql(src: str = "v") -> str:
 def vector_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix (upper triangle) over int8-quantized
     embeddings — the X^T X building block behind PCA, linear probes,
-    and whitening, computed as explode -> per-vector feature self-join
-    -> combinable sum.  Quantized integer products make the distributed
-    sum exact under any fold order (the ml_score_batch convention); at
-    100 TB the (vec_id) self-join is co-partitioned and the (i, j)
-    aggregate is k²-sized output however large the corpus."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda y: y.cast("double")).alias("v")
+    and whitening, computed as PER-BATCH SUFFICIENT STATISTICS at the
+    Arrow seam: each Arrow batch contributes its local k×k integer
+    Q^T Q, and the only shuffle is (batches × k²/2) partial rows into
+    a combinable sum — the classical distributed-gram shape.
+
+    This replaced an explode → per-vector feature self-join → sum plan
+    in round 12: the 128× stage attribution (docs/SCALE_SWEEP.md)
+    showed Catalyst compiling that self-join as a BroadcastHashJoin
+    whose BUILD side was the exploded corpus — n_vectors × k rows
+    collected to the driver (explode output defeats the parquet size
+    estimate), a guaranteed OOM at real scale and ~200 exec-s per
+    build at 128×.  No join exists now, so no strategy can get it
+    wrong, and the per-row 2080-product fan-out runs as one numpy
+    matmul per batch instead of 2080 shuffled rows per vector.
+
+    Exactness ladder: quantization is the ml_score_batch
+    half-away-from-zero convention (sign(y)·floor(|y|+0.5), y =
+    x/amax·127 — two IEEE double ops in the same order the SQL twin
+    executes); the per-batch matmul runs in float64 whose integer
+    values are exact (each partial entry ≤ batch_rows · 127² < 2^53),
+    cast to int64, and the cross-batch reduction is an integer sum —
+    deterministic under any fold order or partitioning."""
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        import numpy as np
+
+        iu = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            amax = np.abs(v).max(axis=1)
+            safe = np.where(amax == 0, 1.0, amax)
+            y = v / safe[:, None] * 127.0
+            q = np.sign(y) * np.floor(np.abs(y) + 0.5)
+            q[amax == 0] = 0.0
+            g = q.T @ q
+            if iu is None:
+                iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int32),
+                    "j": (iu[1] + 1).astype(np.int32),
+                    "partial": g[iu].astype(np.int64),
+                }
+            )
+
+    parts = emb.mapInPandas(gram, "i int, j int, partial bigint")
+    return parts.groupBy("i", "j").agg(
+        F.sum("partial").cast("bigint").alias("g")
     )
-    amax = F.aggregate(
-        F.transform("v", F.abs), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
-    )
-    y = lambda x: x / F.col("amax") * 127  # noqa: E731
-    qv = F.when(
-        F.col("amax") == 0,
-        F.transform("v", lambda x: F.lit(0).cast("bigint")),
-    ).otherwise(
-        F.transform(
-            "v",
-            lambda x: F.when(x >= 0, F.floor(y(x) + 0.5))
-            .otherwise(-F.floor(-y(x) + 0.5))
-            .cast("bigint"),
-        )
-    )
-    q = emb.withColumn("amax", amax).select("vec_id", qv.alias("qv"))
-    e = q.select("vec_id", F.posexplode("qv").alias("i0", "q"))
-    e = e.select("vec_id", (F.col("i0") + 1).alias("i"), "q")
-    a = e.select(
-        F.col("vec_id").alias("__vid"), F.col("i").alias("i"), F.col("q").alias("__qa")
-    )
-    b = e.select(
-        F.col("vec_id").alias("__vid2"), F.col("i").alias("j"), F.col("q").alias("__qb")
-    )
-    p = a.join(
-        b, (F.col("__vid") == F.col("__vid2")) & (F.col("i") <= F.col("j"))
-    ).select("i", "j", (F.col("__qa") * F.col("__qb")).alias("prod"))
-    return p.groupBy("i", "j").agg(F.sum("prod").cast("bigint").alias("g"))
 
 
 def _sim_hist_oracle() -> str:
@@ -2506,11 +2524,21 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     here both sides derive in-plan from the same table so the contract
     is self-contained.  Verification is the same candidate-restricted
     exact-Jaccard as the graded LSH contract."""
-    from .extensions.dedup import lsh_probe_pairs
+    from .extensions.dedup import lsh_probe_pairs, spilled_digest_shingles
+    from .spill import spill_root as _spill_root
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", distinct=False)
-    sig = minhash_signatures(sh, "doc_id")
+    # digest spill, shared tag with the other LSH keys (round-12 128×
+    # attribution: this key's two heaviest stages were the DUPLICATED
+    # tokenize+md5 subtree — 84 + 69 exec-s at 128× — plus a 2.2 GB
+    # string-shingle verify shuffle that 16-byte digests shrink ~4×)
+    path = _spill_root(spark, "lsh_digest_shingles", sf_dir)
+    if path is not None:
+        sh = spilled_digest_shingles(docs, "text", "doc_id", path)
+        sig = minhash_signatures(sh, "doc_id", digest_col="shingle")
+    else:
+        sh = shingle_table(docs, "text", "doc_id", distinct=False)
+        sig = minhash_signatures(sh, "doc_id")
     flagged = sig.withColumn("__is_new", F.col("doc_id") % 10 == 0)
     cand = lsh_probe_pairs(flagged, "__is_new", "doc_id")
     cand_ab = cand.select(

@@ -67,6 +67,7 @@ from . import registry_analytics  # noqa: F401  (registers scd2/welch specs)
 from . import registry_corpus  # noqa: F401  (registers the packer spec)
 from . import registry_ext  # noqa: F401  (registers gram/LSH/NB deps)
 from .registry import _t, query
+from .spill import ckpt_eager as _ckpt_eager
 from .spill import ckpt_lazy as _ckpt_lazy
 
 
@@ -4330,17 +4331,25 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import QUERIES
 
     gut = QUERIES["vector_gram_int8"](spark, sf_dir)
-    # LAZY localCheckpoint instead of persist (ADVICE r03 leak fix
-    # without the eager double-execution _finish_release costs here,
-    # measured +0.9 s): lineage truncates on first action, the blocks
-    # live in the block store (reused across the k² branch references),
-    # and the ContextCleaner frees them when the caller drops the
-    # result — no CacheManager entry to leak.
+    # EAGER checkpoint of the gram — the one corpus-sized relation
+    # (round-12 128× attribution fix): each iteration's norm rides a
+    # broadcast exchange, and Spark submits every broadcast job of the
+    # final plan CONCURRENTLY at action start.  ReuseExchange dedups
+    # the nrm_i exchanges across those jobs, but a LAZY localCheckpoint
+    # is not an exchange — the concurrent jobs raced its first
+    # materialization and each recomputed the full gram lineage
+    # (3 × ~160 exec-s stages at 128×, zero shuffle, measured in
+    # docs/SCALE_SWEEP.md r12; at sf0.1 the race is invisible because
+    # the gram costs 0.8s).  Eager materialization before the loop
+    # builds any broadcast closes the race; the r03 lazy-vs-eager
+    # +0.9s concern priced only the sf0.1 double-execution, not the
+    # 128× triple-execution.  The per-iteration w checkpoints stay
+    # lazy — each is cheap once g is materialized.
     g = gut.unionByName(
         gut.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
-    ).transform(_ckpt_lazy)
+    ).transform(_ckpt_eager)
     v = g.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(PCA_V0_Q).cast("bigint").alias("vq")
     )

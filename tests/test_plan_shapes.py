@@ -190,6 +190,9 @@ ARROW_ALLOWLIST: dict[str, int] = {
     "sessionize_apply_in_pandas": 1,
     "sink_h5mu_file": 1,
     "sink_h5mu_file_gzip": 1,
+    # r12: per-batch sufficient-statistics gram (replaced the exploded
+    # self-join that Catalyst broadcast-built from the whole corpus)
+    "vector_gram_int8": 1,
 }
 
 

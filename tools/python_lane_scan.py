@@ -333,6 +333,12 @@ EXEMPT: dict[tuple[str, str, str, str], str] = {
     # "bit-exact cross-engine by construction").
     ("atac_data_products_spark/registry_ext.py", "ml_score_batch.infer",
      "div-in-udf", "v / safe[:, None]"): "identical-ieee",
+    # r12 gram rewrite: the same int8-quantization normalize as
+    # ml_score_batch (same two IEEE ops in the same order as the
+    # _quant_sql oracle twin), feeding sign·floor(|y|+0.5) — bit-exact
+    # cross-engine by construction.
+    ("atac_data_products_spark/registry_ext.py", "vector_gram_int8.gram",
+     "div-in-udf", "v / safe[:, None]"): "identical-ieee",
 }
 
 

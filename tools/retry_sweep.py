@@ -70,6 +70,14 @@ SWEEP_CONF = {
 def main() -> int:
     args = sys.argv[1:]
     conf = ",".join(f"{k}={v}" for k, v in SWEEP_CONF.items())
+    # merge (not overwrite) a caller-provided ADP_SWEEP_CONF so the
+    # compound-failure shape composes: e.g. adp.checkpoint.root +
+    # spark.cleaner.referenceTracking.cleanCheckpoints ride along for a
+    # reliable-ckpt chaos run (round 12 — caller pairs win on conflict,
+    # they are appended last and session builder applies in order)
+    extra = os.environ.get("ADP_SWEEP_CONF", "").strip(",")
+    if extra:
+        conf = f"{conf},{extra}"
     env = {
         **os.environ,
         "ADP_SWEEP_CONF": conf,

@@ -50,6 +50,7 @@ ARROW_KEYS = [
     "scan_h5ad_codec",             # raw-byte HDF5 decode
     "scan_parquet_rowgroup_stats", # footer parse over file listing
     "sessionize_apply_in_pandas",  # stateful per-user session walk
+    "vector_gram_int8",            # per-batch Q^T Q partials + integer sum
 ]
 
 # Arrow-seam keys deliberately not run here, with the reason.

@@ -2146,15 +2146,36 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        d = q.crossJoin(F.broadcast(cent))
-        rk = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
-                _km_dist_col("eq", "c"), "cluster_id"
+        # Map-side argmin (round-12 rewrite): the k centroids collapse
+        # into ONE row holding a cluster_id-sorted array of structs,
+        # broadcast-cross-joined into the point stream; the nearest
+        # centroid is array_min over (dist, cluster_id) structs — the
+        # struct comparator IS the (dist ASC, cluster_id ASC) order the
+        # previous row_number window used, with the identical
+        # _km_dist_col fold producing bit-identical doubles.  This
+        # removes the per-iteration window shuffle (which carried k
+        # duplicated copies of every quantized vector plus the centroid
+        # arrays) AND keeps `eq` in flight so update() needs no join
+        # back to q — each Lloyd iteration is now exactly one
+        # map-side-combinable groupBy(cluster_id) shuffle, the shape
+        # the docstring promises.
+        carr = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cluster_id", "c"))).alias(
+                "__cents"
             )
         )
-        return d.select("vec_id", "cluster_id", rk.alias("rk")).where(
-            F.col("rk") == 1
-        ).drop("rk")
+        best = F.array_min(
+            F.transform(
+                "__cents",
+                lambda s: F.struct(
+                    _km_dist_col("eq", s["c"]).alias("d"),
+                    s["cluster_id"].alias("cluster_id"),
+                ),
+            )
+        )
+        return q.crossJoin(F.broadcast(carr)).select(
+            "vec_id", "eq", best["cluster_id"].alias("cluster_id")
+        )
 
     def update(asg: DataFrame) -> DataFrame:
         # expression strings: one Py4J parse each instead of 64 Column
@@ -2163,10 +2184,8 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(sum(eq[{i - 1}]) as bigint) as s{i}")
             for i in range(1, _KM_DIM + 1)
         ]
-        m = (
-            asg.join(q, "vec_id")
-            .groupBy("cluster_id")
-            .agg(F.count("*").cast("bigint").alias("n"), *sums)
+        m = asg.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("n"), *sums
         )
         cent = F.expr(
             "array("
@@ -2179,9 +2198,19 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a1 = assign(i0)
     c1 = update(a1)
-    a2 = assign(c1)
+    # the second assignment feeds BOTH c2 and the final stats — without
+    # a materialization boundary the argmin pass (an interpreted
+    # higher-order fold, the dominant per-row cost) would run once per
+    # consumer.  EAGER checkpoint, not lazy: c2's broadcast build is
+    # submitted concurrently with the main job at action start, and two
+    # concurrent first-computations of a lazy localCheckpoint are not
+    # deduplicated (the vector_pca_power_iteration find, r12 128×
+    # attribution).
+    from .spill import ckpt_eager as _ckpt_eager
+
+    a2 = assign(c1).transform(_ckpt_eager)
     c2 = update(a2)
-    f = a2.join(q, "vec_id").join(F.broadcast(c2), "cluster_id")
+    f = a2.join(F.broadcast(c2), "cluster_id")
     dq = F.floor(_km_dist_col("eq", "c") / 1e9).cast("bigint")
     return f.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members"),

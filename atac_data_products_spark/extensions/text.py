@@ -54,7 +54,9 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
 
 
-def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, min_parts: int | None = None, by: str | None = None
+) -> DataFrame:
     """Spread a narrow input before CPU-heavy expansion.
 
     A small dimension-sized input often arrives as one file → one
@@ -63,10 +65,20 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     full parallelism; inputs already wider than the target pass through
     untouched (so a 100 TB corpus with thousands of input splits never
     takes a gratuitous shuffle).
+
+    ``by``: hash-partition on this key column instead of round-robin —
+    skips the local sort every keyless ``repartition(n)`` pays for
+    retry-determinism (spark.sql.execution.sortBeforeRepartition) and
+    is deterministic under retries by construction (round-12
+    interleaved A/B on corpus_cross_source_overlap: hash 1.33s median
+    vs round-robin 1.49s vs unspread 1.50s at sf0.1).  Use a unique id
+    so the hash spreads evenly.
     """
     spark = df.sparkSession
     min_parts = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
+        if by is not None:
+            return df.repartition(min_parts, F.col(by))
         return df.repartition(min_parts)
     return df
 

@@ -370,42 +370,51 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-overlap decontamination step every serious pretraining
     pipeline runs before training.
 
-    Plan shape: one shingle derivation feeds both sides; the benchmark
-    shingle set reaches the train side as a LEFT SEMI join on the
-    shingle key (build side collapses duplicates, so no distinct
-    shuffle on the benchmark side), then two map-side-combinable
-    per-doc counts.  At 100 TB the benchmark side is tiny relative to
-    the corpus and broadcasts; the train side never self-joins."""
+    Plan shape (round-12 fusion): the previous form derived the train
+    shingle set twice — once for the per-doc total and once for the
+    contaminated count — and reconciled the two aggregates with an
+    outer join.  Both counts now come out of ONE aggregation over a
+    single train derivation: a broadcast LEFT join against the distinct
+    benchmark set tags each train shingle, and count(*)/count_if fold
+    in the same map-side-combinable pass (the shape
+    [[corpus_pipeline_e2e]] already used; measured −1 full
+    tokenize+explode+distinct pass, 6 exchanges → 3).  The source
+    filters push to the parquet scan on both branches, and the train
+    distinct now keys (doc_id, shingle) without the constant source
+    column.  At 100 TB the benchmark side is tiny relative to the
+    corpus and broadcasts; the train side never self-joins."""
     from .extensions.text import tokens, word_shingles
 
     d = _t(spark, sf_dir, "documents")
-    toked = d.select("doc_id", "source", tokens("text").alias("__toks"))
-    sh = (
-        toked.select(
-            "doc_id",
-            "source",
+
+    def shingles(df, *keep):
+        toked = df.select(*keep, tokens("text").alias("__toks"))
+        return toked.select(
+            *keep,
             F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
+        ).where(F.col("shingle") != "")
+
+    train = (
+        shingles(d.where(F.col("source") != "src9"), "doc_id")
         .distinct()
     )
-    bench = sh.where(F.col("source") == "src9").select("shingle")
-    train = sh.where(F.col("source") != "src9").select("doc_id", "shingle")
-    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    cont = (
-        train.join(bench, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    bench = (
+        shingles(d.where(F.col("source") == "src9"))
+        .select(F.col("shingle").alias("__b_sh"))
+        .distinct()
     )
-    return tot.join(cont, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    hit = train.join(
+        F.broadcast(bench), train.shingle == F.col("__b_sh"), "left"
+    )
+    covered = F.col("__b_sh").isNotNull()
+    return hit.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count_if(covered).alias("n_contaminated"),
         # exact quantized integer ratio, not round(int/int double) —
         # docs/OPERATIONS.md quantization contract
-        mean_quantized(
-            F.coalesce("n_contaminated", F.lit(0)), "n_shingles"
-        ).alias("contamination"),
+        mean_quantized(F.count_if(covered), F.count("*")).alias(
+            "contamination"
+        ),
     )
 
 
@@ -431,9 +440,13 @@ def corpus_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single map-side-combinable aggregation over the shingle multiset —
     one shuffle on doc_id, no joins, no Python."""
-    from .extensions.text import tokens, word_shingles
+    from .extensions.text import ensure_min_partitions, tokens, word_shingles
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_min_partitions(
+        # round-12: one input file -> one scan partition serializes the
+        # heavy per-row expansion below; conditional spread (no-op at scale)
+        _t(spark, sf_dir, "documents"), by="doc_id"
+    )
     toked = d.select("doc_id", tokens("text").alias("__toks"))
     shm = toked.select(
         "doc_id", F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle")
@@ -496,9 +509,13 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded BEFORE thresholding on both engines (repo parity
     convention) so a float at the boundary cannot flip the verdict
     cross-engine."""
-    from .extensions.text import tokens
+    from .extensions.text import ensure_min_partitions, tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_min_partitions(
+        # round-12: one input file -> one scan partition serializes the
+        # heavy per-row expansion below; conditional spread (no-op at scale)
+        _t(spark, sf_dir, "documents"), by="doc_id"
+    )
     toks = tokens("text")
     n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _QG_STOPWORDS])
@@ -1695,7 +1712,13 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to source-pair cardinality before its exchange.
     At 100 TB: one wide shuffle on digest; everything after it is
     bounded per key."""
-    d = _t(spark, sf_dir, "documents")
+    from .extensions.text import ensure_min_partitions
+
+    # round-12: the sf-scale corpus arrives as one file → one scan
+    # partition, serializing the tokenize+md5 expansion on a single
+    # core; spread first (conditional — a corpus with thousands of
+    # splits passes through untouched)
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"), by="doc_id")
     t = F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
     toks = d.select("source", t.alias("t"))
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — unguarded
@@ -1706,16 +1729,22 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
         F.array().cast("array<int>")
     )
+    # round-12: unhex the digest before the exchange — the md5 hex
+    # string is only ever a grouping key, so the wide shuffle carries
+    # 16 raw bytes instead of 32 hex chars (guide: shuffle fewer bytes
+    # / narrower types; equality semantics identical, never surfaced)
     shingle = F.transform(
         idx,
-        lambda x: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at("t", x),
-                F.element_at("t", x + 1),
-                F.element_at("t", x + 2),
-                F.element_at("t", x + 3),
-                F.element_at("t", x + 4),
+        lambda x: F.unhex(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("t", x),
+                    F.element_at("t", x + 1),
+                    F.element_at("t", x + 2),
+                    F.element_at("t", x + 3),
+                    F.element_at("t", x + 4),
+                )
             )
         ),
     )
@@ -2149,19 +2178,33 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = dup_surv.unionByName(
         gated.select("doc_id").join(dup.select("doc_id"), "doc_id", "left_anti")
     )
-    sh = (
-        d.select("doc_id", "source", tokens("text").alias("__toks"))
-        .select(
-            "doc_id", "source",
+    # round-12: the shingle set was one full-corpus distinct consumed
+    # lazily by both the bench and train branches — Catalyst does not
+    # share the subtree, so the corpus tokenized twice with no source
+    # pruning on the train side.  Deriving each branch from its own
+    # source-filtered scan pushes the src9 predicate into parquet on
+    # both (survivors are gated, hence never src9 — dropping src9
+    # before the train distinct is lossless), and the train distinct
+    # keys (doc_id, shingle) without the constant source column.
+    def _sh_of(df, *keep):
+        toked = df.select(*keep, tokens("text").alias("__toks"))
+        return toked.select(
+            *keep,
             F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
+        ).where(F.col("shingle") != "")
+
+    bench = (
+        _sh_of(d.where(F.col("source") == "src9"))
+        .select(F.col("shingle").alias("b_sh"))
         .distinct()
     )
-    bench = sh.where(F.col("source") == "src9").select("shingle").distinct()
-    train_sh = sh.join(surv, "doc_id").select("doc_id", "shingle")
+    train_sh = (
+        _sh_of(d.where(F.col("source") != "src9"), "doc_id")
+        .distinct()
+        .join(surv, "doc_id")
+    )
     hit = train_sh.join(
-        bench.select(F.col("shingle").alias("b_sh")),
+        F.broadcast(bench),
         train_sh.shingle == F.col("b_sh"),
         "left",
     )

@@ -181,10 +181,20 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no integrity checking at all — its de-facto gate
     is "the output file exists" (steps/concatenate.cwl:29-40).
     """
+    from .extensions.text import ensure_min_partitions
+
+    # round-12: each table arrives as one file → one scan partition, so
+    # the md5-based digest ran single-core per table (the global agg
+    # shuffles only one row per partition — parallelism was the only
+    # cost).  Conditional hash-spread on the table's key column; no-op
+    # for a real 100 TB table with thousands of splits.  Interleaved
+    # A/B at sf0.1: median 1.91s → 1.35s.
+    keycol = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+              "customer": "c_custkey"}
     exprs = _checksum_exprs("spark")
     outs = []
     for t, cols in exprs.items():
-        df = _t(spark, sf_dir, t)
+        df = ensure_min_partitions(_t(spark, sf_dir, t), by=keycol[t])
         row = F.expr("concat_ws('|', " + ", ".join(cols) + ")")
         outs.append(
             df.select(hash59(row).cast("decimal(38,0)").alias("digest")).agg(

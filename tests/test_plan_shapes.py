@@ -70,7 +70,6 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "timeseries_forecast_backtest": (1, "grid"),
     "timeseries_locf_impute": (1, "grid"),
     "timeseries_seasonal_decompose": (1, "grid"),
-    "vector_kmeans_lloyd": (2, "top-k"),
     "window_rolling_median": (1, "grid"),
 }
 
@@ -167,7 +166,6 @@ NESTED_LOOP_ALLOWLIST: dict[str, int] = {
     "tpch_q11_value_concentration": 1,
     "tpch_q22_idle_customers": 1,
     "tpch_refresh_cycle": 5,
-    "vector_kmeans_lloyd": 4,
     "vector_pca_power_iteration": 2,
 }
 

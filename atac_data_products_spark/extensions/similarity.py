@@ -202,6 +202,15 @@ def cosine_pairs(
     if bucketed:
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_dims, n_planes))
     e = e.drop("v")
+    # the embeddings table often arrives as one file → one partition,
+    # which serializes the per-pair interpreted dot-product folds of the
+    # join output on a single core (round-12 stage attribution: the
+    # whole LSH key ran as ONE task, 2.5 exec-s).  Spread by the unique
+    # id before pairing — wide inputs pass through untouched, so this is
+    # a no-op at scale (see ensure_min_partitions)
+    from .text import ensure_min_partitions
+
+    e = ensure_min_partitions(e, by=id_col)
     a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
     b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
     if bucketed:

@@ -54,18 +54,26 @@ def pagerank_fixed(
     Returns (node, rank) with rank in RANK_SCALE units.
 
     For small fixed iteration counts (≤ LAZY_UNROLL_MAX) the rounds are
-    unrolled into ONE lazy plan: Catalyst's ReuseExchange computes the
-    edge/degree subtrees once and every generation pipelines in a single
-    job — no driver round trips, no intermediate materialization.  Even
-    the node count stays in-plan (a broadcast 1-row aggregate cross-
-    joined into the seed), so building this DataFrame triggers no Spark
-    job at all.  Deeper runs fall back to the eager Pregel loop
+    unrolled into ONE lazy plan over an EAGERLY CHECKPOINTED edge list:
+    the edge derivation (often a join+distinct over fact tables) is
+    referenced by every generation's join plus the degree/node/seed
+    subtrees — as a lazy subtree it is re-analyzed per occurrence and
+    its exchanges re-fetched per consumer, and the unrolled plan's
+    analysis cost grows with iterations (the sf0.1 trade graph measured
+    3.32 s lazy vs 2.72 s checkpointed interleaved min-of-4; cold-run
+    gap larger — 44-scan plan vs 1).  Same reasoning as the PCA gram
+    checkpoint: materialize ONCE before anything broadcasts or
+    iterates.  Deeper runs fall back to the eager Pregel loop
     (persist + localCheckpoint per generation — the pattern in
     extensions/dedup.py::connected_components) where an unrolled plan
     would grow without bound.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if n_iterations <= LAZY_UNROLL_MAX:
+        if n_iterations > 0:
+            # 0-iteration runs never re-reference the edges: keep those
+            # action-free (the checkpoint would be pure cost)
+            e = _ckpt_eager(e)
         return _pagerank_unrolled(e, n_iterations)
     return _pagerank_loop(e, n_iterations)
 

@@ -2139,9 +2139,13 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         LSH_MAX_BUCKET,
         duplicate_clusters,
         minhash_lsh_dedup_pairs,
+        spilled_digest_shingles,
     )
     from .extensions.text import tokens, word_shingles
+    from .functions.hashes import hash59
     from .registry_ext import JACCARD_THRESHOLD
+    from .spill import spill_once as _spill_once
+    from .spill import spill_root as _spill_root
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
@@ -2157,35 +2161,52 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (avg_tok_len <= _QG_MAX_AVG_TOK_LEN)
         & (F.col("source") != "src9")
     )
-    # no spill: the round-4 e2e regression (4.83s→6.05s) A/B'd to the
-    # spill write itself — 5.24s off vs 5.92s on at sf0.1 fresh-session
-    # min-of-3 (round-5); recompute of the gated shingle subtree wins
+    # round-12: the composition recomputed the gate+tokenize+shingle
+    # subtree per consumer (~6 full corpus passes: signatures, verify,
+    # survivor window, singleton anti-join, train shingles, final
+    # n_tokens — stage attribution showed 4 stages of 8-17 exec-s each,
+    # all re-deriving the same subtree).  The round's digest spill
+    # (16-byte hash59 rows, own tag — the GATED multiset differs from
+    # the standalone keys' full-corpus spill) now feeds the LSH
+    # signatures, the verify probes, AND the contamination train side
+    # (digest equality == shingle equality under the engine-wide hash59
+    # acceptance, collision odds 2^-60 per co-occurring pair); a second
+    # tiny per-doc spill carries (doc_id, source, n_tokens) for the
+    # gate-membership consumers.  The r4/r5 "recompute beats spill"
+    # A/B that kept this key spill-free measured the shingle-STRING
+    # spill; the digest re-A/B is in OPTIMIZATION_r12.md.  Without
+    # executor-visible storage (spill_root None) every consumer
+    # degrades to the lazy recompute unchanged.
+    spill_path = _spill_root(spark, "lsh_digest_shingles_gated", sf_dir)
     edges = minhash_lsh_dedup_pairs(
         gated,
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=LSH_MAX_BUCKET,
+        digest_spill_path=spill_path,
     ).select("doc_a", "doc_b")
     dup = duplicate_clusters(edges)  # edge members only
+    gate_tbl = gated.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    gate_path = _spill_root(spark, "e2e_gate", sf_dir)
+    if gate_path is not None:
+        gate_tbl = _spill_once(gate_tbl, spark, gate_path)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(F.length("text")), F.col("doc_id")
     )
+    # dup members are all gated (edges only pair gated docs), so the
+    # survivor window joins the RAW doc table — identical rows, no
+    # second gate evaluation
     dup_surv = (
-        gated.select("doc_id", "text").join(dup, "doc_id")
+        d.select("doc_id", "text").join(dup, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id")
     )
     surv = dup_surv.unionByName(
-        gated.select("doc_id").join(dup.select("doc_id"), "doc_id", "left_anti")
+        gate_tbl.select("doc_id").join(dup.select("doc_id"), "doc_id", "left_anti")
     )
-    # round-12: the shingle set was one full-corpus distinct consumed
-    # lazily by both the bench and train branches — Catalyst does not
-    # share the subtree, so the corpus tokenized twice with no source
-    # pruning on the train side.  Deriving each branch from its own
-    # source-filtered scan pushes the src9 predicate into parquet on
-    # both (survivors are gated, hence never src9 — dropping src9
-    # before the train distinct is lossless), and the train distinct
-    # keys (doc_id, shingle) without the constant source column.
+
     def _sh_of(df, *keep):
         toked = df.select(*keep, tokens("text").alias("__toks"))
         return toked.select(
@@ -2193,18 +2214,27 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(word_shingles(F.col("__toks"), 3)).alias("shingle"),
         ).where(F.col("shingle") != "")
 
-    bench = (
-        _sh_of(d.where(F.col("source") == "src9"))
-        .select(F.col("shingle").alias("b_sh"))
-        .distinct()
+    bench = _sh_of(d.where(F.col("source") == "src9")).select(
+        F.col("shingle").alias("b_sh")
     )
-    train_sh = (
-        _sh_of(d.where(F.col("source") != "src9"), "doc_id")
-        .distinct()
-        .join(surv, "doc_id")
-    )
+    if spill_path is not None:
+        # contamination over digests from the shared spill: survivors
+        # are gated, so the gated multiset covers every train doc; the
+        # distinct collapses it to per-doc shingle-set semantics
+        train_sh = (
+            spilled_digest_shingles(gated, "text", "doc_id", spill_path)
+            .distinct()
+            .join(surv, "doc_id")
+        )
+        bench = bench.select(hash59(F.col("b_sh")).alias("b_sh"))
+    else:
+        train_sh = (
+            _sh_of(d.where(F.col("source") != "src9"), "doc_id")
+            .distinct()
+            .join(surv, "doc_id")
+        )
     hit = train_sh.join(
-        F.broadcast(bench),
+        F.broadcast(bench.distinct()),
         train_sh.shingle == F.col("b_sh"),
         "left",
     )
@@ -2220,9 +2250,9 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint") % 100
     )
     split = F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
-    final = gated.select(
-        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-    ).join(clean, "doc_id")
+    # clean ⊆ surv ⊆ gated: joining the spilled gate table re-reads
+    # per-doc (source, n_tokens) instead of re-tokenizing the corpus
+    final = gate_tbl.join(clean, "doc_id")
     return final.select("source", split.alias("split"), "n_tokens").groupBy(
         "source", "split"
     ).agg(

@@ -40,6 +40,9 @@ irreducible float reductions; identical aliases on both sides).
 
 from __future__ import annotations
 
+import decimal
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2668,75 +2671,119 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = query_vector(emb)
     if qvec is None:  # empty corpus / query id drained: empty rerank, not a crash
         return spark.createDataFrame([], "rk bigint, vec_id bigint, qcos double")
-    # the greedy rounds reference the pool and the pairwise table once
-    # per round — lazily checkpoint both (p and p² rows) or the unroll
-    # re-runs the corpus top-k scan per round (measured 21.6 s → 9 s at
-    # sf0.01); blocks are ContextCleaner-freed with the result, unlike
-    # persist's CacheManager entries (ADVICE r03)
-    pool_ids = (
-        cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=MMR_POOL)
+    # round-12: the DISTRIBUTED stage stays distributed (relevance
+    # top-p over the corpus — one scan, scalar top-k); the greedy runs
+    # on the DRIVER over the collected constant-size pool (p ids +
+    # p 64-float vectors ≈ 11 KB), the ivf_topk centroid-scoring
+    # pattern.  The previous lazy-checkpoint unroll cost ~2·k tiny
+    # Spark jobs of pure scheduler latency (measured 1.9 s at sf0.1,
+    # of which the corpus top-k was <0.4 s); pool size is a CONSTANT,
+    # so driver-side selection is also the right shape at 100 TB.
+    # Float semantics replicate the retired Spark expressions exactly:
+    # sequential left-fold dot/norm in IEEE double (same association
+    # order), try_divide → None on 0-divisor, round = Spark's
+    # BigDecimal(repr) HALF_UP (half-away), NaN/Inf pass-through,
+    # DESC ordering = NaN first / NULL last, vec_id tie-break.
+    pool = [
+        (r[0], r[1])
+        for r in cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=MMR_POOL)
         .select("vec_id", F.col("cosine").alias("qcos"))
-        .transform(_ckpt_lazy)
-    )
-    pool = pool_ids.join(emb.select("vec_id", "embedding"), "vec_id")
-    e = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+        .collect()
+    ]
+    if not pool:
+        return spark.createDataFrame([], "rk bigint, vec_id bigint, qcos double")
+    vecs = {
+        r[0]: (None if r[1] is None else [None if x is None else float(x) for x in r[1]])
+        for r in emb.where(
+            F.col("vec_id").isin([p[0] for p in pool])
+        ).select("vec_id", "embedding").collect()
+    }
 
-    def cos(a, b):
-        d = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    def _fold_sum(xs):
+        acc = 0.0
+        for x in xs:
+            if x is None or acc is None:
+                acc = None
+            else:
+                acc = acc + x
+        return acc
+
+    def _cos(va, vb):
+        # zip_with pads the shorter array with NULLs; NULL products and
+        # NULL-array inputs propagate to a NULL fold, as in Spark
+        if va is None or vb is None:
+            return None
+        n = max(len(va), len(vb))
+        pa = [(va[i] if i < len(va) else None) for i in range(n)]
+        pb = [(vb[i] if i < len(vb) else None) for i in range(n)]
+        d = _fold_sum(
+            (None if (x is None or y is None) else x * y) for x, y in zip(pa, pb)
         )
-        n = lambda v: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        na = _fold_sum(None if x is None else x * x for x in va)
+        nb = _fold_sum(None if x is None else x * x for x in vb)
+        if na is None or nb is None:
+            return None
+        denom = math.sqrt(na) * math.sqrt(nb)
+        if d is None or denom == 0.0:
+            return None  # try_divide semantics
+        return _round6(d / denom)
+
+    def _round6(x):
+        if x is None:
+            return None
+        if math.isnan(x) or math.isinf(x):
+            return x  # Spark Round passes NaN/Inf through
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
             )
         )
-        # try_divide: zero-norm pool members get NULL pairwise sims —
-        # max() ignores NULLs, matching DuckDB (hostile-embeddings find)
-        return F.round(F.try_divide(d, n(a) * n(b)), 6)
 
-    a = pool.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = pool.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
-    pc = (
-        a.join(b, F.col("ia") != F.col("ib"))
-        .select("ia", "ib", cos(e(F.col("va")), e(F.col("vb"))).alias("cos"))
-        .transform(_ckpt_lazy)
-    )
-    sel = (
-        pool_ids.orderBy(F.desc("qcos"), "vec_id")
-        .limit(1)
-        .select("vec_id", "qcos", F.lit(1).alias("rk"))
-    )
+    def _desc_key(v, vid):
+        # Spark DESC: NaN first (NaN is the largest double), then values
+        # descending, NULL last; ties break on vec_id ascending
+        if v is None:
+            return (2, 0.0, vid)
+        if isinstance(v, float) and math.isnan(v):
+            return (0, 0.0, vid)
+        return (1, -v, vid)
+
+    pc = {
+        (ia, ib): _cos(vecs.get(ia), vecs.get(ib))
+        for ia, _ in pool
+        for ib, _ in pool
+        if ia != ib
+    }
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    first = min(pool, key=lambda p: _desc_key(p[1], p[0]))
+    sel = [(1, first[0], first[1])]
+    chosen = {first[0]}
     for r in range(2, MMR_K + 1):
-        sel_ids = sel.select(F.col("vec_id").alias("ib"))
-        msim = (
-            pc.join(F.broadcast(sel_ids), "ib")
-            .groupBy(F.col("ia").alias("vec_id"))
-            .agg(F.max("cos").alias("msim"))
-        )
-        nxt = (
-            pool_ids.join(
-                F.broadcast(sel.select("vec_id")), "vec_id", "left_anti"
+        cands = []
+        for vid, qcos in pool:
+            if vid in chosen:
+                continue
+            sims = [pc[(vid, s)] for s in chosen]
+            sims = [s for s in sims if s is not None]
+            # max() over an all-NULL group is NULL; NaN is the largest
+            # double in Spark's ordering; the inner msim join always
+            # matches (pc covers every ordered pool pair)
+            if any(isinstance(s, float) and math.isnan(s) for s in sims):
+                msim = float("nan")
+            else:
+                msim = max(sims) if sims else None
+            score = (
+                None
+                if (qcos is None or msim is None)
+                else _round6(lam * qcos - mu * msim)
             )
-            .join(msim, "vec_id")
-            .select(
-                "vec_id",
-                "qcos",
-                F.round(lam * F.col("qcos") - mu * F.col("msim"), 6).alias(
-                    "score"
-                ),
-            )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-            .select("vec_id", "qcos", F.lit(r).alias("rk"))
-        )
-        # checkpoint the ≤k-row selection each round: round r's plan
-        # references sel_{r-1} in TWO places (anti-join + msim), so an
-        # uncheckpointed chain re-evaluates every earlier round's
-        # subplan — O(k²) tiny stages of pure scheduler overhead
-        # (round-5 A/B below); the checkpoint makes rounds linear
-        sel = sel.unionByName(nxt).transform(_ckpt_lazy)
-    return sel.select(F.col("rk").cast("bigint").alias("rk"), "vec_id", "qcos")
+            cands.append((vid, qcos, score))
+        if not cands:
+            break
+        nxt = min(cands, key=lambda c: _desc_key(c[2], c[0]))
+        sel.append((r, nxt[0], nxt[1]))
+        chosen.add(nxt[0])
+    return spark.createDataFrame(sel, "rk bigint, vec_id bigint, qcos double")
 
 
 similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.format(

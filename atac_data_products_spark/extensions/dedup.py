@@ -568,7 +568,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     from .text import ensure_min_partitions, tokens
 
     tok = (
-        ensure_min_partitions(docs)
+        ensure_min_partitions(docs, by=id_col)
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(F.col(id_col), F.explode(F.array_distinct(F.col("__toks"))).alias("tok"))
         .where(F.col("tok") != "")

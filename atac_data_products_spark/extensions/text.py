@@ -101,7 +101,10 @@ def shingle_table(
     consumers that are duplicate-insensitive (MinHash min) to stay
     shuffle-free.
     """
-    toked = ensure_min_partitions(docs).select(
+    # hash-key spread (round-12): skips the local sort every keyless
+    # repartition pays for retry determinism; id_col is unique so the
+    # hash spreads evenly.  No-op on inputs already wide.
+    toked = ensure_min_partitions(docs, by=id_col).select(
         id_col, tokens(text_col).alias("__toks")
     )
     out = toked.select(

@@ -1339,7 +1339,7 @@ def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .extensions.text import ensure_min_partitions, tokens
 
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"), by="doc_id")
     n = SUBSTR_GRAM
     toked = d.select("doc_id", tokens("text").alias("t"))
     parts = ", ".join(f"element_at(t, CAST(i + {j} AS INT))" for j in range(n))
@@ -1654,7 +1654,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .extensions.text import STOPWORDS, ensure_min_partitions, tokens
 
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"), by="doc_id")
     toks = d.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")

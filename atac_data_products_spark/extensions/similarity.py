@@ -250,23 +250,39 @@ def ivf_topk(
     membership is a partition-prunable column at rest, and probing reads
     only nprobe cells.  Deterministic, so fully oracle-checkable.
     """
-    from pyspark.sql.window import Window
-
     e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cents = e.filter(
         (F.col(id_col) >= centroid_lo) & (F.col(id_col) <= centroid_hi)
     ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
 
-    cos = F.try_divide(
-        dot(F.col("v"), F.col("cv")), l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    # Map-side argmax (round-12, the k-means assign pattern): the k
+    # centroids collapse into ONE row holding a cid-sorted struct array
+    # (centroid norms precomputed once per centroid), broadcast-cross-
+    # joined into the point stream; the best cell is array_max over
+    # (c_cos, cid) structs — the struct comparator IS the previous
+    # row_number window's (c_cos DESC NULLS LAST, cid DESC) order (a
+    # NULL field sorts smallest, NaN largest, exactly as the window
+    # did), with the identical dot/norm folds producing bit-identical
+    # doubles.  Removes the n×k-row shuffle + sort + window entirely —
+    # assignment is now one pass over the points.
+    carr = cents.select("cid", "cv", l2_norm(F.col("cv")).alias("cn")).agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.desc("cid"))
+    best = F.array_max(
+        F.transform(
+            "__cents",
+            lambda s: F.struct(
+                F.try_divide(
+                    dot(F.col("v"), s["cv"]), F.col("__vn") * s["cn"]
+                ).alias("c_cos"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cos)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cid")
+        e.withColumn("__vn", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(carr))
+        .select(id_col, best["cid"].alias("cid"))
     )
 
     # driver-side probe selection over k centroid vectors (same sequential

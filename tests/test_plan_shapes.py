@@ -99,7 +99,6 @@ SMJ_ALLOWLIST: dict[str, int] = {
     "scan_file_pairs": 1,
     "semantic_bucket_purity": 1,
     "similarity_ann_recall_eval": 2,
-    "similarity_ivf_topk": 1,
     "similarity_matryoshka_prefix_eval": 2,
     "table_diff_reconcile": 1,
 }

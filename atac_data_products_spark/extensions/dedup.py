@@ -446,10 +446,38 @@ def duplicate_clusters(
         # against it.  The fast path is cap-bounded (≤ 2·cap ids, a few
         # MB), so the broadcast hint is always safe and keeps the
         # corpus-side joins/anti-joins shuffle-free.
+        #
+        # round-12: the ExistingRDD scan is a PYTHON-evaluated RDD — a
+        # 32-task stage that spins a Python worker per task, and it
+        # re-runs per CONSUMER (survivor join, singleton anti-join,
+        # size rollup: stage attribution showed three concurrent
+        # zero-input 32-task stages at action start).  Small maps (the
+        # overwhelmingly common case) now become a pure-JVM
+        # LocalRelation via an inline VALUES table: zero tasks, free to
+        # reference any number of times, broadcast builds are local.
+        # Above the inline bound, one coalesce(1) keeps the Python
+        # evaluation to a single task per consumer.
+        if label_rows and len(label_rows) <= 20_000:
+            def _lit(v):
+                if v is None:
+                    return "NULL"
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                return str(v)
+
+            body = ", ".join(
+                "(" + _lit(a) + ", " + _lit(b) + ")" for a, b in label_rows
+            )
+            local = spark.sql(
+                f"SELECT CAST(c1 AS {id_type}) AS {id_col}, "
+                f"CAST(c2 AS {id_type}) AS cluster_id "
+                f"FROM VALUES {body} AS t(c1, c2)"
+            )
+            return F.broadcast(local)
         return F.broadcast(
             spark.createDataFrame(
                 label_rows or [], f"{id_col} {id_type}, cluster_id {id_type}"
-            )
+            ).coalesce(1)
         )
 
     # ---- distributed Pregel path ----

@@ -68,8 +68,27 @@ def sessionize(
             }
         )
 
+    # round-12: AQE coalesces this exchange by BYTES (a 1.2 MB shuffle
+    # at sf0.1 → ONE post-shuffle partition), but a grouped-map stage's
+    # cost is per-ROW Python work, not bytes — stage attribution showed
+    # the whole sessionizer running as a single Python task.  An
+    # explicit repartition on the bucket key pins the partition count
+    # (REPARTITION_BY_NUM is exempt from AQE coalescing) and the
+    # groupBy reuses that clustering, so there is still exactly ONE
+    # shuffle.  Partitions are capped by n_buckets (more would be
+    # empty) and follow the session's shuffle-partition conf at scale.
+    spark = events.sparkSession
+    try:
+        n_parts = min(
+            n_buckets, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+    except (TypeError, ValueError):  # e.g. "auto" on some deployments
+        n_parts = min(n_buckets, spark.sparkContext.defaultParallelism)
     return (
-        events.select("user_id", "ts_us")
-        .groupBy((F.col("user_id") % n_buckets).alias("__bucket"))
+        events.select(
+            "user_id", "ts_us", (F.col("user_id") % n_buckets).alias("__bucket")
+        )
+        .repartition(n_parts, F.col("__bucket"))
+        .groupBy("__bucket")
         .applyInPandas(per_bucket, SESSION_SCHEMA)
     )

@@ -48,7 +48,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a/b id-spaces are disjoint (CUST_OFFSET), so the exploded set is
     already duplicate-free.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    from .extensions.text import ensure_min_partitions
+
+    li = ensure_min_partitions(
+        # round-12: the one-file lineitem scan serialized the broadcast
+        # join probe + distinct partial aggregation on a single core;
+        # conditional hash spread, no-op at scale
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        by="l_orderkey",
+    )
     orders = _t(spark, sf_dir, "orders")
     raw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

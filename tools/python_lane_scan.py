@@ -339,6 +339,13 @@ EXEMPT: dict[tuple[str, str, str, str], str] = {
     # cross-engine by construction.
     ("atac_data_products_spark/registry_ext.py", "vector_gram_int8.gram",
      "div-in-udf", "v / safe[:, None]"): "identical-ieee",
+    # r12 MMR driver greedy: the pairwise-cosine division mirrors the
+    # retired Spark try_divide op-for-op (sequential IEEE folds feed
+    # it; the denominator-zero → None guard precedes it); downstream
+    # quantization is Decimal(repr)·HALF_UP — the exact Spark
+    # Round(double, 6) algorithm, NOT Python round() (site comment).
+    ("atac_data_products_spark/registry_scale.py", "similarity_mmr_rerank",
+     "div-in-driver", "d / denom"): "identical-ieee",
 }
 
 

@@ -457,11 +457,51 @@ def duplicate_clusters(
         # reference any number of times, broadcast builds are local.
         # Above the inline bound, one coalesce(1) keeps the Python
         # evaluation to a single task per consumer.
-        if label_rows and len(label_rows) <= 20_000:
+        # VALUES-renderable ids only (round-13, advisor find): str needs
+        # correct literal escaping (below); int renders exactly; bool is
+        # an int subclass but renders as True/False, and floats/bytes/
+        # Decimal have no faithful inline form — those fall through to
+        # the createDataFrame path, which handles any type.  Under the
+        # legacy escapedStringLiterals parser mode there is NO reliable
+        # in-literal escape (backslash is literal and '' is not folded),
+        # so strings carrying quotes/backslashes also fall back there.
+        legacy_parser = (
+            str(
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
+
+        def _values_ok(v):
+            if v is None:
+                return True
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                return False
+            if legacy_parser and isinstance(v, str) and (
+                "'" in v or "\\" in v
+            ):
+                return False
+            return True
+
+        if (
+            label_rows
+            and len(label_rows) <= 20_000
+            and all(_values_ok(a) and _values_ok(b) for a, b in label_rows)
+        ):
+            # Spark SQL string literals treat backslash as an escape
+            # character (default parser mode), so 'a\x' would silently
+            # parse as 'ax' and a trailing backslash would swallow the
+            # closing quote (round-13, advisor find — silent cluster-id
+            # corruption for any string-id corpus with backslashes).
+            # Doubled '' escapes the quote in default mode.
             def _lit(v):
                 if v is None:
                     return "NULL"
                 if isinstance(v, str):
+                    if not legacy_parser:
+                        v = v.replace("\\", "\\\\")
                     return "'" + v.replace("'", "''") + "'"
                 return str(v)
 

@@ -197,7 +197,10 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs = _checksum_exprs("spark")
     outs = []
     for t, cols in exprs.items():
-        df = ensure_min_partitions(_t(spark, sf_dir, t), by=keycol[t])
+        # .get(): a table added to _CHECKSUM_TABLES without a key entry
+        # degrades to the keyless round-robin spread instead of a
+        # KeyError at plan build (round-13, verdict find)
+        df = ensure_min_partitions(_t(spark, sf_dir, t), by=keycol.get(t))
         row = F.expr("concat_ws('|', " + ", ".join(cols) + ")")
         outs.append(
             df.select(hash59(row).cast("decimal(38,0)").alias("digest")).agg(

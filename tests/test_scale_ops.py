@@ -208,3 +208,17 @@ def test_weighted_reservoir_is_key_stable(spark):
     one = _sorted_pdf(sample_weighted_reservoir(spark, SF_SMALL))
     two = _sorted_pdf(sample_weighted_reservoir(spark, SF_SMALL))
     pd.testing.assert_frame_equal(one, two)
+
+
+def test_table_checksum_tolerates_unmapped_table(spark, monkeypatch):
+    """A table added to _CHECKSUM_TABLES without a spread-key entry must
+    degrade to the keyless spread, not KeyError at plan build (round-13,
+    verdict find)."""
+    from atac_data_products_spark import registry_scale as rs
+
+    patched = dict(rs._CHECKSUM_TABLES)
+    patched["nation"] = ("CAST(n_nationkey AS {s})", "n_name")
+    monkeypatch.setattr(rs, "_CHECKSUM_TABLES", patched)
+    out = rs.table_checksum(spark, SF_SMALL).toPandas().set_index("table_name")
+    assert "nation" in out.index
+    assert int(out.loc["nation", "n_rows"]) == 25

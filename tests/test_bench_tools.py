@@ -77,3 +77,58 @@ def test_unchanged_keys_do_not_flag(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "REGRESSED" not in out
+
+
+def test_json_report_full_width(tmp_path, monkeypatch):
+    """--json emits a driver-style per-query prev/now/speedup record for
+    EVERY common key (r12 verdict: the 5-key PERF window is a noise
+    lottery; the committed artifacts must carry the full-width,
+    load-normalized diff)."""
+    vi_keys = ["t1"]
+    mid_keys = ["m1", "m2"]
+    old = _write(
+        tmp_path, "old.json",
+        {"t1": 0.2, "m1": 10.0, "m2": 1.0, "q1": 2.0, "q2": 1.0},
+        vi_keys, mid_keys,
+    )
+    new = _write(
+        tmp_path, "new.json",
+        # host 2x more loaded (t1 doubles); q1 genuinely halves raw
+        {"t1": 0.4, "m1": 20.0, "m2": 2.0, "q1": 2.0, "q2": 2.0},
+        vi_keys, mid_keys,
+    )
+    out = tmp_path / "report.json"
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff.py", old, new, "--json", str(out)]
+    )
+    rc = bench_diff.main()
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    assert doc["n_common"] == 5
+    assert set(doc["per_query"]) == {"t1", "m1", "m2", "q1", "q2"}
+    q1 = doc["per_query"]["q1"]
+    # raw parity, but the 2x variance-index lens normalizes it to a 2x
+    # improvement (speedup = prev/now convention, >1 is faster)
+    assert q1["speedup"] == 1.0
+    assert q1["speedup_norm"] == 2.0
+    assert q1["status"] == "improved"
+    # unchanged-under-load keys read flat after normalization
+    assert doc["per_query"]["q2"]["speedup_norm"] == 1.0
+    assert doc["per_query"]["q2"]["status"] == "flat"
+    assert doc["geomean_speedup_norm"] > 1.0
+    assert doc["variance_index_ratio"] == 2.0
+
+
+def test_json_report_marks_new_and_gone(tmp_path, monkeypatch):
+    vi_keys = ["t1"]
+    old = _write(tmp_path, "o.json", {"t1": 0.2, "gone_q": 1.0}, vi_keys, [])
+    new = _write(tmp_path, "n.json", {"t1": 0.2, "new_q": 1.0}, vi_keys, [])
+    out = tmp_path / "r.json"
+    monkeypatch.setattr(
+        sys, "argv", ["bench_diff.py", old, new, "--json", str(out)]
+    )
+    bench_diff.main()
+    doc = json.loads(out.read_text())
+    assert doc["per_query"]["gone_q"]["status"] == "gone"
+    assert doc["per_query"]["new_q"]["status"] == "new"
+    assert doc["n_common"] == 1

@@ -303,3 +303,21 @@ def test_spill_once_concurrent_callers_write_once(spark, tmp_path):
     assert counts == [100, 100, 100, 100]
     # exactly one materialization of the source across all 4 callers
     assert acc.value == 100
+
+
+def test_spill_once_records_write_seconds(spark, tmp_path):
+    """The write-seconds ledger (r12 verdict: make the min-of-N-excluded
+    spill write visible): the paying call records a positive duration
+    under its path; the skipping call adds nothing."""
+    import atac_data_products_spark.spill as spill_mod
+
+    path = str(tmp_path / "ledger_spill")
+    df = spark.range(100)
+    assert path not in spill_mod.SPILL_WRITE_SECONDS
+    before_total = spill_mod.spill_write_seconds_total()
+    spill_mod.spill_once(df, spark, path)
+    assert spill_mod.SPILL_WRITE_SECONDS[path] > 0
+    first = spill_mod.SPILL_WRITE_SECONDS[path]
+    assert spill_mod.spill_write_seconds_total() > before_total
+    spill_mod.spill_once(df, spark, path)  # _SUCCESS exists: no write
+    assert spill_mod.SPILL_WRITE_SECONDS[path] == first

@@ -60,6 +60,15 @@ def main() -> int:
     p.add_argument("old")
     p.add_argument("new")
     p.add_argument("--threshold", type=float, default=1.5)
+    p.add_argument(
+        "--json",
+        dest="json_out",
+        default=None,
+        help="write a driver-style per-query prev/now/speedup report "
+        "(speedup = prev/now; *_norm = load-normalized by the per-key "
+        "calibration probe when both sides carry one, else by the "
+        "variance index) over ALL common keys to this path",
+    )
     ns = p.parse_args()
     thr = ns.threshold
     old, new = load_bench(ns.old), load_bench(ns.new)
@@ -124,12 +133,18 @@ def main() -> int:
             "the fallback for keys missing a probe"
         )
     regressed = []
+    report: dict = {}
     print(f"{'query':34s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
         if a is None or b is None:
             tag = "NEW" if a is None else "GONE"
             print(f"{name:34s} {a if a is not None else '-':>8} {b if b is not None else '-':>8}   {tag}")
+            report[name] = {
+                "prev_sec": a,
+                "now_sec": b,
+                "status": "new" if a is None else "gone",
+            }
             continue
         ca, cb = ocal.get(name), ncal.get(name)
         if cal_comparable and ca and cb:
@@ -179,10 +194,77 @@ def main() -> int:
             flag += _spread(new.get("_runs", {}).get(name))
             regressed.append(name)
         print(f"{name:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
-    print(
-        f"\ntotal: {old.get('value', sum(oq.values())):.2f}s -> "
-        f"{new.get('value', sum(nq.values())):.2f}s"
-    )
+        # driver-style record: speedup = prev/now (>1 is faster), plus
+        # the load-normalized variant (per-key calibration probe when
+        # both sides carry one, else the run-level variance index) —
+        # the r12 verdict's ask: a full-width round-over-round diff
+        # computable from committed artifacts alone, so the 5-key PERF
+        # window stops being a noise lottery.
+        norm_speedup = 1.0 / ratio if ratio else None
+        report[name] = {
+            "prev_sec": round(a, 3),
+            "now_sec": round(b, 3),
+            "speedup": round(a / b, 3) if b else None,
+            "speedup_norm": round(norm_speedup, 3) if norm_speedup else None,
+            "norm_lens": norm_tag or ("vi" if load_ratio != 1.0 else "raw"),
+            "flagged": bool(flag),
+            "status": (
+                "regressed"
+                if norm_speedup and norm_speedup < 1 / 1.1
+                else "improved"
+                if norm_speedup and norm_speedup > 1.1
+                else "flat"
+            ),
+        }
+    total_old = old.get("value", sum(oq.values()))
+    total_new = new.get("value", sum(nq.values()))
+    print(f"\ntotal: {total_old:.2f}s -> {total_new:.2f}s")
+    if ns.json_out:
+        import math
+
+        common = [r for r in report.values() if r.get("speedup_norm")]
+        doc = {
+            "n_common": len(common),
+            "n_improved": sum(1 for r in common if r["status"] == "improved"),
+            "n_regressed": sum(
+                1 for r in common if r["status"] == "regressed"
+            ),
+            "n_flagged": len(regressed),
+            "total_prev": round(total_old, 3),
+            "total_now": round(total_new, 3),
+            "geomean_speedup": (
+                round(
+                    math.exp(
+                        sum(math.log(r["speedup"]) for r in common)
+                        / len(common)
+                    ),
+                    3,
+                )
+                if common
+                else None
+            ),
+            "geomean_speedup_norm": (
+                round(
+                    math.exp(
+                        sum(math.log(r["speedup_norm"]) for r in common)
+                        / len(common)
+                    ),
+                    3,
+                )
+                if common
+                else None
+            ),
+            "variance_index_ratio": round(load_ratio, 3),
+            "variance_index_mid_ratio": (
+                round(mid_ratio, 3) if mid_ratio else None
+            ),
+            "cal_normalized": cal_comparable,
+            "status_bounds": "improved > 1.1, regressed < 1/1.1, on speedup_norm",
+            "per_query": report,
+        }
+        with open(ns.json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"json report: {ns.json_out}")
     if regressed:
         print(f"REGRESSIONS ({len(regressed)}): {regressed}")
         return 1

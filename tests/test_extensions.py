@@ -325,3 +325,24 @@ def test_duplicate_clusters_inline_values_bound(spark):
     got = {r.doc_id: r.cluster_id for r in over.collect()}
     assert len(got) == 20_002
     assert got[20_001] == 20_000 and got[0] == 0
+
+
+def test_jaccard_candidates_zero_overlap_pair_excluded(spark):
+    """The packed-set verify (round 13) must preserve the old
+    inner-join-through-count semantics: a candidate pair whose shingle
+    sets do not intersect yields NO row even at threshold 0.0 (the
+    estimate-calibration key left-joins exact onto estimated and relies
+    on the miss)."""
+    from atac_data_products_spark.extensions.dedup import jaccard_pairs
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+    )
+    sh = shingle_table(docs, distinct=False)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a bigint, doc_b bigint"
+    )
+    got = jaccard_pairs(sh, threshold=0.0, candidates=cand).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert got[0].jaccard > 0

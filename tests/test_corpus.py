@@ -298,3 +298,62 @@ def test_pipeline_e2e_stage_consistency(spark):
     per_source = got.groupby("source")["n_docs"].sum()
     for src, n in per_source.items():
         assert n <= gated_counts[src]
+
+
+def test_contamination_broadcast_gate(spark):
+    """The benchmark-set broadcast hint must be size-gated (round-13
+    verdict find): under the default cap the sf plan keeps the
+    BroadcastHashJoin; with the cap forced to 0 (simulating a huge
+    held-out corpus) and auto-broadcast off, the bench join plans as a
+    shuffle join instead of an unconditional broadcast OOM."""
+    from atac_data_products_spark.registry_corpus import corpus_contamination
+
+    def _plan(sf_dir):
+        return (
+            corpus_contamination(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "BroadcastHashJoin" in _plan(SF_MED)
+
+    spark.conf.set("adp.contamination.broadcast_max_bytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fallback = _plan(SF_MED)
+        assert "BroadcastHashJoin" not in fallback
+        assert ("SortMergeJoin" in fallback) or ("ShuffledHashJoin" in fallback)
+        # values identical under the fallback strategy (tiny sf: cheap)
+        import pandas as pd
+
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        shuffled = corpus_contamination(spark, SF_MED).toPandas()
+        spark.conf.unset("adp.contamination.broadcast_max_bytes")
+        hinted = corpus_contamination(spark, SF_MED).toPandas()
+        key = ["doc_id"]
+        pd.testing.assert_frame_equal(
+            shuffled.sort_values(key).reset_index(drop=True),
+            hinted.sort_values(key).reset_index(drop=True),
+        )
+    finally:
+        for k in (
+            "adp.contamination.broadcast_max_bytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ):
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+
+
+def test_contamination_broadcast_cap_rejects_garbage(spark):
+    import pytest
+    from atac_data_products_spark.registry_corpus import corpus_contamination
+
+    spark.conf.set("adp.contamination.broadcast_max_bytes", "a lot")
+    try:
+        with pytest.raises(ValueError, match="adp.contamination.broadcast_max_bytes"):
+            corpus_contamination(spark, SF_MED)
+    finally:
+        spark.conf.unset("adp.contamination.broadcast_max_bytes")

@@ -455,48 +455,29 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         sh = sh_lazy
     df_tab = sh.groupBy("g").agg(F.count("*").alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
     # PROBE prefix (Chaudhuri et al. 2006): any pair with overlap O
     # intersects within the first n − O + 1 elements of each side; for
-    # a qualifying pair O ≥ ceil(t·n), so n − ceil(t·n) + 1 suffices
-    # (arr_plen below; n = size of the packed per-doc array).
+    # a qualifying pair O ≥ ceil(t·n), so n − ceil(t·n) + 1 suffices.
+    prefix_len = F.col("__n") - F.expr(
+        f"CAST((__n * {num} + {den} - 1) DIV {den} AS BIGINT)"
+    ) + 1
     # __rk (the doc's global df-order rank) and __n (its set size) ride
     # ALONG into the prefix self-join — they are already in flight here,
     # so every filter below evaluates inside the join at +16 bytes per
     # prefix row (no post-hoc size-join shuffles).
-    #
-    # round-13: the rank is computed by PACKING each doc's (df, g)
-    # structs into one array and sorting per row (array_sort's struct
-    # comparator = the window's orderBy(__df, g): ascending field
-    # order, g unique within doc so no ties) instead of a rank window —
-    # the window shuffled AND SORTED the whole digest table by doc;
-    # the pack is a hash aggregation with a doc-bounded local sort per
-    # row, and the separate sizes aggregation + join collapse into
-    # size(array).  posexplode emits only the prefix slice, so the
-    # self-join input is unchanged bit-for-bit (oracle replicates the
-    # window form; 345-key gate green).
-    doc_sg = (
-        sh.join(df_tab, "g")
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("__df", "g")).alias("__sg"))
-    )
-    arr_plen = (
-        F.size("__sg")
-        - F.expr(f"CAST((size(__sg) * {num} + {den} - 1) DIV {den} AS INT)")
-        + 1
-    )
     ranked = (
-        doc_sg.select(
-            "doc_id",
-            F.size("__sg").cast("bigint").alias("__n"),
-            F.posexplode(F.slice(F.array_sort("__sg"), F.lit(1), arr_plen)),
+        sh.join(df_tab, "g")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("__df", "g")
+            ),
         )
-        .select(
-            "doc_id",
-            F.col("col.g").alias("g"),
-            (F.col("pos") + 1).alias("__rk"),
-            "__n",
-        )
+        .where(F.col("__rk") <= prefix_len)
+        .select("doc_id", "g", "__rk", "__n")
     )
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),

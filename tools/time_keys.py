@@ -30,7 +30,16 @@ def main() -> int:
     from atac_data_products_spark.session import get_spark
 
     qs = e.queries()
-    spark = get_spark("time-keys")
+    # same conf-sweep seam as check_correctness.py: ADP_SWEEP_CONF holds
+    # comma-separated k=v Spark conf pairs, so conf A/Bs can be timed
+    # with the bench methodology (the committed session defaults stay
+    # untouched — this is a measurement tool, not the product session)
+    extra = {
+        pair.split("=", 1)[0]: pair.split("=", 1)[1]
+        for pair in os.environ.get("ADP_SWEEP_CONF", "").split(",")
+        if "=" in pair
+    }
+    spark = get_spark("time-keys", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
 
     # same warmups as bench.py: scan/shuffle/codegen + the Python pool

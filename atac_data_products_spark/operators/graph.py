@@ -94,14 +94,24 @@ def _pagerank_unrolled(e: DataFrame, n_iterations: int) -> DataFrame:
     )
     ranks = nodes.select("node", "out_deg", "tele", F.col("seed").alias("rank"))
     for _ in range(n_iterations):
+        # SHUFFLE_HASH on the rank-vector side (guide §3.1): the default
+        # SMJ re-SORTS the fetched edge partitions on every iteration
+        # (the edge exchange is AQE-stage-reused, its sort is not) and
+        # sorts the rank vector too.  Hashing builds a per-partition map
+        # of the RANK side — O(nodes/partition) ≈ 16 B/node, the small
+        # side by construction (the symmetrized edge list is ≥ the node
+        # set) — and streams the edges with no sort at all.  Same for
+        # the contrib side of the rank-update join below: contrib is
+        # ≤ nodes rows.  Join output is bit-identical (integer adds are
+        # fold-order-free; the groupBy re-hashes regardless).
         contrib = (
-            ranks.join(e, ranks.node == e.src)
+            ranks.hint("shuffle_hash").join(e, ranks.node == e.src)
             .select("dst", F.expr("rank DIV out_deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(contrib.hint("shuffle_hash"), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 "out_deg",

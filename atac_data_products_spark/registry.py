@@ -1152,12 +1152,25 @@ def product_obs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast donor join → J3 dim joins → annotate cell_id.
     """
     li = _t(spark, sf_dir, "lineitem")
-    mod_a = li.filter(F.col("l_linenumber") % 2 == 1).select("l_orderkey")
-    mod_b = li.filter(F.col("l_linenumber") % 2 == 0).select("l_orderkey")
+    # modality intersection as ONE parity rollup (round 13, guide §2.4):
+    # the two intersect_keys semi-joins each paid a full distinct
+    # aggregation of their lineitem slice (2 scans + 2 exchanges); one
+    # groupBy(l_orderkey) computing both parity flags halves both — the
+    # map-side partial agg ships (key, 2 bools) per order, and the
+    # surviving key set is identical (EXISTS odd AND EXISTS even).
+    both = (
+        li.select("l_orderkey", (F.col("l_linenumber") % 2).alias("__p"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.col("__p") == 1).alias("__has_odd"),
+            F.max(F.col("__p") == 0).alias("__has_even"),
+        )
+        .where(F.col("__has_odd") & F.col("__has_even"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
 
     orders = _t(spark, sf_dir, "orders")
-    obs = intersect_keys(intersect_keys(orders, mod_a.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"),
-                         mod_b.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+    obs = intersect_keys(orders, both, "o_orderkey")
 
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")

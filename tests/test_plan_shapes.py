@@ -93,7 +93,9 @@ SMJ_ALLOWLIST: dict[str, int] = {
     "graph_bfs_hops": 3,
     "graph_common_neighbors": 4,
     "graph_kcore_peel": 2,
-    "graph_pagerank": 6,
+    # graph_pagerank left this list in round 13: its per-iteration
+    # fact-to-fact joins are hinted ShuffledHashJoin now (no edge
+    # re-sort per iteration; operators/graph.py)
     "graph_triangle_count": 8,
     "orders_revenue_bridge": 1,
     "scan_file_pairs": 1,

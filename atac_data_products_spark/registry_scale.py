@@ -6085,11 +6085,28 @@ def dedup_cluster_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_dedup_pairs,
     )
     from .registry_ext import JACCARD_THRESHOLD
+    from .spill import ckpt_eager as _ckpt_eager
+    from .spill import spill_root as _spill_root
 
     docs = _t(spark, sf_dir, "documents")
+    # round-13 continuation: this key was the slowest non-headline
+    # registry entry (7.6 s isolated at sf0.1 vs 3.0 for
+    # dedup_minhash_lsh) for two plan reasons, both fixed with the
+    # engine's established patterns rather than anything new:
+    # (a) it was the one production-LSH caller NOT riding the shared
+    #     digest spill, so every consumer branch re-tokenized the
+    #     corpus (the r12 64× adjudication that added the spill to its
+    #     siblings applies verbatim — same tag, one write per session);
+    # (b) `pairs` feeds BOTH the cluster map and the per-cluster edge
+    #     rollup, so the banded join + packed verify ran per consumer;
+    #     an eager checkpoint materializes the (small, dup-only) pair
+    #     set once — the pagerank edge-checkpoint adjudication shape.
     pairs = minhash_lsh_dedup_pairs(
-        docs, threshold=JACCARD_THRESHOLD, max_bucket_size=LSH_MAX_BUCKET
-    )
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
+        digest_spill_path=_spill_root(spark, "lsh_digest_shingles", sf_dir),
+    ).transform(_ckpt_eager)
     cc = connected_components(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
     sized = cc.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     pc = pairs.join(

@@ -404,9 +404,14 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verification twin: the uncapped all-pairs LSH pipeline (exact
     within-bucket semantics, quadratic on pathological buckets) — kept
     as a second contract so the capped production path is auditable
-    against it."""
+    against it.  Rides the shared digest spill (round-13 continuation:
+    one write per session serves the whole LSH family)."""
+    from .spill import spill_root as _spill_root
+
     return minhash_lsh_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        _t(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        digest_spill_path=_spill_root(spark, "lsh_digest_shingles", sf_dir),
     )
 
 
@@ -416,10 +421,13 @@ def dedup_minhash_lsh_star_stress(spark: SparkSession, sf_dir: str) -> DataFrame
     real buckets reach size 5, so the star path FIRES here and the
     oracle value-checks its exact output — driver-gradable evidence the
     capped plan is correct, not just bounded."""
+    from .spill import spill_root as _spill_root
+
     return minhash_lsh_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=JACCARD_THRESHOLD,
         max_bucket_size=3,
+        digest_spill_path=_spill_root(spark, "lsh_digest_shingles", sf_dir),
     )
 
 
@@ -450,12 +458,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash banding (signatures track Jaccard, so low-Jaccard supersets
     must collide in some band to be candidates); the deterministic
     pipeline keeps even that approximate semantics value-checked."""
-    from .extensions.dedup import containment_pairs, lsh_candidate_pairs
-    from .extensions.text import shingle_table
+    from .extensions.dedup import containment_pairs, lsh_candidate_pairs, spilled_digest_shingles
+    from .spill import spill_root as _spill_root
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs, distinct=False)
-    sig = minhash_signatures(sh)
+    # shared digest spill (round-13 continuation — same tag as the
+    # graded LSH keys; the verify counts digest matches, the
+    # engine-wide hash59 acceptance)
+    spill_path = _spill_root(spark, "lsh_digest_shingles", sf_dir)
+    if spill_path is not None:
+        sh = spilled_digest_shingles(docs, "text", "doc_id", spill_path)
+        sig = minhash_signatures(sh, digest_col="shingle")
+    else:
+        sh = shingle_table(docs, distinct=False)
+        sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
     return containment_pairs(sh, cand, threshold=CONTAINMENT_THRESHOLD)
 
@@ -498,13 +514,29 @@ def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> Data
     the doc key); exact values come from the same pair-driven verify as
     the graded dedup path; everything downstream of candidate
     generation is linear in the candidate set."""
-    from .extensions.dedup import lsh_candidate_pairs
-    from .extensions.text import shingle_table
+    from .extensions.dedup import lsh_candidate_pairs, spilled_digest_shingles
+    from .spill import ckpt_eager as _ckpt_eager
+    from .spill import spill_root as _spill_root
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_table(docs, distinct=False)
-    sig = minhash_signatures(sh)
-    cand = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET)
+    # round-13 continuation: the gate-log lens surfaced this as the
+    # heaviest registry key at sf0.1 (~29 s isolated) — `cand` is
+    # consumed by BOTH the estimate join and the exact verify, and
+    # `sig`/`sh` re-derived per reference with no spill, so the whole
+    # tokenize→signature→bucket pipeline ran ~3×.  Shared digest spill
+    # (one write per session, same tag as the graded LSH keys) + an
+    # eager checkpoint of the small candidate-pair set — the exact
+    # pattern the chain audit landed this round.
+    spill_path = _spill_root(spark, "lsh_digest_shingles", sf_dir)
+    if spill_path is not None:
+        sh = spilled_digest_shingles(docs, "text", "doc_id", spill_path)
+        sig = minhash_signatures(sh, digest_col="shingle")
+    else:
+        sh = shingle_table(docs, distinct=False)
+        sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig, max_bucket_size=LSH_MAX_BUCKET).transform(
+        _ckpt_eager
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],

@@ -2879,23 +2879,49 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded here, replaced by a sampled-pair estimate at 100 TB (the
     declared eval-at-scale path).
     """
-    from .extensions.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures
+    from .extensions.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        spilled_digest_shingles,
+    )
     from .extensions.text import shingle_table
+    from .spill import ckpt_eager as _ckpt_eager
+    from .spill import spill_root as _spill_root
 
     docs = _t(spark, sf_dir, "documents")
-    sh_multi = shingle_table(docs, distinct=False)
-    sh_set = shingle_table(docs, distinct=True)
-    sig = minhash_signatures(sh_multi)
-    truth = jaccard_pairs(sh_set, threshold=SWEEP_THRESHOLD).select(
-        "doc_a", "doc_b"
+    # round-13 continuation (gate-log lens): the lazy composition
+    # re-derived the corpus pipeline per reference — sig feeds three
+    # configs, the exact ground truth fed up to SIX consumers (hits
+    # join + truth count per config), and each config's candidate set
+    # was consumed twice (count + hits join).  Three fixes, all
+    # established patterns: the shared digest spill for the shingle
+    # table; an eager checkpoint of the (tiny, threshold-filtered)
+    # truth pair set; and ONE left-join aggregate per config computing
+    # n_candidates and n_hits in a single pass over cand.
+    spill_path = _spill_root(spark, "lsh_digest_shingles", sf_dir)
+    if spill_path is not None:
+        sh_multi = spilled_digest_shingles(docs, "text", "doc_id", spill_path)
+        sh_set = sh_multi.distinct()
+        sig = minhash_signatures(sh_multi, digest_col="shingle")
+    else:
+        sh_multi = shingle_table(docs, distinct=False)
+        sh_set = shingle_table(docs, distinct=True)
+        sig = minhash_signatures(sh_multi)
+    truth = (
+        jaccard_pairs(sh_set, threshold=SWEEP_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .transform(_ckpt_eager)
     )
+    t_flag = truth.withColumn("__t", F.lit(1))
     outs = []
     for bands, rows in SWEEP_CONFIGS:
         cand = lsh_candidate_pairs(sig, bands=bands, rows=rows)
-        stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
-            cand.join(truth, ["doc_a", "doc_b"]).agg(
-                F.count("*").alias("n_hits")
-            )
+        # truth pairs are distinct, so the left join preserves cand's
+        # cardinality: count(*) = n_candidates, count(__t) = n_hits
+        stats = cand.join(t_flag, ["doc_a", "doc_b"], "left").agg(
+            F.count("*").alias("n_candidates"),
+            F.count("__t").alias("n_hits"),
         ).crossJoin(truth.agg(F.count("*").alias("n_truth")))
         outs.append(
             stats.select(
